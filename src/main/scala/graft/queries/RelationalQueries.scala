@@ -171,8 +171,8 @@ object RelationalQueries extends QueryPack {
     // shuffled anti-join — Catalyst/AQE picks per stats.
     "q_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      val pending = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      c.join(pending, c("c_custkey") === pending("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     }),
@@ -270,7 +270,8 @@ object RelationalQueries extends QueryPack {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_topk" ->

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.QueryKit._
+
+/** Window-function coverage (SURVEY.md §2.7 W1–W6, A5–A8) plus the
+  * sessionization pattern (streaming-adjacent, ref has none — this is the
+  * batch form of the Structured Streaming session window).
+  *
+  * Scale notes: every window partitions by a high-cardinality key (user,
+  * customer, segment) → one hash shuffle + per-partition sort; identical
+  * plan shape on a 1000-executor cluster. No global (unpartitioned)
+  * windows except the bounded league-table (W4), whose input is already
+  * aggregated to dimension size.
+  */
+object WindowQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact per-partition mean: decimal window sum / window count. */
+  private def wavg(c: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+    sum(col(c).cast(DecimalType(18, 2))).over(w).cast(DoubleType) /
+      count(lit(1)).over(w)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // W1/W3 — lag features + grouped diff (ref: EDA cells 23-24, 31:
+    // 24 "previous_*" features per player ordered by kickoff).
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tkey"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          Tables.tsMicros.as("tkey"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta_us", col("tkey") - lag(col("tkey"), 1).over(w))
+        .orderBy(col("event_id"))
+    }),
+
+    // W2 — lead with default (ref: quantile upper bound, EDA cell 26).
+    "q_window_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .withColumn("next_bal", lead(col("c_acctbal"), 1, 9999).over(w))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // W4 — league-table position: aggregate then rank, 0-based like the
+    // reference (ref: etl/run_transform.py:441-446 — emits positions 0..19).
+    "q_rank_position" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val per = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_name"))
+        .agg(dsum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
+      val w = Window.partitionBy(col("n_regionkey"))
+        .orderBy(col("total_bal").desc, col("n_name"))
+      per.withColumn("table_position", row_number().over(w).cast("long") - 1)
+        .select(col("n_regionkey"), col("n_name"), col("total_bal"),
+          col("n_cust"), col("table_position"))
+        .orderBy(col("n_regionkey"), col("table_position"))
+    }),
+
+    // W5 — top-1 per group with deterministic tiebreak (ref: best fuzzy
+    // match per player, etl/additional_fifa.py:165-172).
+    "q_top1_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // A5 — group-total normalization as a window (ref: PercentageCalc,
+    // modelling/helpers.py:30-69: value / (group_sum / constant)).
+    "q_window_norm" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("pct_of_type",
+          r6(col("value") / (sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType) / lit(15))))
+        .orderBy(col("event_id"))
+    }),
+
+    // A6/A8 — group-transform max/min flags (ref: etl/additional_fifa.py
+    // :140-142, EDA cell 32 first-kickoff-per-gameweek).
+    "q_window_minmax" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          Tables.tsMicros.as("tkey"))
+        .withColumn("is_peak", (col("value") === max(col("value")).over(w)).cast("int"))
+        .withColumn("us_since_first", col("tkey") - min(col("tkey")).over(w))
+        .drop("tkey")
+        .orderBy(col("event_id"))
+    }),
+
+    // A7 — two-tier group-mean imputation (ref: modelling/helpers.py
+    // :97-106: team+pos+bin mean, then pos+bin mean). Nulls injected on
+    // c_custkey%10 to exercise both tiers.
+    "q_group_impute" -> ((s, dir) => {
+      val w1 = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      val w2 = Window.partitionBy(col("c_mktsegment"))
+      t(s, dir, "customer")
+        .withColumn("bal",
+          when(col("c_custkey") % 10 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")))
+        .withColumn("bal_imputed",
+          r4(coalesce(col("bal"),
+            sum(col("bal").cast(DecimalType(18, 2))).over(w1).cast(DoubleType) /
+              count(col("bal")).over(w1),
+            sum(col("bal").cast(DecimalType(18, 2))).over(w2).cast(DoubleType) /
+              count(col("bal")).over(w2))))
+        .select(col("c_custkey"), col("bal"), col("bal_imputed"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Sessionization — 30-minute-gap sessions per user: batch equivalent of
+    // a Structured Streaming session window (graft.streaming runs the same
+    // logic incrementally). Gap flag via lag, session id via running sum.
+    "q_sessionize" -> ((s, dir) => {
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("tkey"), col("event_id"))
+      val wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          Tables.tsMicros.as("tkey"), col("value"))
+        .withColumn("new_sess",
+          when(lag(col("tkey"), 1).over(wo).isNull ||
+            col("tkey") - lag(col("tkey"), 1).over(wo) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(wrun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tkey")).as("session_start"),
+          dsum(col("value")).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_lag" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tkey, value FROM events)
+        |SELECT event_id, user_id, tkey, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY tkey, event_id) AS prev_value,
+        |  tkey - lag(tkey, 1) OVER (PARTITION BY user_id ORDER BY tkey, event_id) AS delta_us
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "q_window_lead" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  lead(c_acctbal, 1, 9999) OVER
+        |    (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS next_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_rank_position" ->
+      s"""WITH per AS (
+         |  SELECT n_regionkey, n_name,
+         |    ${sql.dsum("c_acctbal")} AS total_bal, COUNT(*) AS n_cust
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY n_regionkey, n_name
+         |)
+         |SELECT n_regionkey, n_name, total_bal, n_cust,
+         |  row_number() OVER (PARTITION BY n_regionkey
+         |    ORDER BY total_bal DESC, n_name) - 1 AS table_position
+         |FROM per ORDER BY n_regionkey, table_position""".stripMargin,
+
+    "q_top1_per_group" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer
+        |)
+        |SELECT c_mktsegment, c_custkey, c_acctbal FROM r WHERE rn = 1
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_window_norm" ->
+      """SELECT event_id, event_type, value,
+        |  ROUND(value / (CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY event_type) AS DOUBLE) / 15), 6) AS pct_of_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_minmax" ->
+      """WITH e AS (SELECT event_id, user_id, value, epoch_ns(ts)//1000 AS tkey FROM events)
+        |SELECT event_id, user_id, value,
+        |  CAST(value = max(value) OVER (PARTITION BY user_id) AS INT) AS is_peak,
+        |  tkey - min(tkey) OVER (PARTITION BY user_id) AS us_since_first
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "q_group_impute" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END AS bal
+        |  FROM customer
+        |)
+        |SELECT c_custkey, bal,
+        |  ROUND(COALESCE(bal,
+        |    CAST(SUM(CAST(bal AS DECIMAL(18,2))) OVER
+        |      (PARTITION BY c_nationkey, c_mktsegment) AS DOUBLE)
+        |      / COUNT(bal) OVER (PARTITION BY c_nationkey, c_mktsegment),
+        |    CAST(SUM(CAST(bal AS DECIMAL(18,2))) OVER
+        |      (PARTITION BY c_mktsegment) AS DOUBLE)
+        |      / COUNT(bal) OVER (PARTITION BY c_mktsegment)), 4) AS bal_imputed
+        |FROM c ORDER BY c_custkey""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS tkey, value FROM events
+         |), g AS (
+         |  SELECT *,
+         |    CASE WHEN lag(tkey, 1) OVER w IS NULL
+         |           OR tkey - lag(tkey, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tkey, event_id)
+         |), sid AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER
+         |    (PARTITION BY user_id ORDER BY tkey, event_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM g
+         |)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(tkey) AS session_start, ${sql.dsum("value")} AS session_value
+         |FROM sid GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin
+  )
+}
