@@ -17,7 +17,9 @@ object SparkEntry {
     RelationalQueries,
     JoinQueries,
     WindowQueries,
-    AggregateQueries
+    AggregateQueries,
+    TextQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

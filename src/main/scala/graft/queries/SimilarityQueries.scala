@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.QueryKit._
+import graft.functions.TextAnalytics._
+
+/** Similarity search over the `embeddings` table plus multimodal binary
+  * plumbing — the vector half of the training-data pipeline surface.
+  *
+  * Scale notes: the brute-force top-k is probes × corpus with the corpus
+  * side streamed (broadcast the probe set — it is the small side by
+  * construction); ranking uses the rounded score so cross-engine ties are
+  * deterministic. The LSH variant buckets by random-hyperplane sign bits:
+  * candidate generation becomes an equi-join on (bucket), turning O(n²)
+  * into O(n·bucket_size) — the 100 TB path. Hyperplane weights are
+  * ±1 derived from a portable integer hash so the oracle reproduces them.
+  */
+object SimilarityQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val nPlanes = 8
+
+  /** ±1 pseudo-weight for (plane j, dim d): parity of a portable LCG mix.
+    * Spark and DuckDB evaluate the same closed form. */
+  private def weightSpark(j: String, d: String): String =
+    s"CASE WHEN (($j * 131071 + $d * 524287 + 17) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+  private def weightDuck(j: String, d: String): String =
+    s"CASE WHEN (($j * 131071 + $d * 524287 + 17) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+
+  /** 8-bit random-hyperplane signature of an embedding column (Spark). */
+  private def rpSigSpark(emb: String): String = {
+    // bit j = 1 iff sum_d w(j,d) * emb[d] >= 0
+    s"aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+      s"(CASE WHEN aggregate(sequence(1, size($emb)), CAST(0 AS DOUBLE), " +
+      s"(s, d) -> s + ${weightSpark("j", "(d - 1)")} * CAST(element_at($emb, d) AS DOUBLE)) >= 0 " +
+      s"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END))"
+  }
+
+  private def rpSigDuck(emb: String): String = {
+    s"CAST(list_sum(list_transform(generate_series(0, ${nPlanes - 1}), j -> " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($emb)), d -> " +
+      s"${weightDuck("j", "(d - 1)")} * CAST($emb[d] AS DOUBLE))), (s, v) -> s + v) >= 0 " +
+      s"THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force cosine top-k: the exact baseline every ANN variant is
+    // measured against. Probe set = vec_id % 20 == 0 (5% sample).
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("cand_id"))
+      broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
+        .withColumn("sim", r6(expr(cosineSpark("pe", "ce"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("probe_id"), col("cand_id"), col("sim"), col("rnk"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // LSH-bucketed ANN: random-hyperplane signatures → candidates share the
+    // 8-bit bucket → exact cosine within bucket → top-1 per probe.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("sig", expr(rpSigSpark("embedding")))
+      val probes = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("sig").as("psig"))
+      val cands = e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("sig").as("csig"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("cand_id"))
+      broadcast(probes)
+        .join(cands, col("psig") === col("csig") && col("probe_id") =!= col("cand_id"))
+        .withColumn("sim", r6(expr(cosineSpark("pe", "ce"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("probe_id"), col("psig").as("bucket"), col("cand_id"), col("sim"))
+        .orderBy(col("probe_id"))
+    }),
+
+    // Embedding-cosine near-duplicate pairs above a threshold, bucketed by
+    // LSH signature (both directions of the dedup story: textual MinHash in
+    // TextQueries, embedding-cosine here).
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("sig", expr(rpSigSpark("embedding")))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("sig"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("sig"))
+      a.join(b, Seq("sig"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", r6(expr(cosineSpark("ea", "eb"))))
+        .filter(col("sim") >= 0.35)
+        .select(col("id_a"), col("id_b"), col("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata columns.
+    // The real decode (image/audio libs) is stubbed behind a deterministic
+    // byte-level "feature extractor" (see graft.operators.MultimodalStub
+    // for the mapPartitions variant); the Spark-side schema / batch shape
+    // is what this query locks down.
+    "q_multimodal_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("blob", expr("encode(text, 'UTF-8')"))
+        .select(col("doc_id"),
+          length(col("blob")).as("n_bytes"),
+          lower(hex(expr("substring(blob, 1, 4)"))).as("head_hex"),
+          expr("ascii(substring(text, 1, 1))").as("first_byte"),
+          col("source"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      s"""WITH p AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 20 = 0
+         |), scored AS (
+         |  SELECT probe_id, vec_id AS cand_id,
+         |    ROUND(${cosineDuck("pe", "embedding")}, 6) AS sim
+         |  FROM p JOIN embeddings ON vec_id <> probe_id
+         |), ranked AS (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, cand_id, sim, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${rpSigDuck("embedding")} AS sig FROM embeddings
+         |), p AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe, sig AS psig
+         |  FROM e WHERE vec_id % 20 = 0
+         |), scored AS (
+         |  SELECT probe_id, psig, vec_id AS cand_id,
+         |    ROUND(${cosineDuck("pe", "embedding")}, 6) AS sim
+         |  FROM p JOIN e ON psig = sig AND vec_id <> probe_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, psig AS bucket, cand_id, sim FROM ranked WHERE rnk = 1
+         |ORDER BY probe_id""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${rpSigDuck("embedding")} AS sig FROM embeddings
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${cosineDuck("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |WHERE ROUND(${cosineDuck("a.embedding", "b.embedding")}, 6) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  lower(hex(encode(substring(text, 1, 4)))) AS head_hex,
+        |  ascii(substring(text, 1, 1)) AS first_byte,
+        |  source
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.QueryKit._
+import graft.functions.TextAnalytics._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (language-ID, quality scoring, token counting,
+  * fingerprinting, stopword removal, exact + MinHash-LSH dedup, SimHash).
+  *
+  * Scale notes: per-doc primitives are narrow HOF expressions (no shuffle).
+  * Exact dedup groups on an 8-byte fingerprint, not the full text — the
+  * shuffle moves hashes, not documents. MinHash-LSH turns the quadratic
+  * near-dup problem into an equi-join on band keys: candidate generation
+  * shuffles `docs × n_bands` small rows, and only candidate pairs (a tiny
+  * fraction) are verified with exact Jaccard. This is the standard
+  * shingle→minhash→band→bucket-join pipeline and survives 100 TB because
+  * nothing ever materializes the n² pair space.
+  */
+object TextQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val nMinhash = 8
+  private val nBands = 4 // 2 rows per band
+
+  /** Spark-side signature table: doc_id, distinct token set, mh0..mh7. */
+  private def signatures(docs: DataFrame): DataFrame = {
+    val mh = (0 until nMinhash).map(i => expr(minhashSpark("sh", i)).as(s"mh$i"))
+    docs
+      .withColumn("th", expr(tokenHashesSpark("text")))
+      .withColumn("sh", expr(shingleHashesSpark("th")))
+      .select(col("doc_id") +: col("text") +: mh: _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace tokens + distinct tokens + chars.
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"size(${tokensSpark("text")})").as("n_tokens"),
+          expr(s"size(array_distinct(${tokensSpark("text")}))").as("n_distinct"),
+          length(col("text")).as("n_chars_calc"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length/stopword/type-token-ratio heuristics.
+    "q_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", expr(tokensSpark("text")))
+        .select(col("doc_id"),
+          expr("size(toks)").as("n_tokens"),
+          r6(expr(s"CAST(${langScoreSpark("toks", stopwords)} AS DOUBLE) / size(toks)"))
+            .as("stop_ratio"),
+          r6(expr("CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)"))
+            .as("ttr"),
+          r6((length(col("text")) - expr("size(toks)") + 1) /
+            expr("CAST(size(toks) AS DOUBLE)")).as("avg_token_len"),
+          when(col("n_chars") < 200, "short")
+            .when(col("n_chars") < 400, "medium")
+            .otherwise("long").as("len_bin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID: marker-vocabulary scoring + first-wins argmax.
+    "q_lang_id" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("toks", expr(tokensSpark("text")))
+      val withScores = langMarkers.foldLeft(scored) { case (df, (l, words)) =>
+        df.withColumn(s"s_$l", expr(langScoreSpark("toks", words)))
+      }
+      withScores
+        .withColumn("lang_pred", expr(langArgmax(l => s"s_$l")))
+        .select(col("doc_id") +: col("lang") +: col("lang_pred") +:
+          (col("lang_pred") === col("lang")).cast("int").as("is_match") +:
+          langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: polynomial rolling hash of the full text.
+    "q_doc_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(charHashSpark("text")).as("fp"),
+          (expr(charHashSpark("text")) % 1024).as("fp_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stopword removal (ref: StopWordsRemover, modelling_1 cell 23).
+    "q_stopword_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("kept",
+          expr(s"filter(${tokensSpark("text")}, t -> NOT t IN ${stopwords.map(w => s"'$w'").mkString("(", ", ", ")")})"))
+        .select(col("doc_id"),
+          expr("size(kept)").as("n_kept"),
+          expr("concat_ws(' ', slice(kept, 1, 5))").as("kept_head"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup via hash-groupBy on the 8-byte fingerprint (duplicates
+    // injected — the synthetic corpus has none). At scale the shuffle key
+    // is the hash, never the document body.
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      d.unionByName(dups)
+        .withColumn("fp", expr(charHashSpark("text")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(col("canonical_id"), col("n_copies"))
+        .orderBy(col("canonical_id"))
+    }),
+
+    // MinHash signatures (8 permutations over 3-token shingles).
+    "q_minhash_signature" -> ((s, dir) => {
+      signatures(t(s, dir, "documents"))
+        .drop("text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash-LSH near-dup candidate pairs + exact-Jaccard verification.
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      val sig = signatures(t(s, dir, "documents"))
+      val bandStructs = (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          (col(s"mh${2 * b}") * lit(PM) + col(s"mh${2 * b + 1}")).as("bkey"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      val pairs = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        expr(s"array_distinct(${tokensSpark("text")})").as("tset"))
+      pairs
+        .join(toks.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
+        .join(toks.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
+        .withColumn("jac", r6(expr(jaccardSpark("ta", "tb"))))
+        .filter(col("jac") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash (16-bit) + blocking bucket.
+    "q_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("doc_id"),
+          expr(simhash16Spark("th")).as("sh16"),
+          expr(s"shiftright(${simhash16Spark("th")}, 8)").as("sh_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // N-gram (token-set) Jaccard near-dup lookup for a probe sample,
+    // blocked by language — the oracle-checkable, bounded variant of
+    // pairwise similarity (probes × same-lang candidates, never n²).
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        expr(s"array_distinct(${tokensSpark("text")})").as("tset"))
+      val probes = toks.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("probe_id"), col("lang"), col("tset").as("ta"))
+      val cands = toks
+        .select(col("doc_id").as("cand_id"), col("lang"), col("tset").as("tb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("jac").desc, col("cand_id"))
+      probes.join(cands, Seq("lang"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .withColumn("jac", r6(expr(jaccardSpark("ta", "tb"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("probe_id"), col("cand_id"), col("jac"), col("rnk"))
+        .orderBy(col("probe_id"), col("rnk"))
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def sigCte: String = {
+    val mh = (0 until nMinhash).map(i => s"${minhashDuck("sh", i)} AS mh$i").mkString(",\n    ")
+    s"""th AS (
+       |  SELECT doc_id, text, ${tokenHashesDuck("text")} AS th FROM documents
+       |), sig AS (
+       |  SELECT doc_id, text, ${shingleHashesDuck("th")} AS sh FROM th
+       |), mh AS (
+       |  SELECT doc_id, text,
+       |    $mh
+       |  FROM sig
+       |)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  len(${tokensDuck("text")}) AS n_tokens,
+         |  len(list_distinct(${tokensDuck("text")})) AS n_distinct,
+         |  CAST(length(text) AS INT) AS n_chars_calc
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH d AS (SELECT doc_id, text, n_chars, ${tokensDuck("text")} AS toks FROM documents)
+         |SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  ROUND(CAST(${langScoreDuck("toks", stopwords)} AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+         |  ROUND((length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
+         |  CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 400 THEN 'medium'
+         |       ELSE 'long' END AS len_bin
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      val scores = langMarkers
+        .map { case (l, ws) => s"${langScoreDuck("toks", ws)} AS s_$l" }
+        .mkString(",\n    ")
+      s"""WITH d AS (SELECT doc_id, lang, ${tokensDuck("text")} AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |    $scores
+         |  FROM d
+         |)
+         |SELECT doc_id, lang, ${langArgmax(l => s"s_$l")} AS lang_pred,
+         |  CAST(${langArgmax(l => s"s_$l")} = lang AS INT) AS is_match,
+         |  ${langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")}
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id, ${charHashDuck("text")} AS fp,
+         |  ${charHashDuck("text")} % 1024 AS fp_bucket
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_stopword_filter" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(${tokensDuck("text")}, t -> NOT t IN $stopList) AS kept
+         |  FROM documents
+         |)
+         |SELECT doc_id, len(kept) AS n_kept,
+         |  array_to_string(kept[1:5], ' ') AS kept_head
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+         |), f AS (
+         |  SELECT doc_id, ${charHashDuck("text")} AS fp FROM u
+         |)
+         |SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_copies
+         |FROM f GROUP BY fp HAVING COUNT(*) > 1
+         |ORDER BY canonical_id""".stripMargin,
+
+    "q_minhash_signature" ->
+      s"""WITH $sigCte
+         |SELECT doc_id, ${(0 until nMinhash).map(i => s"mh$i").mkString(", ")}
+         |FROM mh ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash_lsh" -> {
+      val bandSelects = (0 until nBands).map { b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} * $PM + mh${2 * b + 1} AS bkey FROM mh"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $sigCte, bands AS (
+         |  $bandSelects
+         |), pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |), toks AS (
+         |  SELECT doc_id, list_distinct(${tokensDuck("text")}) AS tset FROM documents
+         |), j AS (
+         |  SELECT doc_a, doc_b,
+         |    ROUND(${jaccardDuck("ta.tset", "tb.tset")}, 6) AS jac
+         |  FROM pairs
+         |  JOIN toks ta ON ta.doc_id = doc_a
+         |  JOIN toks tb ON tb.doc_id = doc_b
+         |)
+         |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_simhash" ->
+      s"""WITH th AS (SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents)
+         |SELECT doc_id, ${simhash16Duck("th")} AS sh16,
+         |  ${simhash16Duck("th")} >> 8 AS sh_bucket
+         |FROM th ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, list_distinct(${tokensDuck("text")}) AS tset FROM documents
+         |), scored AS (
+         |  SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
+         |    ROUND(${jaccardDuck("p.tset", "c.tset")}, 6) AS jac
+         |  FROM toks p JOIN toks c ON p.lang = c.lang AND p.doc_id <> c.doc_id
+         |  WHERE p.doc_id % 20 = 0
+         |), ranked AS (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY jac DESC, cand_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, cand_id, jac, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin
+  )
+}
