@@ -19,7 +19,8 @@ object SparkEntry {
     WindowQueries,
     AggregateQueries,
     TextQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    FuzzyQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

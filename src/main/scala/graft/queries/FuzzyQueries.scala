@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.QueryKit._
+import graft.functions.FuzzyMatch
+import graft.streaming.EventStreams
+
+/** The reference's fuzzy-matching pipeline (SURVEY.md §2.10 + J8/F5/W5)
+  * re-expressed over the benchmark tables, plus the batch twin of the
+  * streaming tumbling-window aggregate.
+  *
+  * q_fuzzy_match has no SQL oracle (token_set_ratio is not expressible in
+  * DuckDB) → the driver records a rows-only check; its kernel is verified
+  * against published rapidfuzz vectors in FuzzyMatchSpec instead.
+  */
+object FuzzyQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.10 — full fuzzy-match pipeline: blocked candidate pairs (J8+F5:
+    // same nation = the blocking key), exact-match short-circuit, UDF
+    // scoring, threshold nulling (F3), top-1 per probe (W5). Mirrors
+    // etl/additional_fifa.py end to end.
+    "q_fuzzy_match" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val probes = c.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("probe_id"), col("c_nationkey").as("nk"),
+          concat(lit("customer "), col("c_custkey").cast("string")).as("probe_name"))
+      val cands = c.select(col("c_custkey").as("cand_id"), col("c_nationkey").as("nk"),
+        regexp_replace(lower(col("c_name")), "#", " ").as("cand_name"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("cand_id"))
+      broadcast(probes).join(cands, Seq("nk")) // blocked cartesian
+        .withColumn("raw_score",
+          when(col("probe_name") === col("cand_name"), 100.0) // short-circuit
+            .otherwise(FuzzyMatch.tokenSetRatioCol(col("probe_name"), col("cand_name"))))
+        .withColumn("score",
+          when(col("raw_score") <= 55.0, lit(null)).otherwise(col("raw_score")))
+        .filter(col("score").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("cand_id").as("best_cand"),
+          round(col("score"), 4).as("best_score"))
+        .orderBy(col("probe_id"))
+    }),
+
+    // Streaming-parity batch aggregate: tumbling 1h windows per event_type
+    // (EventStreams.tumblingCounts runs this same plan incrementally).
+    "q_tumbling_window" -> ((s, dir) => {
+      EventStreams.tumblingCounts(t(s, dir, "events"))
+        .orderBy(col("window_start_us"), col("event_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tumbling_window" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000))) AS window_start_us,
+         |    event_type, value
+         |  FROM events
+         |)
+         |SELECT window_start_us, event_type, COUNT(*) AS n,
+         |  ${sql.dsum("value")} AS total_value
+         |FROM e GROUP BY window_start_us, event_type
+         |ORDER BY window_start_us, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY.md §2.14 — the reference is pure
+  * batch; this is the optional stretch made first-class: the same
+  * DataFrame logic runs incrementally over a file stream).
+  *
+  * Scale notes: watermarked windowed aggregation is Spark's canonical
+  * streaming shuffle — state is keyed by (window, event_type) and evicted
+  * past the watermark, so state size is bounded regardless of input
+  * volume. The batch twins of these transforms are verified against the
+  * DuckDB oracle (q_tumbling_window, q_sessionize); streaming equivalence
+  * with the batch result is asserted in EventStreamsSpec via
+  * Trigger.AvailableNow.
+  */
+object EventStreams {
+
+  /** events with nanos-as-long ts → proper TimestampType column. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling-window counts + value sums per event_type. Works identically
+    * on a batch or streaming DataFrame (same plan, incremental state when
+    * streaming). */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: Option[String] = None): DataFrame = {
+    val timed = withEventTime(events)
+    val src = watermark.fold(timed)(w => timed.withWatermark("event_time", w))
+    src
+      .groupBy(window(col("event_time"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 1L, 100L), // key 1, t=100
+    (2L, 1L, 200L),
+    (3L, 2L, 150L),
+    (4L, 3L, 50L) // key 3 has no right rows
+  ).toDF("lid", "k", "t")
+
+  private def right = Seq(
+    (10L, 1L, 100L), // exactly at left t=100 → matches (<=)
+    (11L, 1L, 100L), // same time: greater tiebreaker (11) wins
+    (12L, 1L, 150L),
+    (13L, 2L, 149L),
+    (14L, 2L, 151L) // after left t=150 → must not match
+  ).toDF("rid", "k", "rt")
+
+  test("backward: <= semantics, tie goes to greatest tiebreaker, null when none") {
+    val out = AsOfJoin.backward(left, right,
+      key = "k", leftTime = "t", rightTime = "rt",
+      rightPayload = Seq("rid", "rt"),
+      leftTieBreak = "lid", rightTieBreak = "rid")
+      .orderBy("lid")
+      .select("lid", "asof_rid")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+
+    assert(out.toSeq === Seq(
+      (1L, 11L), // t=100: rows 10,11 at 100 → last carried = 11
+      (2L, 12L), // t=200: latest ≤ 200 is 12 (t=150)
+      (3L, 13L), // t=150: 149 matches, 151 does not
+      (4L, -1L) // no right rows for key 3
+    ))
+  }
+
+  test("backward: preserves all left rows and columns") {
+    val out = AsOfJoin.backward(left, right, "k", "t", "rt",
+      Seq("rid"), "lid", "rid")
+    assert(out.count() === 4)
+    assert(out.columns.toSet === Set("lid", "k", "t", "asof_rid"))
+  }
+}
