@@ -20,7 +20,8 @@ object SparkEntry {
     AggregateQueries,
     TextQueries,
     SimilarityQueries,
-    FuzzyQueries
+    FuzzyQueries,
+    MlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

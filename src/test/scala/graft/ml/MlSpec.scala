@@ -1,0 +1,52 @@
+package graft.ml
+
+import graft.{SparkSpec, Tables}
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("PercentageCalc: learned totals normalize; unseen groups computed on the fly") {
+    val train = Seq(("a", 10.0), ("a", 20.0), ("b", 30.0)).toDF("g", "x")
+    val model = new PercentageCalc()
+      .setByGroup("g").setVariables(Array("x")).setConstant(15.0)
+      .fit(train)
+    // seen group: x / (total/15) → 10 / (30/15) = 5
+    val out = model.transform(train).orderBy("g", "x")
+      .select("x").as[Double].collect()
+    assert(out.toSeq === Seq(5.0, 10.0, 15.0))
+    // unseen group "c": totals computed from the transform input
+    val test = Seq(("c", 4.0), ("c", 8.0)).toDF("g", "x")
+    val out2 = model.transform(test).orderBy("x").select("x").as[Double].collect()
+    assert(out2.toSeq === Seq(5.0, 10.0)) // 4/(12/15)=5, 8/(12/15)=10
+  }
+
+  test("GroupedFolds: same group → same fold; folds cover [0,k)") {
+    val df = (1 to 200).map(i => (i % 17, i)).toDF("g", "v")
+    val folded = GroupedFolds.withFold(df, "g", 5)
+    val perGroup = folded.groupBy("g").agg(countDistinct("fold").as("nf"))
+    assert(perGroup.filter($"nf" > 1).count() === 0)
+    val folds = folded.select("fold").distinct().as[Int].collect().sorted
+    assert(folds.forall(f => f >= 0 && f < 5))
+  }
+
+  test("GroupedFolds: group-level split is leak-free") {
+    val df = (1 to 300).map(i => (i % 23, i)).toDF("g", "v")
+    val (train, test) = GroupedFolds.groupSplit(df, "g", 0.7, seed = 42)
+    val overlap = train.select("g").distinct()
+      .join(test.select("g").distinct(), Seq("g"), "inner")
+    assert(overlap.count() === 0)
+    assert(train.count() + test.count() === 300)
+  }
+
+  test("playsPipeline: fit + evaluate on events (smoke, AUC defined)") {
+    val events = Tables(spark, sf("sf0.001"), "events")
+    val data = Pipelines.eventFeatures(events)
+    val (train, test) = GroupedFolds.groupSplit(data, "user_id", 0.8, seed = 7)
+    val model = Pipelines.playsPipeline().fit(train)
+    val preds = model.transform(test)
+    val auc = Pipelines.auc(preds)
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(preds.columns.contains("prediction"))
+  }
+}
