@@ -21,7 +21,8 @@ object SparkEntry {
     TextQueries,
     SimilarityQueries,
     FuzzyQueries,
-    MlQueries
+    MlQueries,
+    TransformQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

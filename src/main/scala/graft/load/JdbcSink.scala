@@ -1,0 +1,82 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.types._
+
+/** JDBC sink layer (SURVEY.md §2.2 K4–K6): constraint-bearing DDL
+  * emission + FK-ordered batch overwrite/append.
+  *
+  * Spark's JDBC writer cannot create PRIMARY KEY / FOREIGN KEY / CHECK
+  * constraints, so like the reference (etl/load.py:112-472) the DDL is
+  * emitted explicitly and tables are loaded in dependency order; the
+  * writer then appends into the pre-created tables. `columnsOf` mirrors
+  * the ref's SELECT … LIMIT 0 column-probe projection (etl/load.py:22-24).
+  *
+  * No live database exists in this environment: DDL generation and load
+  * ordering are unit-tested; `write` is a thin `df.write.jdbc` call.
+  */
+object JdbcSink {
+
+  case class TableSpec(
+      name: String,
+      schema: StructType,
+      primaryKey: Seq[String],
+      foreignKeys: Seq[(String, String, String)] = Nil, // (col, refTable, refCol)
+      checks: Seq[String] = Nil)
+
+  def sqlType(dt: DataType): String = dt match {
+    case StringType => "VARCHAR"
+    case IntegerType => "INT"
+    case LongType => "BIGINT"
+    case DoubleType => "DOUBLE PRECISION"
+    case FloatType => "REAL"
+    case BooleanType => "BOOL"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case BinaryType => "BYTEA"
+    case other => other.sql
+  }
+
+  /** CREATE TABLE with PK/FK/CHECK, the constraint surface Spark's writer
+    * drops (ref DDL shape: etl/load.py:112-472). */
+  def createTableDdl(spec: TableSpec): String = {
+    val cols = spec.schema.fields.map { f =>
+      val nullable = if (f.nullable) "" else " NOT NULL"
+      s"  ${f.name} ${sqlType(f.dataType)}$nullable"
+    }
+    val pk =
+      if (spec.primaryKey.isEmpty) Nil
+      else Seq(s"  PRIMARY KEY (${spec.primaryKey.mkString(", ")})")
+    val fks = spec.foreignKeys.map { case (c, rt, rc) =>
+      s"  FOREIGN KEY ($c) REFERENCES $rt ($rc)"
+    }
+    val checks = spec.checks.map(c => s"  CHECK ($c)")
+    (Seq(s"CREATE TABLE ${spec.name} (") :+
+      (cols ++ pk ++ fks ++ checks).mkString(",\n") :+ ")").mkString("\n")
+  }
+
+  def dropDdl(spec: TableSpec): String = s"DROP TABLE IF EXISTS ${spec.name} CASCADE"
+
+  /** FK-safe load order: parents before children (topological sort; ref
+    * encodes this as comment-ordered code, etl/load.py:111-462). */
+  def loadOrder(specs: Seq[TableSpec]): Seq[TableSpec] = {
+    val byName = specs.map(s => s.name -> s).toMap
+    val visited = scala.collection.mutable.LinkedHashSet[String]()
+    def visit(n: String, stack: Set[String]): Unit = {
+      if (visited.contains(n) || !byName.contains(n)) return
+      require(!stack.contains(n), s"FK cycle at $n")
+      byName(n).foreignKeys.foreach { case (_, rt, _) => visit(rt, stack + n) }
+      visited += n
+    }
+    specs.foreach(s => visit(s.name, Set.empty))
+    visited.toSeq.map(byName)
+  }
+
+  /** K4/K5 — column-contract projection + append into a pre-created table.
+    * Partitioned writes parallelize across executors via numPartitions. */
+  def write(df: DataFrame, url: String, table: String,
+      columns: Seq[String], props: java.util.Properties,
+      mode: SaveMode = SaveMode.Append): Unit =
+    df.selectExpr(columns: _*).write.mode(mode).jdbc(url, table, props)
+}

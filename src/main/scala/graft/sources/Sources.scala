@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source operators (SURVEY.md §2.1 S1–S8) re-expressed Spark-first.
+  *
+  * The reference lands HTTP JSON to files, then loads with pandas; here
+  * the landing dir is any Hadoop-compatible filesystem (local, s3a, …)
+  * and reads are schema-explicit so bad documents fail fast instead of
+  * silently inferring wrong types (ref risk: implicit pandas inference,
+  * SURVEY.md §1.3).
+  */
+object Sources {
+
+  /** S1/S3 — schema-explicit JSON load. `failFast=true` surfaces corrupt
+    * rows as errors (FAILFAST); otherwise they become nulls (PERMISSIVE),
+    * the pandas-lenient behavior. */
+  def json(spark: SparkSession, path: String, schema: StructType,
+      failFast: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .option("multiLine", true)
+      .json(path)
+
+  /** S4 — dict-of-docs fan-out: a parent row with array<struct> children →
+    * one child table, parent key injected (ref: per-player history/fixtures
+    * stacking, etl/run_transform.py:246-254). `explode_outer` keeps parents
+    * with empty arrays, matching concat-of-empty-frames. */
+  def explodeChild(parent: DataFrame, parentKey: String, arrayCol: String): DataFrame = {
+    val child = parent.select(col(parentKey), explode_outer(col(arrayCol)).as("__c"))
+    val fields = child.select(col("__c.*")).columns
+    child.select(col(parentKey) +: fields.map(f => col(s"__c.$f")): _*)
+  }
+
+  /** S5 — header CSV with explicit schema. */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", true).schema(schema).csv(path)
+
+  /** S7 — latest object by timestamp-suffixed name under a prefix (ref:
+    * fpltools/utils.py:93-115 S3 latest-by-LastModified; here the run id
+    * is encoded in the name, which is the idempotent cluster-safe form).
+    * Listing happens driver-side via the Hadoop FS API — one RPC, no data
+    * movement. */
+  def latestByPrefix(spark: SparkSession, dir: String, prefix: String): Option[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val names = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+    if (names.isEmpty) None else Some(new Path(p, names.max).toString)
+  }
+
+  /** S8/K2 — parquet intermediate handoff (the ref's pickle). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("json: schema-explicit multiline load + S4 explode fan-out") {
+    // mirrors the FPL players dict: parent with two child arrays
+    val dir = Files.createTempDirectory("graft-json").toString
+    val doc =
+      """[{"player_id": 1,
+        |  "history": [{"fixture": 10, "points": 2}, {"fixture": 11, "points": 7}],
+        |  "fixtures": [{"fixture": 12}]},
+        | {"player_id": 2, "history": [], "fixtures": [{"fixture": 12}]}]""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(dir, "players.json"), doc)
+
+    val schema = StructType(Seq(
+      StructField("player_id", LongType),
+      StructField("history", ArrayType(StructType(Seq(
+        StructField("fixture", LongType), StructField("points", LongType))))),
+      StructField("fixtures", ArrayType(StructType(Seq(
+        StructField("fixture", LongType)))))))
+
+    val players = Sources.json(spark, dir, schema)
+    assert(players.count() === 2)
+
+    val history = Sources.explodeChild(players, "player_id", "history")
+    assert(history.columns.toSeq === Seq("player_id", "fixture", "points"))
+    // explode_outer keeps player 2 (empty history) with nulls
+    assert(history.count() === 3)
+    assert(history.filter($"player_id" === 2 && $"fixture".isNull).count() === 1)
+  }
+
+  test("csv: header round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/out"
+    val df = Seq((1, "x", 1.5), (2, "y", 2.5)).toDF("id", "name", "score")
+    df.coalesce(1).write.option("header", true).csv(dir)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val back = Sources.csv(spark, dir, schema).orderBy("id")
+    assert(back.as[(Int, String, Double)].collect().toSeq ===
+      Seq((1, "x", 1.5), (2, "y", 2.5)))
+  }
+
+  test("latestByPrefix: picks greatest timestamp-suffixed name") {
+    val dir = Files.createTempDirectory("graft-latest").toString
+    Seq("main_20240101-000000.json", "main_20240301-120000.json",
+      "main_20240201-000000.json", "other_20240401-000000.json")
+      .foreach(n => Files.writeString(java.nio.file.Paths.get(dir, n), "{}"))
+    val latest = Sources.latestByPrefix(spark, dir, "main_")
+    assert(latest.exists(_.endsWith("main_20240301-120000.json")))
+    assert(Sources.latestByPrefix(spark, dir, "missing_").isEmpty)
+    assert(Sources.latestByPrefix(spark, dir + "/nope", "x").isEmpty)
+  }
+}
