@@ -53,16 +53,22 @@ object SimilarityQueries extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-k: the exact baseline every ANN variant is
-    // measured against. Probe set = vec_id % 20 == 0 (5% sample).
+    // measured against. Probe set = vec_id % 20 == 0 (5% sample). Norms
+    // are precomputed per row (not per pair) — same doubles, 3× fewer
+    // folds in the pair loop.
     "q_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+        .withColumn("n2", expr(dotSpark("embedding", "embedding")))
       val probes = e.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val cands = e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("n2").as("cn2"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("cand_id"))
       broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
-        .withColumn("sim", r6(expr(cosineSpark("pe", "ce"))))
+        .withColumn("sim",
+          r6(expr(dotSpark("pe", "ce")) / (sqrt(col("pn2")) * sqrt(col("cn2")))))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("probe_id"), col("cand_id"), col("sim"), col("rnk"))
@@ -74,16 +80,18 @@ object SimilarityQueries extends QueryPack {
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .withColumn("sig", expr(rpSigSpark("embedding")))
+        .withColumn("n2", expr(dotSpark("embedding", "embedding")))
       val probes = e.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-          col("sig").as("psig"))
+          col("sig").as("psig"), col("n2").as("pn2"))
       val cands = e.select(col("vec_id").as("cand_id"),
-        col("embedding").as("ce"), col("sig").as("csig"))
+        col("embedding").as("ce"), col("sig").as("csig"), col("n2").as("cn2"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("cand_id"))
       broadcast(probes)
         .join(cands, col("psig") === col("csig") && col("probe_id") =!= col("cand_id"))
-        .withColumn("sim", r6(expr(cosineSpark("pe", "ce"))))
+        .withColumn("sim",
+          r6(expr(dotSpark("pe", "ce")) / (sqrt(col("pn2")) * sqrt(col("cn2")))))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
         .select(col("probe_id"), col("psig").as("bucket"), col("cand_id"), col("sim"))
@@ -96,11 +104,15 @@ object SimilarityQueries extends QueryPack {
     "q_dedup_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .withColumn("sig", expr(rpSigSpark("embedding")))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("sig"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("sig"))
+        .withColumn("n2", expr(dotSpark("embedding", "embedding")))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("sig"), col("n2").as("na2"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("sig"), col("n2").as("nb2"))
       a.join(b, Seq("sig"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("sim", r6(expr(cosineSpark("ea", "eb"))))
+        .withColumn("sim",
+          r6(expr(dotSpark("ea", "eb")) / (sqrt(col("na2")) * sqrt(col("nb2")))))
         .filter(col("sim") >= 0.35)
         .select(col("id_a"), col("id_b"), col("sim"))
         .orderBy(col("id_a"), col("id_b"))
@@ -125,12 +137,14 @@ object SimilarityQueries extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" ->
-      s"""WITH p AS (
-         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 20 = 0
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS n2 FROM embeddings
+         |), p AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2 FROM e WHERE vec_id % 20 = 0
          |), scored AS (
          |  SELECT probe_id, vec_id AS cand_id,
-         |    ROUND(${cosineDuck("pe", "embedding")}, 6) AS sim
-         |  FROM p JOIN embeddings ON vec_id <> probe_id
+         |    ROUND(${dotDuck("pe", "embedding")} / (sqrt(pn2) * sqrt(n2)), 6) AS sim
+         |  FROM p JOIN e ON vec_id <> probe_id
          |), ranked AS (
          |  SELECT *, CAST(row_number() OVER
          |    (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS INT) AS rnk
@@ -141,13 +155,14 @@ object SimilarityQueries extends QueryPack {
 
     "q_ann_lsh" ->
       s"""WITH e AS (
-         |  SELECT vec_id, embedding, ${rpSigDuck("embedding")} AS sig FROM embeddings
+         |  SELECT vec_id, embedding, ${rpSigDuck("embedding")} AS sig,
+         |    ${dotDuck("embedding", "embedding")} AS n2 FROM embeddings
          |), p AS (
-         |  SELECT vec_id AS probe_id, embedding AS pe, sig AS psig
+         |  SELECT vec_id AS probe_id, embedding AS pe, sig AS psig, n2 AS pn2
          |  FROM e WHERE vec_id % 20 = 0
          |), scored AS (
          |  SELECT probe_id, psig, vec_id AS cand_id,
-         |    ROUND(${cosineDuck("pe", "embedding")}, 6) AS sim
+         |    ROUND(${dotDuck("pe", "embedding")} / (sqrt(pn2) * sqrt(n2)), 6) AS sim
          |  FROM p JOIN e ON psig = sig AND vec_id <> probe_id
          |), ranked AS (
          |  SELECT *, row_number() OVER
@@ -159,12 +174,13 @@ object SimilarityQueries extends QueryPack {
 
     "q_dedup_embedding" ->
       s"""WITH e AS (
-         |  SELECT vec_id, embedding, ${rpSigDuck("embedding")} AS sig FROM embeddings
+         |  SELECT vec_id, embedding, ${rpSigDuck("embedding")} AS sig,
+         |    ${dotDuck("embedding", "embedding")} AS n2 FROM embeddings
          |)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ROUND(${cosineDuck("a.embedding", "b.embedding")}, 6) AS sim
+         |  ROUND(${dotDuck("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)), 6) AS sim
          |FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
-         |WHERE ROUND(${cosineDuck("a.embedding", "b.embedding")}, 6) >= 0.35
+         |WHERE ROUND(${dotDuck("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_multimodal_meta" ->
