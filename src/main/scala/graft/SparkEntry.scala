@@ -22,7 +22,8 @@ object SparkEntry {
     SimilarityQueries,
     FuzzyQueries,
     MlQueries,
-    TransformQueries
+    TransformQueries,
+    MiscQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

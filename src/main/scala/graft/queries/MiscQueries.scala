@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.QueryKit._
+
+/** Remaining inventory rows (SURVEY.md §2.3 P7/P15/P18, §2.4 F6/F7,
+  * §2.6 A11-spearman): fillna/dropna, math scalars, combine_first
+  * coalesce after a double join, and rank-based (Spearman) correlation.
+  */
+object MiscQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P15/F7/F6 — na.fill constant + na.drop + boolean-flag filter
+    // (ref: helpers.py:47 fillna, modelling_1 cell 2 dropna).
+    "q_fillna_dropna" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("maybe_price",
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("maybe_prio",
+          when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))
+      val filled = o.na.fill(Map("maybe_price" -> 0.0, "maybe_prio" -> "NONE"))
+      val dropped = o.na.drop(Seq("maybe_price", "maybe_prio"))
+        .select(col("o_orderkey")).withColumn("survived", lit(1))
+      filled
+        .filter(col("o_orderstatus") === "F") // F6 boolean-flag subset
+        .join(dropped, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("maybe_price"), col("maybe_prio"),
+          coalesce(col("survived"), lit(0)).as("survived"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // P18 — math scalars: log/exp/floor/ceil (ref: EDA cells 32,55,59
+    // log-log imputation; additional_fifa.py:320 ceil).
+    "q_math_scalars" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          r6(log(col("o_totalprice"))).as("log_price"),
+          r6(exp(log(col("o_totalprice")) / 10)).as("exp_tenth"),
+          floor(col("o_totalprice") / 1000).cast("long").as("price_k_floor"),
+          ceil(col("o_totalprice") / 1000).cast("long").as("price_k_ceil"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // P7 — combine_first: double left join then coalesce _x/_y
+    // (ref: EDA cell 19 home/away difficulty coalesce).
+    "q_combine_first" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k1"), col("c_name").as("name_rich"))
+      val any = t(s, dir, "customer")
+        .select(col("c_custkey").as("k2"), col("c_name").as("name_any"))
+      o.join(broadcast(rich), o("o_custkey") === col("k1"), "left")
+        .join(broadcast(any), o("o_custkey") === col("k2"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("name_rich"), col("name_any"), lit("unknown")).as("cust_name"),
+          col("name_rich").isNotNull.cast("int").as("from_rich"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // A11 — Spearman correlation as corr of row-number ranks (deterministic
+    // tie-break by key; pandas average-rank ties differ — documented
+    // divergence, SURVEY.md §7.4 item 4 analogue).
+    "q_spearman" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val wq = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val wp = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      li.select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rq", row_number().over(wq).cast("double"))
+        .withColumn("rp", row_number().over(wp).cast("double"))
+        .groupBy(col("l_returnflag"))
+        .agg(r6(corr(col("rq"), col("rp"))).as("spearman"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fillna_dropna" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS maybe_price,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS maybe_prio
+        |  FROM orders
+        |)
+        |SELECT o_orderkey,
+        |  COALESCE(maybe_price, 0.0) AS maybe_price,
+        |  COALESCE(maybe_prio, 'NONE') AS maybe_prio,
+        |  CASE WHEN maybe_price IS NOT NULL AND maybe_prio IS NOT NULL THEN 1 ELSE 0 END AS survived
+        |FROM o WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_scalars" ->
+      """SELECT o_orderkey,
+        |  ROUND(ln(o_totalprice), 6) AS log_price,
+        |  ROUND(exp(ln(o_totalprice) / 10), 6) AS exp_tenth,
+        |  CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k_floor,
+        |  CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS price_k_ceil
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_combine_first" ->
+      """SELECT o_orderkey,
+        |  COALESCE(r.name_rich, a.name_any, 'unknown') AS cust_name,
+        |  CAST(r.name_rich IS NOT NULL AS INT) AS from_rich
+        |FROM orders
+        |LEFT JOIN (SELECT c_custkey, c_name AS name_rich FROM customer WHERE c_acctbal > 5000) r
+        |  ON o_custkey = r.c_custkey
+        |LEFT JOIN (SELECT c_custkey, c_name AS name_any FROM customer) a
+        |  ON o_custkey = a.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS DOUBLE) AS rq,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS DOUBLE) AS rp
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, ROUND(corr(rq, rp), 6) AS spearman, COUNT(*) AS n
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
