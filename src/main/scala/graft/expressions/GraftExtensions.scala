@@ -1,0 +1,27 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Catalyst extension surface for the engine's native expressions.
+  *
+  * Two registration paths:
+  *  - `GraftExtensions` for sessions built with
+  *    `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`;
+  *  - `GraftExtensions.register(spark)` for an already-running session
+  *    (idempotent; used by the query packs so the driver's session works
+  *    either way).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("graft_fdot"), FloatDotProduct.info,
+        FloatDotProduct.builder))
+  }
+}
+
+object GraftExtensions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fdot", FloatDotProduct.builder, "built-in")
+}

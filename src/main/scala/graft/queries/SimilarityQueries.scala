@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.QueryKit._
+import graft.expressions.GraftExtensions
 import graft.functions.TextAnalytics._
 
 /** Similarity search over the `embeddings` table plus multimodal binary
@@ -57,8 +58,9 @@ object SimilarityQueries extends QueryPack {
     // are precomputed per row (not per pair) — same doubles, 3× fewer
     // folds in the pair loop.
     "q_cosine_topk" -> ((s, dir) => {
+      GraftExtensions.register(s)
       val e = t(s, dir, "embeddings")
-        .withColumn("n2", expr(dotSpark("embedding", "embedding")))
+        .withColumn("n2", expr("graft_fdot(embedding, embedding)"))
       val probes = e.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"))
@@ -68,7 +70,7 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("sim").desc, col("cand_id"))
       broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
         .withColumn("sim",
-          r6(expr(dotSpark("pe", "ce")) / (sqrt(col("pn2")) * sqrt(col("cn2")))))
+          r6(expr("graft_fdot(pe, ce)") / (sqrt(col("pn2")) * sqrt(col("cn2")))))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("probe_id"), col("cand_id"), col("sim"), col("rnk"))
@@ -78,9 +80,10 @@ object SimilarityQueries extends QueryPack {
     // LSH-bucketed ANN: random-hyperplane signatures → candidates share the
     // 8-bit bucket → exact cosine within bucket → top-1 per probe.
     "q_ann_lsh" -> ((s, dir) => {
+      GraftExtensions.register(s)
       val e = t(s, dir, "embeddings")
         .withColumn("sig", expr(rpSigSpark("embedding")))
-        .withColumn("n2", expr(dotSpark("embedding", "embedding")))
+        .withColumn("n2", expr("graft_fdot(embedding, embedding)"))
       val probes = e.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("sig").as("psig"), col("n2").as("pn2"))
@@ -91,7 +94,7 @@ object SimilarityQueries extends QueryPack {
       broadcast(probes)
         .join(cands, col("psig") === col("csig") && col("probe_id") =!= col("cand_id"))
         .withColumn("sim",
-          r6(expr(dotSpark("pe", "ce")) / (sqrt(col("pn2")) * sqrt(col("cn2")))))
+          r6(expr("graft_fdot(pe, ce)") / (sqrt(col("pn2")) * sqrt(col("cn2")))))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
         .select(col("probe_id"), col("psig").as("bucket"), col("cand_id"), col("sim"))
@@ -102,9 +105,10 @@ object SimilarityQueries extends QueryPack {
     // LSH signature (both directions of the dedup story: textual MinHash in
     // TextQueries, embedding-cosine here).
     "q_dedup_embedding" -> ((s, dir) => {
+      GraftExtensions.register(s)
       val e = t(s, dir, "embeddings")
         .withColumn("sig", expr(rpSigSpark("embedding")))
-        .withColumn("n2", expr(dotSpark("embedding", "embedding")))
+        .withColumn("n2", expr("graft_fdot(embedding, embedding)"))
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
         col("sig"), col("n2").as("na2"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
@@ -112,7 +116,7 @@ object SimilarityQueries extends QueryPack {
       a.join(b, Seq("sig"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("sim",
-          r6(expr(dotSpark("ea", "eb")) / (sqrt(col("na2")) * sqrt(col("nb2")))))
+          r6(expr("graft_fdot(ea, eb)") / (sqrt(col("na2")) * sqrt(col("nb2")))))
         .filter(col("sim") >= 0.35)
         .select(col("id_a"), col("id_b"), col("sim"))
         .orderBy(col("id_a"), col("id_b"))
