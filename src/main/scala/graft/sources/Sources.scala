@@ -29,10 +29,13 @@ object Sources {
 
   /** S4 — dict-of-docs fan-out: a parent row with array<struct> children →
     * one child table, parent key injected (ref: per-player history/fixtures
-    * stacking, etl/run_transform.py:246-254). `explode_outer` keeps parents
-    * with empty arrays, matching concat-of-empty-frames. */
-  def explodeChild(parent: DataFrame, parentKey: String, arrayCol: String): DataFrame = {
-    val child = parent.select(col(parentKey), explode_outer(col(arrayCol)).as("__c"))
+    * stacking, etl/run_transform.py:246-254). `outer=false` (the ref's
+    * concat semantics: empty array → no child rows); `outer=true` keeps
+    * parents with empty arrays as a null child row. */
+  def explodeChild(parent: DataFrame, parentKey: String, arrayCol: String,
+      outer: Boolean = true): DataFrame = {
+    val gen = if (outer) explode_outer(col(arrayCol)) else explode(col(arrayCol))
+    val child = parent.select(col(parentKey), gen.as("__c"))
     val fields = child.select(col("__c.*")).columns
     child.select(col(parentKey) +: fields.map(f => col(s"__c.$f")): _*)
   }

@@ -1,0 +1,105 @@
+package graft.transform
+
+import org.apache.spark.sql.types._
+
+/** Explicit schemas for the three raw FPL JSON inputs (FIXTURES.md §1–3;
+  * type authority: the reference's Postgres DDL, etl/load.py:112-472).
+  * Explicit + FAILFAST replaces the reference's implicit pandas inference
+  * (SURVEY.md §1.3). Stats columns shared by the player tables are kept to
+  * the load-bearing subset; extending to the full DDL list is pure
+  * column-map data entry on the same code paths.
+  */
+object FplSchemas {
+
+  /** Per-fixture stat columns shared by history / summary tables. */
+  val playerStats: Seq[String] = Seq(
+    "total_points", "minutes", "goals_scored", "assists", "clean_sheets",
+    "goals_conceded", "yellow_cards", "red_cards", "saves", "bonus", "bps")
+
+  private def statFields: Seq[StructField] =
+    playerStats.map(StructField(_, LongType))
+
+  /** fixtures.json — array of fixture objects (FIXTURES.md §1). */
+  val fixturesRaw: StructType = StructType(Seq(
+    StructField("code", LongType),
+    StructField("event", LongType), // null = postponed (F1/V3 path)
+    StructField("id", LongType),
+    StructField("finished", BooleanType),
+    StructField("started", BooleanType),
+    StructField("minutes", LongType),
+    StructField("kickoff_time", StringType), // ISO8601 | null
+    StructField("team_a", LongType),
+    StructField("team_h", LongType),
+    StructField("team_a_score", LongType),
+    StructField("team_h_score", LongType),
+    StructField("team_h_difficulty", LongType),
+    StructField("team_a_difficulty", LongType)))
+
+  /** main.json — one object with four used arrays (FIXTURES.md §2). */
+  val mainRaw: StructType = StructType(Seq(
+    StructField("events", ArrayType(StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("deadline_time", StringType),
+      StructField("finished", BooleanType),
+      StructField("is_current", BooleanType),
+      StructField("is_next", BooleanType),
+      StructField("average_entry_score", LongType),
+      StructField("highest_score", LongType),
+      StructField("transfers_made", LongType))))),
+    StructField("teams", ArrayType(StructType(Seq(
+      StructField("code", LongType),
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("short_name", StringType),
+      StructField("strength", LongType),
+      StructField("strength_overall_home", LongType),
+      StructField("strength_overall_away", LongType))))),
+    StructField("element_types", ArrayType(StructType(Seq(
+      StructField("id", LongType),
+      StructField("singular_name", StringType),
+      StructField("singular_name_short", StringType),
+      StructField("squad_select", LongType))))),
+    StructField("elements", ArrayType(StructType(Seq(
+      StructField("code", LongType),
+      StructField("id", LongType),
+      StructField("element_type", LongType),
+      StructField("team", LongType),
+      StructField("first_name", StringType),
+      StructField("second_name", StringType),
+      StructField("news", StringType),
+      StructField("news_added", StringType),
+      StructField("now_cost", LongType),
+      StructField("status", StringType),
+      StructField("form", DoubleType),
+      StructField("ict_index", DoubleType)) ++ statFields)))))
+
+  /** players.json — modeled as array of {player_id, history[], fixtures[],
+    * history_past[]} (FIXTURES.md §3; the ref's dict-of-docs → S4). */
+  val playersRaw: StructType = StructType(Seq(
+    StructField("player_id", LongType),
+    StructField("history", ArrayType(StructType(Seq(
+      StructField("element", LongType),
+      StructField("fixture", LongType),
+      StructField("round", LongType),
+      StructField("was_home", BooleanType),
+      StructField("kickoff_time", StringType),
+      StructField("value", LongType),
+      StructField("selected", LongType),
+      StructField("transfers_in", LongType),
+      StructField("transfers_out", LongType)) ++ statFields))),
+    StructField("fixtures", ArrayType(StructType(Seq(
+      StructField("code", LongType),
+      StructField("event", LongType), // null → F1 drop
+      StructField("team_h", LongType),
+      StructField("team_a", LongType),
+      StructField("is_home", BooleanType),
+      StructField("finished", BooleanType),
+      StructField("difficulty", LongType),
+      StructField("kickoff_time", StringType))))),
+    StructField("history_past", ArrayType(StructType(Seq(
+      StructField("element_code", LongType),
+      StructField("season_name", StringType),
+      StructField("start_cost", LongType),
+      StructField("end_cost", LongType)) ++ statFields)))))
+}

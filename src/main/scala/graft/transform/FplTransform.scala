@@ -1,0 +1,219 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.quality.Checks
+import graft.sources.Sources
+
+/** The reference's 11-table transform (SURVEY.md §3.1; ref:
+  * etl/run_transform.py:81-522) as one lazy Spark DAG.
+  *
+  * Differences from the reference are architectural, not semantic: the 11
+  * outputs are projections of one Catalyst-optimized plan instead of 11
+  * eagerly-materialized pickles; fixture/team/position joins are
+  * broadcast; validation (V1/V2/V3) runs as distributed aggregations with
+  * the reference's raise-vs-log toggle (etl/run_transform.py:43-46).
+  *
+  * Scale notes: the only shuffles are the league-table group-sum and the
+  * players_full dedup window (partitioned by the PK); everything else is
+  * narrow or broadcast. `persist()` on the multiply-consumed fixtures
+  * frame mirrors §3.1's advice.
+  */
+object FplTransform {
+
+  /** P4 — NaN-safe int-string coercion (ref: pandas_integerstr_to_int,
+    * etl/transform.py:59-66): null-propagating numeric → decimal-truncated
+    * string. */
+  def intStr(c: Column): Column = c.cast("double").cast("long").cast("string")
+
+  /** P5 — lenient ISO8601 timestamp parse, null on failure (ref:
+    * to_datetime(errors='coerce')). */
+  def lenientTs(c: Column): Column =
+    try_to_timestamp(trim(regexp_replace(c, "[TZ]", " ")))
+
+  def run(fixturesRaw: DataFrame, mainRaw: DataFrame, playersRaw: DataFrame,
+      raiseErrors: Boolean = true,
+      warn: String => Unit = m => System.err.println(m)): Map[String, DataFrame] = {
+
+    // ---- fixtures (ref :87-129) -------------------------------------
+    val fixturesAll = fixturesRaw.select(
+      intStr(col("code")).as("fixture_id_long"),
+      intStr(col("event")).as("gameweek_id"),
+      intStr(col("id")).as("fixture_id"),
+      col("finished").as("fixture_finished"),
+      col("started").as("fixture_started"),
+      col("minutes").as("fixture_minutes"),
+      lenientTs(col("kickoff_time")).as("fixture_kickoff_datetime"),
+      intStr(col("team_h")).as("home_team_id"),
+      intStr(col("team_a")).as("away_team_id"),
+      col("team_h_score").as("home_team_score"),
+      col("team_a_score").as("away_team_score"),
+      col("team_h_difficulty").as("home_team_difficulty"),
+      col("team_a_difficulty").as("away_team_difficulty"))
+
+    // V3 — postponed fixtures warning (null gameweek), then keep all rows
+    // (the ref warns here and drops only in players_future, :119-129)
+    val nPostponed = fixturesAll.filter(col("gameweek_id").isNull).count()
+    if (nPostponed > 0) warn(s"[fpl] $nPostponed fixtures with null gameweek (postponed)")
+    val fixtures = fixturesAll.persist()
+
+    // ---- gameweeks / teams / positions / players_summary (ref :135-240)
+    val gameweeks = Sources.explodeChild(
+      mainRaw.select(lit(1).as("__k"), col("events")), "__k", "events")
+      .drop("__k")
+      .select(
+        intStr(col("id")).as("gameweek_id"),
+        col("name").as("gameweek_name"),
+        lenientTs(col("deadline_time")).as("gameweek_deadline"),
+        col("finished").as("gameweek_finished"),
+        col("is_current").as("gameweek_current"),
+        col("is_next").as("gameweek_next"),
+        col("average_entry_score"),
+        col("highest_score"),
+        col("transfers_made"))
+
+    val teams = Sources.explodeChild(
+      mainRaw.select(lit(1).as("__k"), col("teams")), "__k", "teams")
+      .drop("__k")
+      .select(
+        intStr(col("id")).as("team_id"),
+        intStr(col("code")).as("team_code"),
+        col("name").as("team_name"),
+        col("short_name").as("team_name_short"),
+        col("strength").as("team_strength"),
+        col("strength_overall_home"),
+        col("strength_overall_away"))
+
+    val positions = Sources.explodeChild(
+      mainRaw.select(lit(1).as("__k"), col("element_types")), "__k", "element_types")
+      .drop("__k")
+      .select(
+        intStr(col("id")).as("position_id"),
+        col("singular_name").as("position_name"),
+        col("singular_name_short").as("position_name_short"),
+        col("squad_select"))
+
+    val stats = FplSchemas.playerStats.map(col)
+    val playersSummary = Sources.explodeChild(
+      mainRaw.select(lit(1).as("__k"), col("elements")), "__k", "elements")
+      .drop("__k")
+      .select(Seq(
+        intStr(col("id")).as("player_id"),
+        intStr(col("code")).as("player_code"),
+        intStr(col("element_type")).as("position_id"),
+        intStr(col("team")).as("team_id"),
+        concat_ws(" ", col("first_name"), col("second_name")).as("player_name"),
+        col("news"),
+        lenientTs(col("news_added")).as("news_added"),
+        col("now_cost"),
+        col("status"),
+        col("form"),
+        col("ict_index")) ++ stats: _*)
+
+    // ---- per-player stacked tables (S4; ref :246-323) ----------------
+    val prevSeasons = Sources.explodeChild(playersRaw, "player_id", "history_past", outer = false)
+      .select(Seq(
+        intStr(col("player_id")).as("player_id"),
+        intStr(col("element_code")).as("player_code"),
+        col("season_name"),
+        col("start_cost"), col("end_cost")) ++ stats: _*)
+
+    val fixSlim = fixtures.select(
+      col("fixture_id"), col("gameweek_id").as("fixture_gameweek_id"),
+      col("fixture_kickoff_datetime"), col("fixture_finished"))
+
+    val playersPast = Sources.explodeChild(playersRaw, "player_id", "history", outer = false)
+      .select(Seq(
+        intStr(col("player_id")).as("player_id"),
+        intStr(col("fixture")).as("fixture_id"),
+        intStr(col("round")).as("gameweek_id"),
+        col("was_home").as("fixture_home"),
+        lenientTs(col("kickoff_time")).as("kickoff"),
+        col("value"), col("selected"),
+        col("transfers_in"), col("transfers_out")) ++ stats: _*)
+      .join(broadcast(fixSlim), Seq("fixture_id"), "inner") // J1
+
+    val playersFutureRaw = Sources.explodeChild(playersRaw, "player_id", "fixtures", outer = false)
+      .select(
+        intStr(col("player_id")).as("player_id"),
+        intStr(col("code")).as("fixture_id_long"),
+        intStr(col("event")).as("gameweek_id"),
+        col("is_home").as("fixture_home"),
+        col("finished").as("fixture_finished"),
+        col("difficulty"),
+        lenientTs(col("kickoff_time")).as("kickoff"))
+    // F1 — drop null-gameweek (postponed) rows, with count logging
+    val nDropped = playersFutureRaw.filter(col("gameweek_id").isNull).count()
+    if (nDropped > 0) warn(s"[fpl] dropping $nDropped future rows with null gameweek")
+    val fixByLong = fixtures.select(
+      col("fixture_id_long"), col("fixture_id"))
+    val playersFuture = playersFutureRaw
+      .filter(col("gameweek_id").isNotNull)
+      .join(broadcast(fixByLong), Seq("fixture_id_long"), "inner") // J2
+
+    // ---- players_full (O5 + F2 + J3; ref :353-371) -------------------
+    val unioned = playersPast
+      .unionByName(playersFuture, allowMissingColumns = true)
+    val pkW = Window.partitionBy(col("player_id"), col("gameweek_id"), col("fixture_id"))
+    val playersFull = unioned
+      .withColumn("__cnt", count(lit(1)).over(pkW))
+      .filter(!(col("__cnt") > 1 && col("total_points").isNull)) // F2: past beats future
+      .drop("__cnt")
+      .join(broadcast(playersSummary.select(col("player_id"), col("position_id"))),
+        Seq("player_id"), "left") // J3
+
+    // ---- team_results + league_table (ref :386-446) ------------------
+    val played = fixtures.filter(col("fixture_finished") === true)
+    val results = played.select(
+      col("home_team_id").cast("long").as("home_id"),
+      col("away_team_id").cast("long").as("away_id"),
+      col("home_team_score").as("home_score"),
+      col("away_team_score").as("away_score"),
+      lit(true).as("played"))
+    val teamResults = LeagueTable.fromResults(results)
+      .withColumn("team_id", col("team_id").cast("string"))
+      .join(broadcast(teams.select(col("team_id"), col("team_name"))),
+        Seq("team_id"), "left") // J4
+    val leagueTable = teamResults
+      .select(col("table_position"), col("team_id"), col("team_name"),
+        col("played"), col("won"), col("drawn"), col("lost"),
+        col("goals_scored"), col("goals_conceded"),
+        col("goal_difference"), col("points"))
+
+    val out = Map(
+      "fixtures" -> fixtures,
+      "gameweeks" -> gameweeks,
+      "teams" -> teams,
+      "positions" -> positions,
+      "players_summary" -> playersSummary,
+      "players_prev_seasons" -> prevSeasons,
+      "players_past" -> playersPast,
+      "players_future" -> playersFuture,
+      "players_full" -> playersFull,
+      "team_results" -> teamResults,
+      "league_table" -> leagueTable)
+
+    // ---- V1/V2 validation layer (ref :462-506) -----------------------
+    val pks: Map[String, Seq[String]] = Map(
+      "fixtures" -> Seq("fixture_id"),
+      "gameweeks" -> Seq("gameweek_id"),
+      "teams" -> Seq("team_id"),
+      "positions" -> Seq("position_id"),
+      "players_summary" -> Seq("player_id"),
+      "players_prev_seasons" -> Seq("player_id", "season_name"),
+      "players_past" -> Seq("player_id", "fixture_id"),
+      "players_future" -> Seq("player_id", "fixture_id"),
+      "players_full" -> Seq("player_id", "gameweek_id", "fixture_id"),
+      "team_results" -> Seq("team_id"),
+      "league_table" -> Seq("team_id"))
+    pks.foreach { case (name, pk) =>
+      Checks.enforce(s"$name unique PK ${pk.mkString(",")}",
+        Checks.isUniqueKey(out(name), pk), raiseErrors, warn)
+      Checks.enforce(s"$name non-null PK ${pk.mkString(",")}",
+        Checks.hasNoNullKeys(out(name), pk), raiseErrors, warn)
+    }
+    out
+  }
+}
