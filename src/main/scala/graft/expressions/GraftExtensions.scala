@@ -17,11 +17,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_fdot"), FloatDotProduct.info,
         FloatDotProduct.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_rpsig"), FloatRpSig.info,
+        FloatRpSig.builder))
   }
 }
 
 object GraftExtensions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_fdot", FloatDotProduct.builder, "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_fdot", FloatDotProduct.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_rpsig", FloatRpSig.builder, "built-in")
+  }
 }

@@ -82,7 +82,7 @@ object SimilarityQueries extends QueryPack {
     "q_ann_lsh" -> ((s, dir) => {
       GraftExtensions.register(s)
       val e = t(s, dir, "embeddings")
-        .withColumn("sig", expr(rpSigSpark("embedding")))
+        .withColumn("sig", expr("graft_rpsig(embedding)"))
         .withColumn("n2", expr("graft_fdot(embedding, embedding)"))
       val probes = e.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
@@ -107,7 +107,7 @@ object SimilarityQueries extends QueryPack {
     "q_dedup_embedding" -> ((s, dir) => {
       GraftExtensions.register(s)
       val e = t(s, dir, "embeddings")
-        .withColumn("sig", expr(rpSigSpark("embedding")))
+        .withColumn("sig", expr("graft_rpsig(embedding)"))
         .withColumn("n2", expr("graft_fdot(embedding, embedding)"))
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
         col("sig"), col("n2").as("na2"))
