@@ -23,7 +23,8 @@ object SparkEntry {
     FuzzyQueries,
     MlQueries,
     TransformQueries,
-    MiscQueries
+    MiscQueries,
+    FeatureQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.QueryKit._
+import graft.features.Features
+
+/** Feature-engineering coverage (SURVEY.md §3.3): multi-column lag
+  * features and per-group quantile-bucket assignment, oracle-checked.
+  */
+object FeatureQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // W1×N — lag features at offsets 1 and 2 over two columns.
+    "q_lag_features" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          Tables.tsMicros.as("tkey"), col("value"), col("event_type"))
+      Features.lagFeatures(e, "user_id", Seq("tkey", "event_id"),
+        Seq("value", "event_type"), offsets = Seq(1, 2))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("prev1_value"), col("prev2_value"),
+          col("prev1_event_type"), col("prev2_event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // A4 — per-segment decile buckets of customer balance.
+    "q_quantile_buckets" -> ((s, dir) => {
+      Features.quantileBuckets(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal")),
+        "c_mktsegment", "c_acctbal")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("bucket"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_lag_features" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS tkey, value, event_type FROM events
+        |)
+        |SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER w AS prev1_value,
+        |  lag(value, 2) OVER w AS prev2_value,
+        |  lag(event_type, 1) OVER w AS prev1_event_type,
+        |  lag(event_type, 2) OVER w AS prev2_event_type
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tkey, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_quantile_buckets" ->
+      """WITH b0 AS (
+        |  SELECT c_mktsegment,
+        |    quantile_cont(c_acctbal, [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |  FROM customer GROUP BY c_mktsegment
+        |), b1 AS (
+        |  SELECT c_mktsegment,
+        |    unnest(generate_series(0, 9)) AS bucket,
+        |    unnest(qs) AS lower
+        |  FROM b0
+        |), b2 AS (
+        |  SELECT c_mktsegment, CAST(bucket AS INT) AS bucket, lower,
+        |    lead(lower, 1, 9999999.0) OVER (PARTITION BY c_mktsegment ORDER BY bucket) AS upper
+        |  FROM b1
+        |)
+        |SELECT c_custkey, c.c_mktsegment, c_acctbal, bucket
+        |FROM customer c JOIN b2 b
+        |  ON c.c_mktsegment = b.c_mktsegment
+        | AND c_acctbal >= b.lower AND c_acctbal < b.upper
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
