@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class FuzzyMatchPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, "harry maguire", "h maguire", "b1"),
+    (2L, "mohamed salah", "m salah", "b1"),
+    (3L, "totally unknown person", "t unknown", "b2")
+  ).toDF("lid", "llong", "lshort", "blk")
+
+  private def right = Seq(
+    (10L, "harry maguire", "h. maguire", "b1"), // exact on long → 100
+    (11L, "mo salah", "m. salah", "b1"), // fuzzy via short pass
+    (12L, "someone else entirely", "s else", "b2")
+  ).toDF("rid", "rlong", "rshort", "blk")
+
+  test("exact short-circuit, two-pass greatest, threshold, top-1") {
+    val out = FuzzyMatchPipeline.bestMatches(
+      left, right, "lid", "rid", "llong", "rlong", "lshort", "rshort",
+      blockCol = Some("blk"), threshold = 60.0)
+      .orderBy("lid").collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byId(1L) === ((10L, 100.0))) // exact long name
+    assert(byId(2L)._1 === 11L) // matched via fuzzy passes
+    assert(byId(2L)._2 > 60.0 && byId(2L)._2 <= 100.0)
+    assert(!byId.contains(3L)) // below threshold in its block
+  }
+
+  test("incremental: already-matched left ids are skipped before scoring") {
+    val already = Seq(1L).toDF("lid")
+    val out = FuzzyMatchPipeline.bestMatches(
+      left, right, "lid", "rid", "llong", "rlong", "lshort", "rshort",
+      blockCol = Some("blk"), threshold = 60.0, already = Some(already))
+    assert(out.filter($"lid" === 1L).count() === 0)
+    assert(out.filter($"lid" === 2L).count() === 1)
+  }
+
+  test("blocking prevents cross-block matches") {
+    // without blocking, lid=3 could weakly match b1 names; with blocking it
+    // only sees b2 — and stays below threshold
+    val out = FuzzyMatchPipeline.bestMatches(
+      left, right, "lid", "rid", "llong", "rlong", "lshort", "rshort",
+      blockCol = Some("blk"), threshold = 20.0)
+    val m3 = out.filter($"lid" === 3L).collect()
+    assert(m3.forall(_.getLong(1) === 12L))
+  }
+}
