@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_rpsig"), FloatRpSig.info,
         FloatRpSig.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_jaccard"), StringSetJaccard.info,
+        StringSetJaccard.builder))
   }
 }
 
@@ -28,5 +31,6 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fdot", FloatDotProduct.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_rpsig", FloatRpSig.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard", StringSetJaccard.builder, "built-in")
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.QueryKit._
+import graft.expressions.GraftExtensions
 import graft.functions.TextAnalytics._
 
 /** Text-analysis operators over the `documents` table — the training-data
@@ -127,6 +128,7 @@ object TextQueries extends QueryPack {
 
     // MinHash-LSH near-dup candidate pairs + exact-Jaccard verification.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
+      GraftExtensions.register(s)
       val sig = signatures(t(s, dir, "documents"))
       val bandStructs = (0 until nBands).map { b =>
         struct(lit(b).as("band"),
@@ -146,7 +148,7 @@ object TextQueries extends QueryPack {
       pairs
         .join(toks.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
         .join(toks.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
-        .withColumn("jac", r6(expr(jaccardSpark("ta", "tb"))))
+        .withColumn("jac", r6(expr("graft_jaccard(ta, tb)")))
         .filter(col("jac") >= 0.3)
         .select(col("doc_a"), col("doc_b"), col("jac"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -166,6 +168,7 @@ object TextQueries extends QueryPack {
     // blocked by language — the oracle-checkable, bounded variant of
     // pairwise similarity (probes × same-lang candidates, never n²).
     "q_ngram_jaccard" -> ((s, dir) => {
+      GraftExtensions.register(s)
       val toks = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         expr(s"array_distinct(${tokensSpark("text")})").as("tset"))
       val probes = toks.filter(col("doc_id") % 20 === 0)
@@ -177,7 +180,7 @@ object TextQueries extends QueryPack {
         .orderBy(col("jac").desc, col("cand_id"))
       probes.join(cands, Seq("lang"))
         .filter(col("probe_id") =!= col("cand_id"))
-        .withColumn("jac", r6(expr(jaccardSpark("ta", "tb"))))
+        .withColumn("jac", r6(expr("graft_jaccard(ta, tb)")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("probe_id"), col("cand_id"), col("jac"), col("rnk"))

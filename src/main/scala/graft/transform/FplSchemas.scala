@@ -11,13 +11,22 @@ import org.apache.spark.sql.types._
   */
 object FplSchemas {
 
-  /** Per-fixture stat columns shared by history / summary tables. */
+  /** Per-fixture stat columns shared by history / summary tables — the
+    * full DDL list (etl/load.py:303-339): long counters plus the
+    * float-valued ICT components. Missing fields in a raw doc read as
+    * null (schema-explicit read), matching the ref's NaN-tolerant path. */
   val playerStats: Seq[String] = Seq(
     "total_points", "minutes", "goals_scored", "assists", "clean_sheets",
-    "goals_conceded", "yellow_cards", "red_cards", "saves", "bonus", "bps")
+    "goals_conceded", "own_goals", "penalties_saved", "penalties_missed",
+    "yellow_cards", "red_cards", "saves", "bonus", "bps")
+
+  /** Float-valued per-fixture stats (DDL FLOAT(8), etl/load.py:131-134). */
+  val playerStatsDouble: Seq[String] =
+    Seq("influence", "creativity", "threat")
 
   private def statFields: Seq[StructField] =
-    playerStats.map(StructField(_, LongType))
+    playerStats.map(StructField(_, LongType)) ++
+      playerStatsDouble.map(StructField(_, DoubleType))
 
   /** fixtures.json — array of fixture objects (FIXTURES.md §1). */
   val fixturesRaw: StructType = StructType(Seq(

@@ -95,7 +95,7 @@ object FplTransform {
         col("singular_name_short").as("position_name_short"),
         col("squad_select"))
 
-    val stats = FplSchemas.playerStats.map(col)
+    val stats = (FplSchemas.playerStats ++ FplSchemas.playerStatsDouble).map(col)
     val playersSummary = Sources.explodeChild(
       mainRaw.select(lit(1).as("__k"), col("elements")), "__k", "elements")
       .drop("__k")
