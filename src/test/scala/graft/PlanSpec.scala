@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bucketing
+
+/** Physical-plan guards: the shapes the 100 TB design depends on must not
+  * regress — dimension joins broadcast, scans prune + push filters,
+  * top-k avoids a global sort, bucketed fact joins avoid the shuffle.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("dimension join is broadcast, not shuffled") {
+    val p = plan("q_join_broadcast_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("scan prunes columns and pushes filters") {
+    val df = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("bucketed fact-fact join is shuffle-free") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    Bucketing.writeBucketed(
+      Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      "li_b", "l_orderkey", 4, path = Some(s"$wh/li_b"))
+    Bucketing.writeBucketed(
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+      "o_b", "l_orderkey", 4, path = Some(s"$wh/o_b"))
+    val joined = Bucketing.coLocatedJoin(spark, "li_b", "o_b", "l_orderkey")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+    assert(joined.count() > 0)
+  }
+}
