@@ -79,4 +79,15 @@ object JdbcSink {
       columns: Seq[String], props: java.util.Properties,
       mode: SaveMode = SaveMode.Append): Unit =
     df.selectExpr(columns: _*).write.mode(mode).jdbc(url, table, props)
+
+  /** K6 — one-row audit record (ref: etl/load.py:86-108 `record` table:
+    * load_datetime, gameweek_now, username). Appended through the same
+    * sink path as data tables. */
+  def auditRow(spark: org.apache.spark.sql.SparkSession,
+      gameweekNow: String, username: String,
+      loadDatetime: java.sql.Timestamp): DataFrame = {
+    import spark.implicits._
+    Seq((loadDatetime, gameweekNow, username))
+      .toDF("load_datetime", "gameweek_now", "username")
+  }
 }

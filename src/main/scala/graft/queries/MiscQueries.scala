@@ -67,6 +67,21 @@ object MiscQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Scale-path approximate aggregates: HLL distinct + t-digest quantiles.
+    // These are the 100 TB substitutes for exact countDistinct/percentile
+    // (one pass, bounded sketch memory, no exact-sort). No SQL oracle —
+    // sketch internals differ per engine → driver records rows-only.
+    "q_approx_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_price_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A11 — Spearman correlation as corr of row-number ranks (deterministic
     // tie-break by key; pandas average-rank ties differ — documented
     // divergence, SURVEY.md §7.4 item 4 analogue).

@@ -25,8 +25,14 @@ object FplTransform {
 
   /** P4 — NaN-safe int-string coercion (ref: pandas_integerstr_to_int,
     * etl/transform.py:59-66): null-propagating numeric → decimal-truncated
-    * string. */
-  def intStr(c: Column): Column = c.cast("double").cast("long").cast("string")
+    * string. NaN/±Inf/out-of-long-range → null (Spark 4 ANSI cast would
+    * throw; the reference's NaN path yields null). */
+  def intStr(c: Column): Column = {
+    val d = c.cast("double")
+    when(d.isNotNull && !d.isNaN &&
+      d > -9.223372036854775e18 && d < 9.223372036854775e18,
+      d.cast("long").cast("string"))
+  }
 
   /** P5 — lenient ISO8601 timestamp parse, null on failure (ref:
     * to_datetime(errors='coerce')). */

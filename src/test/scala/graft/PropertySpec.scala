@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.functions.FuzzyMatch
+import graft.quality.Checks
+import graft.transform.FplTransform
+
+/** Property-based tests (SURVEY.md §5 item 2): coercion totality, V1/V2
+  * invariants under injected duplicates/nulls, union alignment, fuzzy
+  * kernel laws. */
+class PropertySpec extends SparkSpec {
+
+  /** Minimal forAll over ScalaCheck generators (scalatestplus bridge is
+    * not on the classpath; Gen sampling gives the same coverage). */
+  private def forSamples[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
+    val params = org.scalacheck.Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    (1 to n).foreach { _ =>
+      gen.apply(params, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("P4 intStr: total on all doubles incl. NaN/Inf; truncates decimals") {
+    // NaN/Inf → null (pandas NaN behavior); finite → decimal-truncated string
+    val vals: Seq[java.lang.Double] = Seq(
+      1.0, -1.001, 43.023, 0.0, -0.9, 1e15,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, null)
+    val out = vals.toDF("x")
+      .select(FplTransform.intStr(col("x")).as("s"))
+      .as[Option[String]].collect()
+    assert(out.take(6).flatten.toSeq === Seq("1", "-1", "43", "0", "0", "1000000000000000"))
+    assert(out.drop(6).forall(_.isEmpty)) // NaN, ±Inf, null → null
+  }
+
+  test("V1: duplicate injection is always detected") {
+    forSamples(Gen.nonEmptyListOf(Gen.choose(0, 1000)), 10) { xs =>
+      val distinct = xs.distinct
+      val base = distinct.toDF("k")
+      assert(Checks.isUniqueKey(base, Seq("k")))
+      val withDup = (distinct :+ distinct.head).toDF("k")
+      assert(!Checks.isUniqueKey(withDup, Seq("k")))
+    }
+  }
+
+  test("V2: null injection in any key level is always detected") {
+    forSamples(Gen.choose(1, 20), 5) { n =>
+      val clean = (1 to n).map(i => (Some(i), Some(i * 2))).toDF("a", "b")
+      assert(Checks.hasNoNullKeys(clean, Seq("a", "b")))
+      val dirty = ((1 to n).map(i => (Some(i), Some(i * 2))) :+
+        ((None: Option[Int], Some(0)))).toDF("a", "b")
+      assert(!Checks.hasNoNullKeys(dirty, Seq("a", "b")))
+    }
+  }
+
+  test("O5 unionByName: column order independence, missing → null") {
+    val a = Seq((1, "x")).toDF("k", "v")
+    val b = Seq((9.5, 2)).toDF("w", "k")
+    val u = a.unionByName(b, allowMissingColumns = true)
+    assert(u.columns.toSet === Set("k", "v", "w"))
+    assert(u.count() === 2)
+    assert(u.filter($"k" === 2 && $"v".isNull && $"w" === 9.5).count() === 1)
+  }
+
+  test("tokenSetRatio laws: symmetry, bounds, identity") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)
+    val sentence = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    forSamples(Gen.zip(sentence, sentence), 50) { case (a, b) =>
+      val ab = FuzzyMatch.tokenSetRatio(a, b)
+      assert(ab === FuzzyMatch.tokenSetRatio(b, a)) // symmetric
+      assert(ab >= 0.0 && ab <= 100.0) // bounded
+      assert(FuzzyMatch.tokenSetRatio(a, a) === 100.0) // identity
+    }
+  }
+
+  test("ratio laws: identity and bounds") {
+    forSamples(Gen.zip(Gen.alphaNumStr, Gen.alphaNumStr), 50) { case (a, b) =>
+      assert(FuzzyMatch.ratio(a, a) === 100.0)
+      val r = FuzzyMatch.ratio(a, b)
+      assert(r >= 0.0 && r <= 100.0)
+    }
+  }
+}

@@ -44,6 +44,14 @@ class JdbcSinkSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](JdbcSink.loadOrder(Seq(a, b)))
   }
 
+  test("auditRow: one-row record frame with the reference's columns") {
+    val spark = graft.SparkSpec.session
+    val row = JdbcSink.auditRow(spark, "12", "graft",
+      java.sql.Timestamp.valueOf("2026-08-12 00:00:00")).collect()
+    assert(row.length === 1)
+    assert(row.head.getString(1) === "12")
+  }
+
   test("sqlType mapping covers the reference's column types") {
     assert(JdbcSink.sqlType(StringType) === "VARCHAR")
     assert(JdbcSink.sqlType(BooleanType) === "BOOL")

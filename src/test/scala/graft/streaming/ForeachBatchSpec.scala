@@ -1,0 +1,42 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkSpec, Tables}
+
+/** SURVEY.md §2.14 stretch made real: the same batch DataFrame code reruns
+  * incrementally via foreachBatch over a landing-directory file stream —
+  * the Spark-native version of the reference's cron-triggered re-runs. */
+class ForeachBatchSpec extends SparkSpec {
+
+  test("foreachBatch reruns a batch transform per arriving file") {
+    val events = Tables(spark, sf("sf0.001"), "events")
+    val landing = Files.createTempDirectory("graft-landing").toString
+    val outDir = Files.createTempDirectory("graft-fb-out").toString
+    Files.copy(
+      Paths.get(sf("sf0.001"), "events.parquet"),
+      Paths.get(landing, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val q = spark.readStream
+      .schema(events.schema)
+      .parquet(landing)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // identical code path to the oracle-checked batch aggregate
+        EventStreams.tumblingCounts(batch)
+          .write.mode("overwrite").parquet(s"$outDir/agg")
+      }
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$outDir/agg")
+      .orderBy("window_start_us", "event_type").collect()
+    val batch = EventStreams.tumblingCounts(events)
+      .orderBy("window_start_us", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}
