@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_jaccard"), StringSetJaccard.info,
         StringSetJaccard.builder))
+    ext.injectOptimizerRule(_ => JaccardFusionRule)
   }
 }
 

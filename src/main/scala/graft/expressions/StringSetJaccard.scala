@@ -6,13 +6,13 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Fused Jaccard similarity over two ARRAY<STRING> token SETS (inputs must
-  * already be distinct — the dedup queries build them with
-  * array_distinct). Semantics are exactly
-  * size(array_intersect(a,b)) / size(array_union(a,b)) for distinct
-  * inputs: |a∩b| and |a|+|b|−|a∩b| are the same integers, so the double
-  * division is bit-identical — but one hash set and one probe pass
-  * replace the two general-purpose set expressions per pair.
+/** Fused Jaccard similarity over two ARRAY<STRING> columns. Semantics are
+  * exactly size(array_intersect(a,b)) / size(array_union(a,b)) for ANY
+  * inputs (both set-ops dedup, and so does this kernel): |A∩B| and
+  * |A|+|B|−|A∩B| over the distinct element sets are the same integers,
+  * so the double division is bit-identical — but two hash sets replace
+  * the two general-purpose set expressions per pair. JaccardFusionRule
+  * rewrites the naive formulation into this automatically.
   */
 case class StringSetJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -32,34 +32,44 @@ case class StringSetJaccard(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val ny = y.numElements()
-    val set = new java.util.HashSet[UTF8String](ny * 2)
+    val setB = new java.util.HashSet[UTF8String](y.numElements() * 2)
     var i = 0
-    while (i < ny) { set.add(y.getUTF8String(i)); i += 1 }
-    val nx = x.numElements()
-    var inter = 0
+    while (i < y.numElements()) {
+      setB.add(if (y.isNullAt(i)) null else y.getUTF8String(i)); i += 1
+    }
+    val setA = new java.util.HashSet[UTF8String](x.numElements() * 2)
     i = 0
-    while (i < nx) { if (set.contains(x.getUTF8String(i))) inter += 1; i += 1 }
-    inter.toDouble / (nx + ny - inter)
+    while (i < x.numElements()) {
+      setA.add(if (x.isNullAt(i)) null else x.getUTF8String(i)); i += 1
+    }
+    var inter = 0
+    val it = setA.iterator()
+    while (it.hasNext) { if (setB.contains(it.next())) inter += 1 }
+    inter.toDouble / (setA.size + setB.size - inter)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val set = ctx.freshName("set")
+      val setA = ctx.freshName("setA")
+      val setB = ctx.freshName("setB")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
+      val it = ctx.freshName("it")
       val inter = ctx.freshName("inter")
       val utf8 = classOf[UTF8String].getName
       s"""
-         |java.util.HashSet<$utf8> $set = new java.util.HashSet<$utf8>($b.numElements() * 2);
+         |java.util.HashSet<$utf8> $setB = new java.util.HashSet<$utf8>($b.numElements() * 2);
          |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  $set.add($b.getUTF8String($i));
+         |  $setB.add($b.isNullAt($i) ? null : $b.getUTF8String($i));
+         |}
+         |java.util.HashSet<$utf8> $setA = new java.util.HashSet<$utf8>($a.numElements() * 2);
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  $setA.add($a.isNullAt($j) ? null : $a.getUTF8String($j));
          |}
          |int $inter = 0;
-         |for (int $j = 0; $j < $a.numElements(); $j++) {
-         |  if ($set.contains($a.getUTF8String($j))) $inter++;
-         |}
-         |${ev.value} = ((double) $inter) / ($a.numElements() + $b.numElements() - $inter);
+         |java.util.Iterator<$utf8> $it = $setA.iterator();
+         |while ($it.hasNext()) { if ($setB.contains($it.next())) $inter++; }
+         |${ev.value} = ((double) $inter) / ($setA.size() + $setB.size() - $inter);
        """.stripMargin
     })
 
