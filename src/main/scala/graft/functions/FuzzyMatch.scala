@@ -70,11 +70,38 @@ object FuzzyMatch {
     else math.max(ratio(t0, t1), math.max(ratio(t0, t2), ratio(t1, t2)))
   }
 
+  /** Pre-tokenized variant: inputs are already distinct-sorted token
+    * arrays (e.g. `sort_array(array_distinct(split(name, ' ')))`), so the
+    * per-pair cost drops to the set walk + LCS — tokenization happens once
+    * per row instead of once per candidate pair. Produces exactly
+    * `tokenSetRatio(a.mkString(" "), b.mkString(" "))`. */
+  def tokenSetRatioSorted(ta: Seq[String], tb: Seq[String]): Double = {
+    if (ta.isEmpty && tb.isEmpty) return 100.0
+    if (ta.isEmpty || tb.isEmpty) return 0.0
+    val sb = tb.toSet
+    val common = ta.filter(sb.contains)
+    val sa = common.toSet
+    val restA = ta.filterNot(sa.contains)
+    val restB = tb.filterNot(sa.contains)
+    val t0 = common.mkString(" ")
+    val t1 = (common ++ restA).mkString(" ")
+    val t2 = (common ++ restB).mkString(" ")
+    if (common.nonEmpty && restA.isEmpty && restB.isEmpty) 100.0
+    else math.max(ratio(t0, t1), math.max(ratio(t0, t2), ratio(t1, t2)))
+  }
+
   /** Spark UDF; null inputs → null (ref returns NaN for skip-flagged rows,
     * etl/additional_fifa.py:122-123 — null is the Spark-native encoding). */
   val tokenSetRatioUdf =
     udf((a: String, b: String) =>
       if (a == null || b == null) None else Some(tokenSetRatio(a, b)))
 
+  val tokenSetRatioSortedUdf =
+    udf((a: Seq[String], b: Seq[String]) =>
+      if (a == null || b == null) None else Some(tokenSetRatioSorted(a, b)))
+
   def tokenSetRatioCol(a: Column, b: Column): Column = tokenSetRatioUdf(a, b)
+
+  def tokenSetRatioSortedCol(a: Column, b: Column): Column =
+    tokenSetRatioSortedUdf(a, b)
 }

@@ -30,17 +30,22 @@ object FuzzyQueries extends QueryPack {
     // etl/additional_fifa.py end to end.
     "q_fuzzy_match" -> ((s, dir) => {
       val c = t(s, dir, "customer")
+      def toks(name: org.apache.spark.sql.Column) =
+        sort_array(array_distinct(split(name, " ")))
       val probes = c.filter(col("c_custkey") % 100 === 0)
         .select(col("c_custkey").as("probe_id"), col("c_nationkey").as("nk"),
           concat(lit("customer "), col("c_custkey").cast("string")).as("probe_name"))
+        .withColumn("probe_toks", toks(col("probe_name")))
       val cands = c.select(col("c_custkey").as("cand_id"), col("c_nationkey").as("nk"),
         regexp_replace(lower(col("c_name")), "#", " ").as("cand_name"))
+        .withColumn("cand_toks", toks(col("cand_name")))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("score").desc, col("cand_id"))
       broadcast(probes).join(cands, Seq("nk")) // blocked cartesian
         .withColumn("raw_score",
           when(col("probe_name") === col("cand_name"), 100.0) // short-circuit
-            .otherwise(FuzzyMatch.tokenSetRatioCol(col("probe_name"), col("cand_name"))))
+            // tokenization hoisted out of the pair loop (per row, not per pair)
+            .otherwise(FuzzyMatch.tokenSetRatioSortedCol(col("probe_toks"), col("cand_toks"))))
         .withColumn("score",
           when(col("raw_score") <= 55.0, lit(null)).otherwise(col("raw_score")))
         .filter(col("score").isNotNull)

@@ -154,6 +154,49 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Flagship training-data pipeline: quality filter → exact dedup (hash
+    // keep-first) → MinHash-LSH near-dup removal (drop the higher id of
+    // each verified pair) — the composed corpus-cleaning flow a 100 TB
+    // pretraining pipeline runs, expressed as one lazy DAG.
+    "q_corpus_clean" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val qual = t(s, dir, "documents")
+        .withColumn("toks", expr(tokensSpark("text")))
+        .withColumn("n_tokens", expr("size(toks)"))
+        .withColumn("stop_ratio",
+          expr(s"CAST(${langScoreSpark("toks", stopwords)} AS DOUBLE) / size(toks)"))
+        .filter(col("n_tokens") >= 30 && col("stop_ratio") <= 0.4)
+        .withColumn("fp", expr(charHashSpark("text")))
+      val exact = graft.quality.Checks.dedupKeepFirst(qual, Seq("fp"), Seq("doc_id"))
+      val sig = signatures(exact.select(col("doc_id"), col("text")))
+      val bandStructs = (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          (col(s"mh${2 * b}") * lit(PM) + col(s"mh${2 * b + 1}")).as("bkey"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      val pairs = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val toksets = exact.select(col("doc_id"),
+        expr(s"array_distinct(${tokensSpark("text")})").as("tset"))
+      val nearDups = pairs
+        .join(toksets.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
+        .join(toksets.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
+        .withColumn("jac", r6(expr("graft_jaccard(ta, tb)")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_b").as("doc_id"))
+        .distinct()
+      exact.join(nearDups, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("stop_ratio")).as("stop_ratio"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash (16-bit) + blocking bucket.
     "q_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -192,16 +235,39 @@ object TextQueries extends QueryPack {
 
   private val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private def sigCte: String = {
+  private def sigCte(src: String = "documents"): String = {
     val mh = (0 until nMinhash).map(i => s"${minhashDuck("sh", i)} AS mh$i").mkString(",\n    ")
     s"""th AS (
-       |  SELECT doc_id, text, ${tokenHashesDuck("text")} AS th FROM documents
+       |  SELECT doc_id, text, ${tokenHashesDuck("text")} AS th FROM $src
        |), sig AS (
        |  SELECT doc_id, text, ${shingleHashesDuck("th")} AS sh FROM th
        |), mh AS (
        |  SELECT doc_id, text,
        |    $mh
        |  FROM sig
+       |)""".stripMargin
+  }
+
+  /** DuckDB fragment: LSH candidate pairs + verified jaccard from the
+    * `mh` CTE produced by [[sigCte]] and a token-set source `toksrc`. */
+  private def lshPairsCte(toksrc: String): String = {
+    val bandSelects = (0 until nBands).map { b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} * $PM + mh${2 * b + 1} AS bkey FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""bands AS (
+       |  $bandSelects
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |), toksets AS (
+       |  SELECT doc_id, list_distinct(${tokensDuck("text")}) AS tset FROM $toksrc
+       |), verified AS (
+       |  SELECT doc_a, doc_b,
+       |    ROUND(${jaccardDuck("ta.tset", "tb.tset")}, 6) AS jac
+       |  FROM pairs
+       |  JOIN toksets ta ON ta.doc_id = doc_a
+       |  JOIN toksets tb ON tb.doc_id = doc_b
        |)""".stripMargin
   }
 
@@ -268,32 +334,34 @@ object TextQueries extends QueryPack {
          |ORDER BY canonical_id""".stripMargin,
 
     "q_minhash_signature" ->
-      s"""WITH $sigCte
+      s"""WITH ${sigCte()}
          |SELECT doc_id, ${(0 until nMinhash).map(i => s"mh$i").mkString(", ")}
          |FROM mh ORDER BY doc_id""".stripMargin,
 
-    "q_dedup_minhash_lsh" -> {
-      val bandSelects = (0 until nBands).map { b =>
-        s"SELECT doc_id, $b AS band, mh${2 * b} * $PM + mh${2 * b + 1} AS bkey FROM mh"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH $sigCte, bands AS (
-         |  $bandSelects
-         |), pairs AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-         |), toks AS (
-         |  SELECT doc_id, list_distinct(${tokensDuck("text")}) AS tset FROM documents
-         |), j AS (
-         |  SELECT doc_a, doc_b,
-         |    ROUND(${jaccardDuck("ta.tset", "tb.tset")}, 6) AS jac
-         |  FROM pairs
-         |  JOIN toks ta ON ta.doc_id = doc_a
-         |  JOIN toks tb ON tb.doc_id = doc_b
-         |)
-         |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.3
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q_dedup_minhash_lsh" ->
+      s"""WITH ${sigCte()}, ${lshPairsCte("documents")}
+         |SELECT doc_a, doc_b, jac FROM verified WHERE jac >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_corpus_clean" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text, ${tokensDuck("text")} AS toks FROM documents
+         |), qual AS (
+         |  SELECT doc_id, text, len(toks) AS n_tokens,
+         |    CAST(${langScoreDuck("toks", stopwords)} AS DOUBLE) / len(toks) AS stop_ratio,
+         |    ${charHashDuck("text")} AS fp
+         |  FROM q WHERE len(toks) >= 30
+         |), qual2 AS (
+         |  SELECT * FROM qual WHERE stop_ratio <= 0.4
+         |), ex AS (
+         |  SELECT doc_id, text, n_tokens, stop_ratio, fp FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM qual2
+         |  ) WHERE rn = 1
+         |), ${sigCte("ex")}, ${lshPairsCte("ex")}
+         |SELECT doc_id, n_tokens, ROUND(stop_ratio, 6) AS stop_ratio, fp
+         |FROM ex
+         |WHERE doc_id NOT IN (SELECT doc_b FROM verified WHERE jac >= 0.5)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents)

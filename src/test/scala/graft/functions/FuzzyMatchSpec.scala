@@ -44,6 +44,19 @@ class FuzzyMatchSpec extends AnyFunSuite {
     assert(FuzzyMatch.tokenSetRatio(a, b) < 100.0)
   }
 
+  test("tokenSetRatioSorted equals tokenSetRatio on pre-tokenized input") {
+    val pairs = Seq(
+      ("customer 123", "customer 000000123"),
+      ("new york mets vs atlanta braves", "atlanta braves vs new york mets"),
+      ("a b c", "b c d"),
+      ("x", "y"))
+    pairs.foreach { case (a, b) =>
+      def prep(s: String) = s.split(" ").distinct.sorted.toSeq
+      assert(FuzzyMatch.tokenSetRatioSorted(prep(a), prep(b)) ===
+        FuzzyMatch.tokenSetRatio(a, b), s"mismatch for ($a, $b)")
+    }
+  }
+
   test("tokenSetRatio: whitespace-only / empty handled") {
     assert(FuzzyMatch.tokenSetRatio("", "") === 100.0) // both empty → ratio("","")
     assert(FuzzyMatch.tokenSetRatio("abc", "") === 0.0)
