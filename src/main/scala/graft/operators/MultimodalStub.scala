@@ -61,4 +61,46 @@ object MultimodalStub {
     * real media table would have. */
   def asBinaryTable(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), expr("encode(text, 'UTF-8')").as("blob"))
+
+  /** Frame-sampling stub: one row per sampled "frame" — every `stride`-th
+    * fixed-size byte window of the payload (a real video decoder would
+    * emit decoded frames; the per-partition batch shape and the exploded
+    * one-row-per-frame schema are what downstream code consumes). */
+  case class Frame(media_id: Long, frame_idx: Int, offset: Int, n_bytes: Int,
+      fingerprint: Long)
+
+  def sampleFrames(df: DataFrame, idCol: String, blobCol: String,
+      frameBytes: Int = 64, stride: Int = 4): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(blobIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](blobIdx)
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by stride).zipWithIndex.map { case (f, i) =>
+          val off = f * frameBytes
+          var h = 0L
+          var j = off
+          while (j < off + frameBytes) {
+            h = (h * 31 + (bytes(j) & 0xff)) % 1000000007L
+            j += 1
+          }
+          Frame(id, i, off, frameBytes, h)
+        }
+      }
+    }
+  }
+
+  /** Resize stub: deterministic downscale metadata (a real impl would
+    * rescale pixels; the contract — preserved aspect ratio, bounded max
+    * edge — is what this computes and tests lock down). */
+  def resizeMeta(f: MediaFeatures, maxEdge: Int): (Int, Int) = {
+    val scale = math.min(1.0, maxEdge.toDouble / math.max(f.width, f.height))
+    (math.max(1, math.round(f.width * scale).toInt),
+      math.max(1, math.round(f.height * scale).toInt))
+  }
 }

@@ -35,4 +35,25 @@ class MultimodalStubSpec extends SparkSpec {
     val f = MultimodalStub.decodeStub(7L, Array.emptyByteArray)
     assert(!f.ok && f.n_bytes === 0)
   }
+
+  test("sampleFrames: strided fixed-size windows, one row per frame") {
+    val docs = Tables(spark, sf("sf0.001"), "documents").limit(10)
+    val frames = MultimodalStub.sampleFrames(
+      MultimodalStub.asBinaryTable(docs), "doc_id", "blob",
+      frameBytes = 32, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.n_bytes === 32))
+    assert(frames.forall(f => f.offset % 64 === 0)) // stride 2 × 32 bytes
+    val perDoc = frames.groupBy(_.media_id)
+    assert(perDoc.values.forall(fs => fs.map(_.frame_idx).sorted.toSeq ===
+      (0 until fs.length)))
+  }
+
+  test("resizeMeta: bounded max edge, aspect preserved, never upscales") {
+    val f = MultimodalStub.MediaFeatures(1L, 100, 0L, 640, 480, ok = true)
+    val (w, h) = MultimodalStub.resizeMeta(f, 320)
+    assert(w === 320 && h === 240)
+    val small = MultimodalStub.MediaFeatures(2L, 10, 0L, 64, 48, ok = true)
+    assert(MultimodalStub.resizeMeta(small, 320) === ((64, 48)))
+  }
 }
