@@ -67,6 +67,47 @@ object MiscQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // BPE-ish regex token counting (training-data brief: whitespace + a
+    // BPE-style segmentation) — letter runs, digit runs, punct runs.
+    "q_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("size(split(text, ' '))").as("ws_tokens"),
+          expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+')").as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov statistic in pure SQL (ref: modelling_2
+    // cell 17 KS test): D = max |F1 − F2| over the pooled sorted sample.
+    // Scale note: the global running window is the textbook form; at 100 TB
+    // the same pattern runs per stratification key.
+    "q_ks_test" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderstatus") === "F").cast("int").as("is_f"))
+      val n = o.groupBy().agg(
+        sum(col("is_f")).as("n_f"),
+        sum(lit(1) - col("is_f")).as("n_o"))
+      val w = Window.orderBy(col("o_totalprice"), col("is_f"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.crossJoin(n)
+        .withColumn("cum_f", sum(col("is_f")).over(w) / col("n_f"))
+        .withColumn("cum_o", sum(lit(1) - col("is_f")).over(w) / col("n_o"))
+        .groupBy()
+        .agg(r6(max(abs(col("cum_f") - col("cum_o")))).as("ks_d"),
+          max(col("n_f")).as("n_f"), max(col("n_o")).as("n_o"))
+    }),
+
+    // ROLLUP hierarchy totals (beyond-reference; Catalyst expands to
+    // grouping sets with one shuffle).
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // Scale-path approximate aggregates: HLL distinct + t-digest quantiles.
     // These are the 100 TB substitutes for exact countDistinct/percentile
     // (one pass, bounded sketch memory, no exact-sort). No SQL oracle —
@@ -134,6 +175,39 @@ object MiscQueries extends QueryPack {
         |LEFT JOIN (SELECT c_custkey, c_name AS name_any FROM customer) a
         |  ON o_custkey = a.c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS INT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(o_orderstatus = 'F' AS INT) AS is_f
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |), n AS (
+        |  SELECT CAST(SUM(is_f) AS BIGINT) AS n_f,
+        |         CAST(SUM(1 - is_f) AS BIGINT) AS n_o FROM o
+        |), c AS (
+        |  SELECT
+        |    CAST(SUM(is_f) OVER w AS BIGINT) / CAST(n_f AS DOUBLE) AS cum_f,
+        |    CAST(SUM(1 - is_f) OVER w AS BIGINT) / CAST(n_o AS DOUBLE) AS cum_o,
+        |    n_f, n_o
+        |  FROM o CROSS JOIN n
+        |  WINDOW w AS (ORDER BY o_totalprice, is_f, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT ROUND(MAX(ABS(cum_f - cum_o)), 6) AS ks_d,
+        |  MAX(n_f) AS n_f, MAX(n_o) AS n_o
+        |FROM c""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sql.dsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_spearman" ->
       """WITH r AS (
