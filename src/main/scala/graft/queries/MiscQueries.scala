@@ -67,6 +67,16 @@ object MiscQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // EXCEPT set-op (beyond-reference — the ref does anti-membership via
+    // isin, F4; the relational form completes the set-op family).
+    "q_except" -> ((s, dir) => {
+      val all = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      all.except(urgent).orderBy(col("custkey"))
+    }),
+
     // BPE-ish regex token counting (training-data brief: whitespace + a
     // BPE-style segmentation) — letter runs, digit runs, punct runs.
     "q_bpe_tokens" -> ((s, dir) => {
@@ -175,6 +185,12 @@ object MiscQueries extends QueryPack {
         |LEFT JOIN (SELECT c_custkey, c_name AS name_any FROM customer) a
         |  ON o_custkey = a.c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin,
 
     "q_bpe_tokens" ->
       """SELECT doc_id,

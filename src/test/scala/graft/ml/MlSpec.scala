@@ -39,6 +39,20 @@ class MlSpec extends SparkSpec {
     assert(train.count() + test.count() === 300)
   }
 
+  test("tree ensembles: RandomForest and GBT fit the same feature frame") {
+    import org.apache.spark.ml.classification.{GBTClassifier, RandomForestClassifier}
+    import org.apache.spark.ml.feature.VectorAssembler
+    val data = new VectorAssembler()
+      .setInputCols(Array("value", "hour_sin", "hour_cos"))
+      .setOutputCol("features")
+      .transform(Pipelines.eventFeatures(
+        graft.Tables(spark, sf("sf0.001"), "events")))
+    val rf = new RandomForestClassifier().setNumTrees(5).setSeed(1L).fit(data)
+    val gbt = new GBTClassifier().setMaxIter(3).setSeed(1L).fit(data)
+    assert(rf.transform(data).columns.contains("prediction"))
+    assert(gbt.transform(data).columns.contains("prediction"))
+  }
+
   test("playsPipeline: fit + evaluate on events (smoke, AUC defined)") {
     val events = Tables(spark, sf("sf0.001"), "events")
     val data = Pipelines.eventFeatures(events)
