@@ -46,6 +46,8 @@ case class FloatDotProduct(left: Expression, right: Expression)
     var sum = 0.0
     var i = 0
     while (i < n) {
+      // a null element null-propagates, matching the zip_with/aggregate fold
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -61,6 +63,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $sum += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
          |${ev.value} = $sum;

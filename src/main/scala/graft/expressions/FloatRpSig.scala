@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * Bit j is set iff Σ_d w(j,d)·emb[d] ≥ 0 with the engine-portable ±1
   * weight w(j,d) = ((j·131071 + d·524287 + 17) mod 1000003) even ? +1 : −1.
   * The fold is the exact sequential double sum of the HOF formulation
-  * (`TextAnalytics.rpSigSpark`) and the DuckDB oracle — swapping this in
+  * (see FloatRpSigSpec's `hofSig`) and the DuckDB oracle — swapping this in
   * changes performance only (parity asserted in FloatRpSigSpec).
   */
 case class FloatRpSig(child: Expression) extends UnaryExpression {

@@ -33,5 +33,10 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_fdot", FloatDotProduct.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_rpsig", FloatRpSig.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard", StringSetJaccard.builder, "built-in")
+    // install the fusion rule too, so both registration paths behave alike
+    if (!spark.experimental.extraOptimizations.contains(JaccardFusionRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JaccardFusionRule
+    }
   }
 }

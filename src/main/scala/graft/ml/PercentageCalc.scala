@@ -40,7 +40,7 @@ class PercentageCalc(override val uid: String) extends Estimator[PercentageCalcM
 
   override def fit(dataset: Dataset[_]): PercentageCalcModel = {
     val g = $(byGroup)
-    val sums = $(variables).map(v => sum(col(v)).as(s"__tot_$v"))
+    val sums = $(variables).map(v => PercentageCalc.exactSum(v).as(s"__tot_$v"))
     val totals = dataset.groupBy(col(g)).agg(sums.head, sums.tail: _*)
     val model = new PercentageCalcModel(uid, totals)
     model.set(model.byGroup, g)
@@ -52,6 +52,16 @@ class PercentageCalc(override val uid: String) extends Estimator[PercentageCalcM
   override def copy(extra: ParamMap): PercentageCalc = defaultCopy(extra)
 
   override def transformSchema(schema: StructType): StructType = schema
+}
+
+object PercentageCalc {
+  /** Group totals via exact decimal aggregation (scale 10 covers real
+    * feature data): a raw double sum depends on partition/accumulation
+    * order, which would make the learned totals nondeterministic across
+    * cluster layouts (see graft.QueryKit). */
+  private[ml] def exactSum(v: String) =
+    sum(col(v).cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+      .cast(org.apache.spark.sql.types.DoubleType)
 }
 
 class PercentageCalcModel(
@@ -72,7 +82,7 @@ class PercentageCalcModel(
 
     // totals for groups present now but unseen at fit (ref:
     // helpers.py:53-69 — recompute and union)
-    val sums = $(variables).map(v => sum(col(v)).as(s"__new_$v"))
+    val sums = $(variables).map(v => PercentageCalc.exactSum(v).as(s"__new_$v"))
     val fresh = df.groupBy(col(g)).agg(sums.head, sums.tail: _*)
       .join(totals.select(col(g)), Seq(g), "left_anti")
       .select(col(g) +: $(variables).map(v => col(s"__new_$v").as(s"__tot_$v")): _*)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,10 +40,13 @@ object AsOfJoin {
       rightTieBreak: String): DataFrame = {
 
     val leftCols = left.columns
+    // tiebreakers keep their natural (orderable) type — no numeric cast
+    val rTbType = right.schema(rightTieBreak).dataType
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
-      .withColumn("__tb", lit(null).cast("long"))
+      .withColumn("__tb", lit(null).cast(rTbType))
+      .withColumn("__ltb", col(leftTieBreak))
     val lAligned = rightPayload.foldLeft(l) { (df, c) =>
       df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
     }
@@ -51,22 +54,25 @@ object AsOfJoin {
     val rBase = right
       .withColumn("__t", col(rightTime))
       .withColumn("__is_left", lit(0))
-      .withColumn("__tb", col(rightTieBreak).cast("long"))
+      .withColumn("__tb", col(rightTieBreak))
+      .withColumn("__ltb", lit(null).cast(left.schema(leftTieBreak).dataType))
     val rAligned = rightPayload.foldLeft(rBase) { (df, c) =>
       df.withColumn(s"__r_$c", col(c))
     }
 
-    val cols = Seq(key, "__t", "__is_left", "__tb") ++ rightPayload.map(c => s"__r_$c")
+    val cols = Seq(key, "__t", "__is_left", "__tb", "__ltb") ++
+      rightPayload.map(c => s"__r_$c")
     val lSel = lAligned.select((cols.map(col) ++ leftCols.filterNot(_ == key).map(col)): _*)
     val rSel = rAligned.select(cols.map(col): _*)
     val unioned = lSel.unionByName(rSel, allowMissingColumns = true)
 
     // Right rows sort before left rows at equal time (__is_left 0 < 1) so a
     // right row at exactly t matches a left row at t (<= semantics); among
-    // equal-time right rows the greatest tiebreaker is carried last → wins.
+    // equal-time right rows the greatest tiebreaker is carried last → wins;
+    // the left tiebreaker makes the full ordering deterministic.
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col("__t"), col("__is_left"), col("__tb"))
+      .orderBy(col("__t"), col("__is_left"), col("__tb"), col("__ltb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = rightPayload.foldLeft(unioned) { (df, c) =>
@@ -77,8 +83,4 @@ object AsOfJoin {
       .filter(col("__is_left") === 1)
       .select((leftCols.map(col) ++ rightPayload.map(c => col(s"asof_$c"))): _*)
   }
-
-  /** Column-expression variant of the tiebreaking order, exposed for tests. */
-  def orderSpec(t: Column, isLeft: Column, tb: Column): Seq[Column] =
-    Seq(t, isLeft, tb)
 }

@@ -51,21 +51,23 @@ object IvfIndex {
       .select(col("probe_id"), col("cluster"))
   }
 
-  /** Exact top-k within the probed cells. */
+  /** Exact top-k within the probed cells. Norms are computed once per row
+    * (probe and candidate sides), never inside the pair loop. */
   def search(index: Index, probes: DataFrame, topK: Int,
       nProbe: Int): DataFrame = {
     val spark = probes.sparkSession
     GraftExtensions.register(spark)
     val cells = probeCells(spark, index, probes, nProbe)
+    val probesN = probes.withColumn("pnorm", sqrt(expr("graft_fdot(pe, pe)")))
     val cands = index.assignments.select(
       col("vec_id").as("cand_id"), col("embedding").as("ce"), col("cluster"))
+      .withColumn("cnorm", sqrt(expr("graft_fdot(ce, ce)")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("cand_id"))
-    probes.join(cells, "probe_id")
+    probesN.join(cells, "probe_id")
       .join(cands, "cluster")
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", expr("graft_fdot(pe, ce)") /
-        (sqrt(expr("graft_fdot(pe, pe)")) * sqrt(expr("graft_fdot(ce, ce)"))))
+      .withColumn("sim", expr("graft_fdot(pe, ce)") / (col("pnorm") * col("cnorm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("probe_id"), col("cand_id"), col("sim"), col("rnk"))

@@ -31,12 +31,15 @@ object SkewJoin {
   }
 
   /** Top-n heavy-hitter keys with their share — the diagnostic that
-    * decides whether salting is warranted (runs as one aggregation). */
+    * decides whether salting is warranted. One aggregation pass; the total
+    * comes from a window over the (tiny) grouped frame, not a second scan
+    * of the input. Empty input → empty diagnostic (no division). */
   def keySkew(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
-    val total = df.count()
-    df.groupBy(col(key))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("share", round(col("n") / lit(total.toDouble), 6))
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share",
+        round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
       .orderBy(col("n").desc, col(key))
       .limit(topN)
   }

@@ -43,7 +43,9 @@ object MlQueries extends QueryPack {
   val oracle: Map[String, String] = Map(
     "q_percentage_calc" ->
       """WITH tot AS (
-        |  SELECT user_id, SUM(value) AS t FROM events GROUP BY user_id
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS t
+        |  FROM events GROUP BY user_id
         |)
         |SELECT event_id, e.user_id, ROUND(value / (t / 15.0), 6) AS value_pct
         |FROM events e JOIN tot USING (user_id)

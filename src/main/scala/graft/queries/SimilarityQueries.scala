@@ -27,21 +27,11 @@ object SimilarityQueries extends QueryPack {
 
   private val nPlanes = 8
 
-  /** ±1 pseudo-weight for (plane j, dim d): parity of a portable LCG mix.
-    * Spark and DuckDB evaluate the same closed form. */
-  private def weightSpark(j: String, d: String): String =
-    s"CASE WHEN (($j * 131071 + $d * 524287 + 17) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+  /** ±1 pseudo-weight for (plane j, dim d): parity of a portable LCG mix —
+    * the DuckDB twin of graft_rpsig (native side: expressions.FloatRpSig;
+    * parity asserted in FloatRpSigSpec). */
   private def weightDuck(j: String, d: String): String =
     s"CASE WHEN (($j * 131071 + $d * 524287 + 17) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END"
-
-  /** 8-bit random-hyperplane signature of an embedding column (Spark). */
-  private def rpSigSpark(emb: String): String = {
-    // bit j = 1 iff sum_d w(j,d) * emb[d] >= 0
-    s"aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, j) -> acc + " +
-      s"(CASE WHEN aggregate(sequence(1, size($emb)), CAST(0 AS DOUBLE), " +
-      s"(s, d) -> s + ${weightSpark("j", "(d - 1)")} * CAST(element_at($emb, d) AS DOUBLE)) >= 0 " +
-      s"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END))"
-  }
 
   private def rpSigDuck(emb: String): String = {
     s"CAST(list_sum(list_transform(generate_series(0, ${nPlanes - 1}), j -> " +

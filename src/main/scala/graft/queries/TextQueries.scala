@@ -38,6 +38,33 @@ object TextQueries extends QueryPack {
       .select(col("doc_id") +: col("text") +: mh: _*)
   }
 
+  /** LSH banding over a signature frame → distinct candidate (doc_a,
+    * doc_b) pairs, doc_a < doc_b. Single source for every near-dup query
+    * (twin of the oracle's lshPairsCte). */
+  private def lshCandidatePairs(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        (col(s"mh${2 * b}") * lit(PM) + col(s"mh${2 * b + 1}")).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against distinct token
+    * sets (graft_jaccard fused kernel). */
+  private def verifyPairs(pairs: DataFrame, toksets: DataFrame): DataFrame =
+    pairs
+      .join(toksets.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
+      .join(toksets.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
+      .withColumn("jac", r6(expr("graft_jaccard(ta, tb)")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokens + distinct tokens + chars.
@@ -129,26 +156,10 @@ object TextQueries extends QueryPack {
     // MinHash-LSH near-dup candidate pairs + exact-Jaccard verification.
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       GraftExtensions.register(s)
-      val sig = signatures(t(s, dir, "documents"))
-      val bandStructs = (0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          (col(s"mh${2 * b}") * lit(PM) + col(s"mh${2 * b + 1}")).as("bkey"))
-      }
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      val pairs = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val pairs = lshCandidatePairs(signatures(t(s, dir, "documents")))
       val toks = t(s, dir, "documents").select(col("doc_id"),
         expr(s"array_distinct(${tokensSpark("text")})").as("tset"))
-      pairs
-        .join(toks.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
-        .join(toks.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
-        .withColumn("jac", r6(expr("graft_jaccard(ta, tb)")))
+      verifyPairs(pairs, toks)
         .filter(col("jac") >= 0.3)
         .select(col("doc_a"), col("doc_b"), col("jac"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -168,26 +179,10 @@ object TextQueries extends QueryPack {
         .filter(col("n_tokens") >= 30 && col("stop_ratio") <= 0.4)
         .withColumn("fp", expr(charHashSpark("text")))
       val exact = graft.quality.Checks.dedupKeepFirst(qual, Seq("fp"), Seq("doc_id"))
-      val sig = signatures(exact.select(col("doc_id"), col("text")))
-      val bandStructs = (0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          (col(s"mh${2 * b}") * lit(PM) + col(s"mh${2 * b + 1}")).as("bkey"))
-      }
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      val pairs = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val pairs = lshCandidatePairs(signatures(exact.select(col("doc_id"), col("text"))))
       val toksets = exact.select(col("doc_id"),
         expr(s"array_distinct(${tokensSpark("text")})").as("tset"))
-      val nearDups = pairs
-        .join(toksets.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
-        .join(toksets.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
-        .withColumn("jac", r6(expr("graft_jaccard(ta, tb)")))
+      val nearDups = verifyPairs(pairs, toksets)
         .filter(col("jac") >= 0.5)
         .select(col("doc_b").as("doc_id"))
         .distinct()

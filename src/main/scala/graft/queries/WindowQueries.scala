@@ -23,11 +23,6 @@ object WindowQueries extends QueryPack {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Exact per-partition mean: decimal window sum / window count. */
-  private def wavg(c: String, w: org.apache.spark.sql.expressions.WindowSpec) =
-    sum(col(c).cast(DecimalType(18, 2))).over(w).cast(DoubleType) /
-      count(lit(1)).over(w)
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // W1/W3 — lag features + grouped diff (ref: EDA cells 23-24, 31:
