@@ -202,6 +202,25 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash near-dup pairs: bucket on the high byte (blocking), verify
+    // with hamming distance <= 3 over the 16-bit signatures — the
+    // bit-sketch variant of the dedup family (XOR + popcount, both
+    // engine-portable).
+    "q_simhash_pairs" -> ((s, dir) => {
+      val sig = t(s, dir, "documents")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("doc_id"), expr(simhash16Spark("th")).as("sh16"))
+        .withColumn("bucket", expr("shiftright(sh16, 8)"))
+      val a = sig.select(col("doc_id").as("doc_a"), col("sh16").as("sa"), col("bucket"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("sh16").as("sb"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // N-gram (token-set) Jaccard near-dup lookup for a probe sample,
     // blocked by language — the oracle-checkable, bounded variant of
     // pairwise similarity (probes × same-lang candidates, never n²).
@@ -363,6 +382,19 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, ${simhash16Duck("th")} AS sh16,
          |  ${simhash16Duck("th")} >> 8 AS sh_bucket
          |FROM th ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_pairs" ->
+      s"""WITH th AS (SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents),
+         |sig AS (
+         |  SELECT doc_id, ${simhash16Duck("th")} AS sh16 FROM th
+         |), b AS (
+         |  SELECT doc_id, sh16, sh16 >> 8 AS bucket FROM sig
+         |)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.sh16, y.sh16)) AS INT) AS hamming
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sh16, y.sh16)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH toks AS (

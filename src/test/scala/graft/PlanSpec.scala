@@ -37,6 +37,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("date-partitioned layout prunes partitions at scan time") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables(spark, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.partitionBy("order_year").mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("order_year") === 1997)
+    val p = pruned.queryExecution.executedPlan.toString
+    // the year predicate lands in PartitionFilters (not a data filter) →
+    // non-matching directories are never read
+    assert(p.contains("PartitionFilters: [isnotnull(order_year") &&
+      p.contains("(order_year") && p.contains("= 1997)"),
+      s"partition filter missing:\n$p")
+    assert(pruned.count() > 0)
+    assert(pruned.count() < Tables(spark, dir, "orders").count())
+  }
+
   test("bucketed fact-fact join is shuffle-free") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     Bucketing.writeBucketed(
