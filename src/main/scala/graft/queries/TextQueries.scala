@@ -29,12 +29,18 @@ object TextQueries extends QueryPack {
   private val nMinhash = 8
   private val nBands = 4 // 2 rows per band
 
-  /** Spark-side signature table: doc_id, distinct token set, mh0..mh7. */
+  /** Spark-side signature table: doc_id, distinct token set, mh0..mh7.
+    * The repartition between computing `sh` and the 8 minhash projections
+    * is a deliberate pipeline barrier: without it CollapseProject inlines
+    * the shingle-array expression into every minhash (8× recompute per
+    * row). At scale doc_id is the natural partition key anyway. */
   private def signatures(docs: DataFrame): DataFrame = {
     val mh = (0 until nMinhash).map(i => expr(minhashSpark("sh", i)).as(s"mh$i"))
     docs
       .withColumn("th", expr(tokenHashesSpark("text")))
       .withColumn("sh", expr(shingleHashesSpark("th")))
+      .select(col("doc_id"), col("text"), col("sh"))
+      .repartition(col("doc_id"))
       .select(col("doc_id") +: col("text") +: mh: _*)
   }
 
@@ -192,13 +198,13 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash (16-bit) + blocking bucket.
+    // SimHash (16-bit) + blocking bucket (native single-pass kernel; the
+    // HOF twin `simhash16Spark` remains the documented portable form).
     "q_simhash" -> ((s, dir) => {
+      GraftExtensions.register(s)
       t(s, dir, "documents")
-        .withColumn("th", expr(tokenHashesSpark("text")))
-        .select(col("doc_id"),
-          expr(simhash16Spark("th")).as("sh16"),
-          expr(s"shiftright(${simhash16Spark("th")}, 8)").as("sh_bucket"))
+        .select(col("doc_id"), expr("graft_simhash16(text)").as("sh16"))
+        .withColumn("sh_bucket", expr("shiftright(sh16, 8)"))
         .orderBy(col("doc_id"))
     }),
 
@@ -207,9 +213,9 @@ object TextQueries extends QueryPack {
     // bit-sketch variant of the dedup family (XOR + popcount, both
     // engine-portable).
     "q_simhash_pairs" -> ((s, dir) => {
+      GraftExtensions.register(s)
       val sig = t(s, dir, "documents")
-        .withColumn("th", expr(tokenHashesSpark("text")))
-        .select(col("doc_id"), expr(simhash16Spark("th")).as("sh16"))
+        .select(col("doc_id"), expr("graft_simhash16(text)").as("sh16"))
         .withColumn("bucket", expr("shiftright(sh16, 8)"))
       val a = sig.select(col("doc_id").as("doc_a"), col("sh16").as("sa"), col("bucket"))
       val b = sig.select(col("doc_id").as("doc_b"), col("sh16").as("sb"), col("bucket"))

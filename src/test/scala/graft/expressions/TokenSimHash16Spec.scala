@@ -1,0 +1,28 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextAnalytics
+
+class TokenSimHash16Spec extends SparkSpec {
+
+  test("native simhash equals the HOF formulation on real documents") {
+    GraftExtensions.register(spark)
+    val d = Tables(spark, sf("sf0.001"), "documents")
+      .withColumn("th", expr(TextAnalytics.tokenHashesSpark("text")))
+    val both = d.select(
+      expr("graft_simhash16(text)").as("native"),
+      expr(TextAnalytics.simhash16Spark("th")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("null input → null; signature fits in 16 bits") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val out = Seq(Some("a b c"), None).toDF("text")
+      .select(expr("graft_simhash16(text)").as("s")).collect()
+    assert(!out(0).isNullAt(0) && out(0).getLong(0) >= 0 && out(0).getLong(0) < 65536)
+    assert(out(1).isNullAt(0))
+  }
+}
