@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_simhash16"), TokenSimHash16.info,
         TokenSimHash16.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_token_set_ratio"), TokenSetRatioExpr.info,
+        TokenSetRatioExpr.builder))
     ext.injectOptimizerRule(_ => JaccardFusionRule)
   }
 }
@@ -37,6 +40,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_rpsig", FloatRpSig.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard", StringSetJaccard.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash16", TokenSimHash16.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_token_set_ratio", TokenSetRatioExpr.builder, "built-in")
     // install the fusion rule too, so both registration paths behave alike
     if (!spark.experimental.extraOptimizations.contains(JaccardFusionRule)) {
       spark.experimental.extraOptimizations =

@@ -75,7 +75,11 @@ object FuzzyMatch {
     * per-pair cost drops to the set walk + LCS — tokenization happens once
     * per row instead of once per candidate pair. Produces exactly
     * `tokenSetRatio(a.mkString(" "), b.mkString(" "))`. */
-  def tokenSetRatioSorted(ta: Seq[String], tb: Seq[String]): Double = {
+  def tokenSetRatioSorted(taRaw: Seq[String], tbRaw: Seq[String]): Double = {
+    // drop empty tokens — split-on-space keeps them, tokenSetRatio's
+    // whitespace tokenizer does not
+    val ta = taRaw.filter(_.nonEmpty)
+    val tb = tbRaw.filter(_.nonEmpty)
     if (ta.isEmpty && tb.isEmpty) return 100.0
     if (ta.isEmpty || tb.isEmpty) return 0.0
     val sb = tb.toSet

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.QueryKit._
-import graft.functions.FuzzyMatch
+import graft.expressions.GraftExtensions
 import graft.streaming.EventStreams
 
 /** The reference's fuzzy-matching pipeline (SURVEY.md §2.10 + J8/F5/W5)
@@ -29,6 +29,7 @@ object FuzzyQueries extends QueryPack {
     // scoring, threshold nulling (F3), top-1 per probe (W5). Mirrors
     // etl/additional_fifa.py end to end.
     "q_fuzzy_match" -> ((s, dir) => {
+      GraftExtensions.register(s)
       val c = t(s, dir, "customer")
       def toks(name: org.apache.spark.sql.Column) =
         sort_array(array_distinct(split(name, " ")))
@@ -44,8 +45,9 @@ object FuzzyQueries extends QueryPack {
       broadcast(probes).join(cands, Seq("nk")) // blocked cartesian
         .withColumn("raw_score",
           when(col("probe_name") === col("cand_name"), 100.0) // short-circuit
-            // tokenization hoisted out of the pair loop (per row, not per pair)
-            .otherwise(FuzzyMatch.tokenSetRatioSortedCol(col("probe_toks"), col("cand_toks"))))
+            // tokenization hoisted out of the pair loop (per row, not per
+            // pair); native expression avoids the UDF converter layer
+            .otherwise(expr("graft_token_set_ratio(probe_toks, cand_toks)")))
         .withColumn("score",
           when(col("raw_score") <= 55.0, lit(null)).otherwise(col("raw_score")))
         .filter(col("score").isNotNull)

@@ -17,6 +17,21 @@ class TokenSimHash16Spec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("graft_token_set_ratio equals the UDF kernel on real name pairs") {
+    GraftExtensions.register(spark)
+    import graft.functions.FuzzyMatch
+    val c = Tables(spark, sf("sf0.001"), "customer").limit(40)
+      .select(col("c_custkey"), lower(col("c_name")).as("n1"),
+        regexp_replace(lower(col("c_name")), "#0*", " ").as("n2"))
+      .withColumn("t1", sort_array(array_distinct(split(col("n1"), " "))))
+      .withColumn("t2", sort_array(array_distinct(split(col("n2"), " "))))
+    val rows = c.select(col("n1"), col("n2"),
+      expr("graft_token_set_ratio(t1, t2)").as("native")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) === FuzzyMatch.tokenSetRatio(r.getString(0), r.getString(1)))
+    }
+  }
+
   test("null input → null; signature fits in 16 bits") {
     GraftExtensions.register(spark)
     import spark.implicits._

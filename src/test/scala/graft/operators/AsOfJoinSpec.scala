@@ -38,6 +38,15 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("backward: non-numeric (string) tiebreaker stays orderable") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 100L)).toDF("lid", "k", "t")
+    val r = Seq(("a", 1L, 100L), ("b", 1L, 100L)).toDF("rid", "k", "rt")
+    val out = AsOfJoin.backward(l, r, "k", "t", "rt",
+      Seq("rid"), "lid", "rid").collect()
+    assert(out.head.getAs[String]("asof_rid") === "b") // greatest string wins
+  }
+
   test("backward: preserves all left rows and columns") {
     val out = AsOfJoin.backward(left, right, "k", "t", "rt",
       Seq("rid"), "lid", "rid")
