@@ -31,6 +31,9 @@ object FuzzyMatchPipeline {
     * @param threshold scores <= threshold are discarded (ref semantics)
     * @param already optional frame with column `leftId` of already-matched
     *                ids to skip (incremental run)
+    * @param prune optional candidate-pair predicate applied before scoring
+    *              (F5 — the ref's position-compatibility prune,
+    *              etl/additional_fifa.py:174-190)
     * @return (leftId, rightId, score) — best match per remaining left row
     */
   def bestMatches(
@@ -40,15 +43,17 @@ object FuzzyMatchPipeline {
       leftShort: String, rightShort: String,
       blockCol: Option[String] = None,
       threshold: Double = 90.0,
-      already: Option[DataFrame] = None): DataFrame = {
+      already: Option[DataFrame] = None,
+      prune: Option[org.apache.spark.sql.Column] = None): DataFrame = {
 
     val remaining = already.fold(left)(prev =>
       left.join(prev.select(col(leftId)), Seq(leftId), "left_anti"))
 
-    val pairs = blockCol match {
+    val joined = blockCol match {
       case Some(b) => remaining.join(right, Seq(b))
       case None => remaining.crossJoin(right)
     }
+    val pairs = prune.fold(joined)(joined.filter)
 
     def score(l: String, r: String) =
       when(col(l) === col(r), 100.0)
