@@ -76,8 +76,17 @@ object FplTransform {
         col("finished").as("gameweek_finished"),
         col("is_current").as("gameweek_current"),
         col("is_next").as("gameweek_next"),
+        col("is_previous").as("gameweek_previous"),
+        col("data_checked"),
+        col("deadline_time_epoch"),
         col("average_entry_score"),
         col("highest_score"),
+        intStr(col("highest_scoring_entry")).as("highest_scoring_entry"),
+        intStr(col("most_selected")).as("most_selected_player_id"),
+        intStr(col("most_transferred_in")).as("most_transferred_in_player_id"),
+        intStr(col("top_element")).as("top_player_id"),
+        intStr(col("most_captained")).as("most_captained_player_id"),
+        intStr(col("most_vice_captained")).as("most_vice_captained_player_id"),
         col("transfers_made"))
 
     val teams = Sources.explodeChild(
@@ -90,7 +99,11 @@ object FplTransform {
         col("short_name").as("team_name_short"),
         col("strength").as("team_strength"),
         col("strength_overall_home"),
-        col("strength_overall_away"))
+        col("strength_overall_away"),
+        col("strength_attack_home"),
+        col("strength_attack_away"),
+        col("strength_defence_home"),
+        col("strength_defence_away"))
 
     val positions = Sources.explodeChild(
       mainRaw.select(lit(1).as("__k"), col("element_types")), "__k", "element_types")
@@ -99,7 +112,9 @@ object FplTransform {
         intStr(col("id")).as("position_id"),
         col("singular_name").as("position_name"),
         col("singular_name_short").as("position_name_short"),
-        col("squad_select"))
+        col("squad_select"),
+        col("squad_min_play"),
+        col("squad_max_play"))
 
     val stats = (FplSchemas.playerStats ++ FplSchemas.playerStatsDouble).map(col)
     val playersSummary = Sources.explodeChild(
@@ -110,11 +125,33 @@ object FplTransform {
         intStr(col("code")).as("player_code"),
         intStr(col("element_type")).as("position_id"),
         intStr(col("team")).as("team_id"),
+        intStr(col("team_code")).as("team_code"),
         concat_ws(" ", col("first_name"), col("second_name")).as("player_name"),
         col("news"),
         lenientTs(col("news_added")).as("news_added"),
         col("now_cost"),
+        col("event_points"),
+        col("selected_by_percent"),
+        col("chance_of_playing_next_round"),
+        col("chance_of_playing_this_round"),
+        col("cost_change_event"),
+        col("cost_change_event_fall"),
+        col("cost_change_start"),
+        col("cost_change_start_fall"),
+        col("ep_next"),
+        col("ep_this"),
+        col("in_dreamteam"),
+        col("dreamteam_count"),
+        col("photo"),
+        col("points_per_game"),
+        col("special"),
         col("status"),
+        col("transfers_in"),
+        col("transfers_out"),
+        col("transfers_in_event"),
+        col("transfers_out_event"),
+        col("value_form"),
+        col("value_season"),
         col("form"),
         col("ict_index")) ++ stats: _*)
 
@@ -137,7 +174,7 @@ object FplTransform {
         intStr(col("round")).as("gameweek_id"),
         col("was_home").as("fixture_home"),
         lenientTs(col("kickoff_time")).as("kickoff"),
-        col("value"), col("selected"),
+        col("value"), col("selected"), col("transfers_balance"),
         col("transfers_in"), col("transfers_out")) ++ stats: _*)
       .join(broadcast(fixSlim), Seq("fixture_id"), "inner") // J1
 
