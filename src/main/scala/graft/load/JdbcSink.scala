@@ -80,6 +80,22 @@ object JdbcSink {
       mode: SaveMode = SaveMode.Append): Unit =
     df.selectExpr(columns: _*).write.mode(mode).jdbc(url, table, props)
 
+  /** K5 — append-only status history (ref: players_statuses,
+    * etl/run_load.py:205-214): snapshot of the current summary stamped
+    * with the load time and the "now" gameweek computed from the loaded
+    * data itself (max finished + 1, ref A2). */
+  def statusSnapshot(playersSummary: DataFrame, gameweeks: DataFrame,
+      loadDatetime: java.sql.Timestamp): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gwNow = gameweeks
+      .agg((max(when(col("gameweek_finished"), col("gameweek_id").cast("int"))) + 1)
+        .cast("string").as("gameweek_now"))
+    playersSummary
+      .select(col("player_id"), col("status"), col("news"))
+      .crossJoin(gwNow) // one-row broadcast
+      .withColumn("load_datetime", lit(loadDatetime))
+  }
+
   /** K6 — one-row audit record (ref: etl/load.py:86-108 `record` table:
     * load_datetime, gameweek_now, username). Appended through the same
     * sink path as data tables. */

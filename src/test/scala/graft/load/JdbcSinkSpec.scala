@@ -44,6 +44,19 @@ class JdbcSinkSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](JdbcSink.loadOrder(Seq(a, b)))
   }
 
+  test("statusSnapshot: summary stamped with gameweek-now and load time") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val summary = Seq(("1", "a", ""), ("2", "d", "knock"))
+      .toDF("player_id", "status", "news")
+    val gws = Seq(("1", true), ("2", true), ("3", false))
+      .toDF("gameweek_id", "gameweek_finished")
+    val snap = JdbcSink.statusSnapshot(summary, gws,
+      java.sql.Timestamp.valueOf("2026-08-12 00:00:00")).collect()
+    assert(snap.length === 2)
+    assert(snap.forall(_.getAs[String]("gameweek_now") === "3")) // max finished + 1
+  }
+
   test("auditRow: one-row record frame with the reference's columns") {
     val spark = graft.SparkSpec.session
     val row = JdbcSink.auditRow(spark, "12", "graft",
