@@ -121,6 +121,37 @@ object WindowQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // Running aggregate over an explicit row frame (beyond-reference:
+    // the ref only uses whole-partition/offset frames, SURVEY §2.7).
+    "q_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType))
+        .withColumn("order_seq", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .drop("o_orderdate")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // first_value / last_value over the full partition frame.
+    "q_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          first(col("c_acctbal")).over(w).as("first_bal"),
+          last(col("c_acctbal")).over(w).as("last_bal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Sessionization — 30-minute-gap sessions per user: batch equivalent of
     // a Structured Streaming session window (graft.streaming runs the same
     // logic incrementally). Gap flag via lag, session id via running sum.
@@ -208,6 +239,24 @@ object WindowQueries extends QueryPack {
         |      (PARTITION BY c_mktsegment) AS DOUBLE)
         |      / COUNT(bal) OVER (PARTITION BY c_mktsegment)), 4) AS bal_imputed
         |FROM c ORDER BY c_custkey""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_first_last" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  first_value(c_acctbal) OVER w AS first_bal,
+        |  last_value(c_acctbal) OVER w AS last_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH e AS (
