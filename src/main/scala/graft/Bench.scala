@@ -8,11 +8,21 @@ import org.apache.spark.sql.SparkSession
   * Queries are forced through the noop sink (full materialization of
   * every output column — `count()` would let Catalyst prune the compute
   * we are trying to measure). Deterministic name order so per-query
-  * timings are comparable across rounds; first query absorbs JVM/codegen
-  * warmup, which is reported inside its own timing (no hidden warmup
-  * pass).
+  * timings are comparable across rounds.
+  *
+  * Measurement: one untimed warmup pass over the whole suite (JIT /
+  * codegen-cache / parquet footers), then 3 timed SUITE passes and the
+  * per-query MEDIAN across passes. Single-run timings at sub-second query
+  * cost are dominated by JIT and scheduler noise (identical plans read 4×
+  * apart between two harnesses in round 1), and the passes are interleaved
+  * rather than per-query back-to-back so a transient stall (GC, OS) lands
+  * on different queries in different passes and the median discards it.
+  * The recorded BASELINE.md numbers use this same methodology, so baseline
+  * and driver runs are comparable.
   */
 object Bench {
+  private val timedPasses = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,17 +37,34 @@ object Bench {
     // Session warmup: JVM/codegen/parquet-footer costs are not query costs.
     Tables.all.foreach(t => Tables(spark, sfDir, t).count())
     val errors = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // optional comma-separated subset, for targeted perf iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
       } catch {
         case scala.util.control.NonFatal(e) =>
           // record the failure: a broken query must not read as a fast one
-          errors += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          if (!errors.contains(name)) {
+            errors += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    val ok = selected.filter { case (n, fn) => run(n, fn) } // warmup pass
+    val timings = Seq.fill(timedPasses) {
+      ok.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        run(name, fn)
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = selected.map { case (name, _) =>
+      val ts = timings.flatMap(_.get(name)).sorted
+      name -> (if (ts.isEmpty) 0.0 else ts(ts.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

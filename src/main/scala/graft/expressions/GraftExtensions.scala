@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_token_set_ratio"), TokenSetRatioExpr.info,
         TokenSetRatioExpr.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_tokenstats"), TokenStats.info,
+        TokenStats.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_jaccard_sorted"), SortedLongJaccard.info,
+        SortedLongJaccard.builder))
     ext.injectOptimizerRule(_ => JaccardFusionRule)
   }
 }
@@ -41,6 +47,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_jaccard", StringSetJaccard.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash16", TokenSimHash16.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_token_set_ratio", TokenSetRatioExpr.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_tokenstats", TokenStats.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard_sorted", SortedLongJaccard.builder, "built-in")
     // install the fusion rule too, so both registration paths behave alike
     if (!spark.experimental.extraOptimizations.contains(JaccardFusionRule)) {
       spark.experimental.extraOptimizations =

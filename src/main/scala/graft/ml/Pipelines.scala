@@ -2,8 +2,9 @@ package graft.ml
 
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
-import org.apache.spark.ml.feature.{PCA, StandardScaler, VectorAssembler}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.feature.{PCA, StandardScaler, UnivariateFeatureSelector, VectorAssembler}
+import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -54,4 +55,83 @@ object Pipelines {
     new BinaryClassificationEvaluator()
       .setMetricName("areaUnderROC")
       .evaluate(predictions)
+
+  /** Accuracy evaluator (ref: modelling_1_player_plays.ipynb cells 5, 16
+    * print sklearn accuracy_score alongside ROC-AUC). */
+  def accuracy(predictions: DataFrame): Double =
+    new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy")
+      .evaluate(predictions)
+
+  /** Class-balanced sample weights (ref: modelling_1 cell 13,
+    * LogisticRegression(class_weight='balanced')): w_c = n / (k · n_c),
+    * sklearn's formula. The per-class counts are a k-row driver-side
+    * reduction (k = #classes, here 2) — not a data collect. */
+  def withBalancedWeights(df: DataFrame, labelCol: String = "label",
+      weightCol: String = "class_weight"): DataFrame = {
+    val counts = df.groupBy(col(labelCol)).count()
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    val k = counts.size
+    val w = df.withColumn(weightCol, lit(0.0))
+    counts.foldLeft(w) { case (acc, (c, nc)) =>
+      acc.withColumn(weightCol,
+        when(col(labelCol) === c, lit(n / (k * nc))).otherwise(col(weightCol)))
+    }
+  }
+
+  /** Logistic regression honoring a class-balanced weight column —
+    * MLlib's weightCol is the exact analogue of sklearn class_weight. */
+  def balancedLr(weightCol: String = "class_weight"): LogisticRegression =
+    new LogisticRegression()
+      .setMaxIter(25).setRegParam(0.01).setElasticNetParam(0.0)
+      .setWeightCol(weightCol)
+
+  /** SelectKBest(f_classif) (ref: modelling_2_player_points.ipynb cell 9):
+    * ANOVA-F univariate top-k selection; continuous features vs a
+    * categorical label is exactly sklearn's f_classif scoring. */
+  def selectKBest(k: Int, inputCol: String = "features_std",
+      outputCol: String = "features_sel"): UnivariateFeatureSelector =
+    new UnivariateFeatureSelector()
+      .setFeatureType("continuous").setLabelType("categorical")
+      .setSelectionMode("numTopFeatures").setSelectionThreshold(k)
+      .setFeaturesCol(inputCol).setOutputCol(outputCol)
+      .setLabelCol("label")
+
+  /** Smallest k whose cumulative explained variance ≥ `threshold` (ref:
+    * modelling_1 cells 7-9: PCA fit to 0.95 of variance). One full-rank
+    * fit on the (scaled) training frame; covariance estimation is a
+    * single distributed pass, the eigendecomposition is driver-side on a
+    * d×d matrix — the standard scalable split. */
+  def pcaKForVariance(df: DataFrame, inputCol: String,
+      threshold: Double = 0.95): Int = {
+    val dim = df.select(inputCol).head.getAs[Vector](0).size
+    val full = new PCA().setInputCol(inputCol).setOutputCol("__pca_probe")
+      .setK(dim).fit(df)
+    val cum = full.explainedVariance.toArray.scanLeft(0.0)(_ + _).drop(1)
+    cum.indexWhere(_ >= threshold) match {
+      case -1 => dim
+      case i => i + 1
+    }
+  }
+
+  /** playsPipeline with PCA k chosen from explained variance on `train`
+    * and class-balanced logistic regression — the full modelling_1 recipe
+    * (cells 7-9 variance-threshold PCA, cell 13 balanced class weights).
+    * Returns the pipeline and the chosen k. `train` must already carry the
+    * weight column (see [[withBalancedWeights]]). */
+  def playsPipelineAuto(train: DataFrame,
+      varianceThreshold: Double = 0.95): (Pipeline, Int) = {
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("value", "hour_sin", "hour_cos"))
+      .setOutputCol("features_raw")
+    val scaler = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features_std")
+      .setWithMean(true).setWithStd(true)
+    val prep = new Pipeline().setStages(Array(assembler, scaler)).fit(train)
+    val k = pcaKForVariance(prep.transform(train), "features_std", varianceThreshold)
+    val pca = new PCA()
+      .setInputCol("features_std").setOutputCol("features").setK(k)
+    (new Pipeline().setStages(Array(assembler, scaler, pca, balancedLr())), k)
+  }
 }

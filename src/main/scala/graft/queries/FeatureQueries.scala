@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.QueryKit._
-import graft.features.Features
+import graft.features.{Features, Impute}
 
 /** Feature-engineering coverage (SURVEY.md §3.3): multi-column lag
   * features and per-group quantile-bucket assignment, oracle-checked.
@@ -39,6 +39,20 @@ object FeatureQueries extends QueryPack {
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
           col("bucket"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Log-log OLS imputation (ref: EDA cells 50-59 — release_clause from
+    // value; stand-in: retail price from size, nulls injected). Closed-form
+    // slope/intercept match DuckDB regr_slope/regr_intercept.
+    "q_linreg_impute" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .withColumn("maybe_price",
+          when(col("p_partkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("p_retailprice")))
+      Impute.logLogImpute(p, "p_size", "maybe_price", "price_filled")
+        .select(col("p_partkey"), col("p_size"), col("maybe_price"),
+          col("price_filled"), col("was_imputed"), col("slope"), col("intercept"))
+        .orderBy(col("p_partkey"))
     })
   )
 
@@ -74,6 +88,26 @@ object FeatureQueries extends QueryPack {
         |FROM customer c JOIN b2 b
         |  ON c.c_mktsegment = b.c_mktsegment
         | AND c_acctbal >= b.lower AND c_acctbal < b.upper
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_linreg_impute" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_size,
+        |    CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_retailprice END AS maybe_price
+        |  FROM part
+        |), c AS (
+        |  SELECT ROUND(regr_slope(ln(maybe_price), ln(p_size)), 6) AS slope,
+        |    ROUND(avg(ln(maybe_price))
+        |      - ROUND(regr_slope(ln(maybe_price), ln(p_size)), 6) * avg(ln(p_size)),
+        |      6) AS intercept
+        |  FROM p WHERE maybe_price IS NOT NULL
+        |)
+        |SELECT p_partkey, p_size, maybe_price,
+        |  CASE WHEN maybe_price IS NOT NULL THEN maybe_price
+        |       ELSE ROUND(exp(intercept + slope * ln(p_size)), 6) END AS price_filled,
+        |  CAST(maybe_price IS NULL AS INT) AS was_imputed,
+        |  slope, intercept
+        |FROM p CROSS JOIN c
+        |ORDER BY p_partkey""".stripMargin
   )
 }

@@ -89,22 +89,45 @@ object MiscQueries extends QueryPack {
 
     // Two-sample Kolmogorov–Smirnov statistic in pure SQL (ref: modelling_2
     // cell 17 KS test): D = max |F1 − F2| over the pooled sorted sample.
-    // Scale note: the global running window is the textbook form; at 100 TB
-    // the same pattern runs per stratification key.
+    //
+    // Distributed form — no global single-task sort. Per-row prefix maxima
+    // are attained at (price, is_f) RUN ENDS (within a run only one CDF
+    // moves, and |F1−F2| along a path where one coordinate is monotone
+    // peaks at an endpoint), so it suffices to pre-aggregate counts per
+    // (price, is_f) and prefix-sum those. The prefix sum itself is the
+    // classic two-pass: range-bucket the price axis, per-bucket totals →
+    // a tiny offsets frame (one global window over ~560 aggregated rows),
+    // then a per-bucket window adds local cumulative to the bucket offset.
+    // At 100 TB the bucket boundaries come from a range sampler instead of
+    // a fixed width; the shape (and the oracle output) is unchanged.
     "q_ks_test" -> ((s, dir) => {
       val o = t(s, dir, "orders").filter(col("o_orderstatus").isin("F", "O"))
-        .select(col("o_orderkey"), col("o_totalprice"),
+        .select(col("o_totalprice"),
           (col("o_orderstatus") === "F").cast("int").as("is_f"))
+      val r = o.groupBy(col("o_totalprice"), col("is_f"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("bucket", floor(col("o_totalprice") / 1000).cast("long"))
+      val btot = r.groupBy(col("bucket"))
+        .agg(sum(col("is_f") * col("cnt")).as("bf"),
+          sum((lit(1) - col("is_f")) * col("cnt")).as("bo"))
+      val wOff = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = btot
+        .withColumn("off_f", coalesce(sum(col("bf")).over(wOff), lit(0L)))
+        .withColumn("off_o", coalesce(sum(col("bo")).over(wOff), lit(0L)))
+        .select(col("bucket"), col("off_f"), col("off_o"))
       val n = o.groupBy().agg(
         sum(col("is_f")).as("n_f"),
         sum(lit(1) - col("is_f")).as("n_o"))
-      val w = Window.orderBy(col("o_totalprice"), col("is_f"), col("o_orderkey"))
+      val wLoc = Window.partitionBy(col("bucket"))
+        .orderBy(col("o_totalprice"), col("is_f"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      o.crossJoin(n)
-        .withColumn("cum_f", sum(col("is_f")).over(w) / col("n_f"))
-        .withColumn("cum_o", sum(lit(1) - col("is_f")).over(w) / col("n_o"))
+      r.join(broadcast(off), Seq("bucket"))
+        .withColumn("cum_f", sum(col("is_f") * col("cnt")).over(wLoc) + col("off_f"))
+        .withColumn("cum_o", sum((lit(1) - col("is_f")) * col("cnt")).over(wLoc) + col("off_o"))
+        .crossJoin(broadcast(n))
         .groupBy()
-        .agg(r6(max(abs(col("cum_f") - col("cum_o")))).as("ks_d"),
+        .agg(r6(max(abs(col("cum_f") / col("n_f") - col("cum_o") / col("n_o")))).as("ks_d"),
           max(col("n_f")).as("n_f"), max(col("n_o")).as("n_o"))
     }),
 
@@ -136,16 +159,40 @@ object MiscQueries extends QueryPack {
     // A11 — Spearman correlation as corr of row-number ranks (deterministic
     // tie-break by key; pandas average-rank ties differ — documented
     // divergence, SURVEY.md §7.4 item 4 analogue).
+    //
+    // Distributed ranking — no window partitioned by the 3-value flag.
+    // rank(row) = (#rows in the flag group with a smaller sort key) +
+    // (position within the tie/bucket group): the first term comes from a
+    // prefix sum over a SMALL aggregated frame (per (flag, quantity) for
+    // rq — ~50 distinct quantities; per (flag, price-bucket) for rp —
+    // price is continuous, so a fixed-width range bucket stands in for the
+    // tie group), the second from a window partitioned by the
+    // high-cardinality (flag, value-bucket) key. Offsets broadcast back.
     "q_spearman" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val wq = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      val wp = Window.partitionBy(col("l_returnflag"))
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("pbucket", floor(col("l_extendedprice") / 1000).cast("long"))
+      val wqOff = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val qOff = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("qoff", coalesce(sum(col("cnt")).over(wqOff), lit(0L)))
+        .select(col("l_returnflag"), col("l_quantity"), col("qoff"))
+      val wpOff = Window.partitionBy(col("l_returnflag")).orderBy(col("pbucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pOff = li.groupBy(col("l_returnflag"), col("pbucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("poff", coalesce(sum(col("cnt")).over(wpOff), lit(0L)))
+        .select(col("l_returnflag"), col("pbucket"), col("poff"))
+      val wqLoc = Window.partitionBy(col("l_returnflag"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val wpLoc = Window.partitionBy(col("l_returnflag"), col("pbucket"))
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      li.select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rq", row_number().over(wq).cast("double"))
-        .withColumn("rp", row_number().over(wp).cast("double"))
+      li.join(broadcast(qOff), Seq("l_returnflag", "l_quantity"))
+        .join(broadcast(pOff), Seq("l_returnflag", "pbucket"))
+        .withColumn("rq", (col("qoff") + row_number().over(wqLoc)).cast("double"))
+        .withColumn("rp", (col("poff") + row_number().over(wpLoc)).cast("double"))
         .groupBy(col("l_returnflag"))
         .agg(r6(corr(col("rq"), col("rp"))).as("spearman"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))

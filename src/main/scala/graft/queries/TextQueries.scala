@@ -74,39 +74,47 @@ object TextQueries extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokens + distinct tokens + chars.
+    // graft_tokenstats computes the token stats in one native pass (the
+    // HOF twin recomputes the split per consumer — see TokenStats docs).
     "q_token_count" -> ((s, dir) => {
+      GraftExtensions.register(s)
       t(s, dir, "documents")
+        .withColumn("ts", expr("graft_tokenstats(text)"))
         .select(col("doc_id"),
-          expr(s"size(${tokensSpark("text")})").as("n_tokens"),
-          expr(s"size(array_distinct(${tokensSpark("text")}))").as("n_distinct"),
+          col("ts.n_tokens").as("n_tokens"),
+          col("ts.n_distinct").as("n_distinct"),
           length(col("text")).as("n_chars_calc"))
         .orderBy(col("doc_id"))
     }),
 
-    // Quality scoring: length/stopword/type-token-ratio heuristics.
+    // Quality scoring: length/stopword/type-token-ratio heuristics over
+    // the one-pass native token stats (all consumers are GetStructField).
     "q_quality_score" -> ((s, dir) => {
+      GraftExtensions.register(s)
       t(s, dir, "documents")
-        .withColumn("toks", expr(tokensSpark("text")))
+        .withColumn("ts", expr("graft_tokenstats(text)"))
         .select(col("doc_id"),
-          expr("size(toks)").as("n_tokens"),
-          r6(expr(s"CAST(${langScoreSpark("toks", stopwords)} AS DOUBLE) / size(toks)"))
+          col("ts.n_tokens").as("n_tokens"),
+          r6(col("ts.stop_hits").cast("double") / col("ts.n_tokens"))
             .as("stop_ratio"),
-          r6(expr("CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)"))
+          r6(col("ts.n_distinct").cast("double") / col("ts.n_tokens"))
             .as("ttr"),
-          r6((length(col("text")) - expr("size(toks)") + 1) /
-            expr("CAST(size(toks) AS DOUBLE)")).as("avg_token_len"),
+          r6((length(col("text")) - col("ts.n_tokens") + 1) /
+            col("ts.n_tokens").cast("double")).as("avg_token_len"),
           when(col("n_chars") < 200, "short")
             .when(col("n_chars") < 400, "medium")
             .otherwise("long").as("len_bin"))
         .orderBy(col("doc_id"))
     }),
 
-    // Language-ID: marker-vocabulary scoring + first-wins argmax.
+    // Language-ID: marker-vocabulary scoring + first-wins argmax; all five
+    // scores come from the single tokenstats pass.
     "q_lang_id" -> ((s, dir) => {
+      GraftExtensions.register(s)
       val scored = t(s, dir, "documents")
-        .withColumn("toks", expr(tokensSpark("text")))
-      val withScores = langMarkers.foldLeft(scored) { case (df, (l, words)) =>
-        df.withColumn(s"s_$l", expr(langScoreSpark("toks", words)))
+        .withColumn("ts", expr("graft_tokenstats(text)"))
+      val withScores = langMarkers.foldLeft(scored) { case (df, (l, _)) =>
+        df.withColumn(s"s_$l", col(s"ts.s_$l"))
       }
       withScores
         .withColumn("lang_pred", expr(langArgmax(l => s"s_$l")))
@@ -178,12 +186,13 @@ object TextQueries extends QueryPack {
     "q_corpus_clean" -> ((s, dir) => {
       GraftExtensions.register(s)
       val qual = t(s, dir, "documents")
-        .withColumn("toks", expr(tokensSpark("text")))
-        .withColumn("n_tokens", expr("size(toks)"))
+        .withColumn("ts", expr("graft_tokenstats(text)"))
+        .withColumn("n_tokens", col("ts.n_tokens"))
         .withColumn("stop_ratio",
-          expr(s"CAST(${langScoreSpark("toks", stopwords)} AS DOUBLE) / size(toks)"))
+          col("ts.stop_hits").cast("double") / col("ts.n_tokens"))
         .filter(col("n_tokens") >= 30 && col("stop_ratio") <= 0.4)
         .withColumn("fp", expr(charHashSpark("text")))
+        .drop("ts")
       val exact = graft.quality.Checks.dedupKeepFirst(qual, Seq("fp"), Seq("doc_id"))
       val pairs = lshCandidatePairs(signatures(exact.select(col("doc_id"), col("text"))))
       val toksets = exact.select(col("doc_id"),
@@ -230,10 +239,14 @@ object TextQueries extends QueryPack {
     // N-gram (token-set) Jaccard near-dup lookup for a probe sample,
     // blocked by language — the oracle-checkable, bounded variant of
     // pairwise similarity (probes × same-lang candidates, never n²).
+    // Token sets are SORTED DISTINCT HASH arrays: the O(|a|+|b|) merge
+    // kernel (graft_jaccard_sorted) replaces per-pair set builds, the
+    // sort is paid once per row, and the small probe side broadcasts so
+    // candidates never shuffle for the join.
     "q_ngram_jaccard" -> ((s, dir) => {
       GraftExtensions.register(s)
       val toks = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-        expr(s"array_distinct(${tokensSpark("text")})").as("tset"))
+        expr(s"array_sort(array_distinct(${tokenHashesSpark("text")}))").as("tset"))
       val probes = toks.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("probe_id"), col("lang"), col("tset").as("ta"))
       val cands = toks
@@ -241,9 +254,10 @@ object TextQueries extends QueryPack {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("probe_id"))
         .orderBy(col("jac").desc, col("cand_id"))
-      probes.join(cands, Seq("lang"))
+      cands.join(broadcast(probes), Seq("lang"))
         .filter(col("probe_id") =!= col("cand_id"))
-        .withColumn("jac", r6(expr("graft_jaccard(ta, tb)")))
+        .select(col("probe_id"), col("cand_id"),
+          r6(expr("graft_jaccard_sorted(ta, tb)")).as("jac"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("probe_id"), col("cand_id"), col("jac"), col("rnk"))
@@ -404,7 +418,7 @@ object TextQueries extends QueryPack {
 
     "q_ngram_jaccard" ->
       s"""WITH toks AS (
-         |  SELECT doc_id, lang, list_distinct(${tokensDuck("text")}) AS tset FROM documents
+         |  SELECT doc_id, lang, list_distinct(${tokenHashesDuck("text")}) AS tset FROM documents
          |), scored AS (
          |  SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
          |    ROUND(${jaccardDuck("p.tset", "c.tset")}, 6) AS jac

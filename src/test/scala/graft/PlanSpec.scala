@@ -53,6 +53,35 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() < Tables(spark, dir, "orders").count())
   }
 
+  test("KS and Spearman never window-sort raw rows in a single task") {
+    // Guard for the distributed prefix-sum forms: a Window with an EMPTY
+    // partition spec sorts its whole input into one task, which is only
+    // acceptable over a pre-aggregated (bucket-totals) frame. Every other
+    // window must partition by more than the 3-value return flag.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def hasAggBelow(p: SparkPlan): Boolean =
+      p.collectFirst { case a: BaseAggregateExec => a }.isDefined
+    for (q <- Seq("q_ks_test", "q_spearman")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan match {
+        // AQE wraps the whole query; collect() does not descend into it
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q: expected window operators")
+      windows.foreach { w =>
+        if (w.partitionSpec.isEmpty || w.partitionSpec.size == 1 &&
+          w.partitionSpec.head.references.exists(_.name == "l_returnflag")) {
+          assert(hasAggBelow(w.child),
+            s"$q: global/low-cardinality window over raw rows:\n$w")
+        }
+      }
+    }
+  }
+
   test("bucketed fact-fact join is shuffle-free") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     Bucketing.writeBucketed(

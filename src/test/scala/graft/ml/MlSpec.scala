@@ -63,4 +63,72 @@ class MlSpec extends SparkSpec {
     assert(auc >= 0.0 && auc <= 1.0)
     assert(preds.columns.contains("prediction"))
   }
+
+  test("balanced weights: per-class totals equal (sklearn class_weight='balanced')") {
+    val df = (1 to 90).map(i => (if (i <= 75) 0.0 else 1.0, i.toDouble)).toDF("label", "x")
+    val w = Pipelines.withBalancedWeights(df)
+    val sums = w.groupBy("label").agg(sum("class_weight").as("sw"))
+      .select("sw").as[Double].collect()
+    // each class's weights sum to n/k = 45
+    assert(sums.forall(s => math.abs(s - 45.0) < 1e-9))
+  }
+
+  test("balanced LR trains with weightCol and predicts") {
+    val events = Tables(spark, sf("sf0.001"), "events")
+    val data = Pipelines.withBalancedWeights(Pipelines.eventFeatures(events))
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("value", "hour_sin", "hour_cos"))
+      .setOutputCol("features").transform(data)
+    val model = Pipelines.balancedLr().setFeaturesCol("features").fit(assembled)
+    assert(model.transform(assembled).columns.contains("prediction"))
+  }
+
+  test("accuracy evaluator returns a value in [0,1]") {
+    val events = Tables(spark, sf("sf0.001"), "events")
+    val data = Pipelines.eventFeatures(events)
+    val model = Pipelines.playsPipeline().fit(data)
+    val acc = Pipelines.accuracy(model.transform(data))
+    assert(acc >= 0.0 && acc <= 1.0)
+  }
+
+  test("SelectKBest(f_classif): keeps exactly k features") {
+    val events = Tables(spark, sf("sf0.001"), "events")
+    val data = Pipelines.eventFeatures(events)
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("value", "hour_sin", "hour_cos"))
+      .setOutputCol("features_std").transform(data)
+    val sel = Pipelines.selectKBest(2).fit(assembled)
+    val out = sel.transform(assembled)
+      .select("features_sel").head.getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(out.size === 2)
+    assert(sel.selectedFeatures.length === 2)
+  }
+
+  test("PCA k from explained variance: minimal k reaching the threshold") {
+    val events = Tables(spark, sf("sf0.001"), "events")
+    val data = Pipelines.eventFeatures(events)
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("value", "hour_sin", "hour_cos"))
+      .setOutputCol("features_std").transform(data)
+    val k = Pipelines.pcaKForVariance(assembled, "features_std", 0.95)
+    assert(k >= 1 && k <= 3)
+    // cumulative variance at k reaches the threshold, at k-1 it does not
+    val full = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features_std").setOutputCol("p").setK(3).fit(assembled)
+    val cum = full.explainedVariance.toArray.scanLeft(0.0)(_ + _).drop(1)
+    assert(cum(k - 1) >= 0.95 || k == 3)
+    if (k > 1) assert(cum(k - 2) < 0.95)
+  }
+
+  test("playsPipelineAuto: variance-k PCA + balanced LR end-to-end") {
+    val events = Tables(spark, sf("sf0.001"), "events")
+    val data = Pipelines.withBalancedWeights(Pipelines.eventFeatures(events))
+    val (train, test) = GroupedFolds.groupSplit(data, "user_id", 0.8, seed = 7)
+    val (pipe, k) = Pipelines.playsPipelineAuto(train)
+    assert(k >= 1 && k <= 3)
+    val preds = pipe.fit(train).transform(test)
+    assert(preds.columns.contains("prediction"))
+    val auc = Pipelines.auc(preds)
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
 }
