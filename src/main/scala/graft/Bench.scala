@@ -12,13 +12,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement: one untimed warmup pass over the whole suite (JIT /
   * codegen-cache / parquet footers), then 3 timed SUITE passes and the
-  * per-query MEDIAN across passes. Single-run timings at sub-second query
-  * cost are dominated by JIT and scheduler noise (identical plans read 4×
-  * apart between two harnesses in round 1), and the passes are interleaved
-  * rather than per-query back-to-back so a transient stall (GC, OS) lands
-  * on different queries in different passes and the median discards it.
-  * The recorded BASELINE.md numbers use this same methodology, so baseline
-  * and driver runs are comparable.
+  * per-query MIN across passes. Single-run timings at sub-second query
+  * cost are dominated by JIT, GC and scheduler noise (identical plans read
+  * 2-4× apart between runs in round 1/2 experiments); the min is the
+  * statistic that converges to the plan's actual cost, and the passes are
+  * interleaved rather than per-query back-to-back so a transient stall
+  * lands on different queries in different passes. The recorded
+  * BASELINE.md numbers use this same methodology, so baseline and driver
+  * runs are comparable.
   */
 object Bench {
   private val timedPasses = 3
@@ -63,8 +64,8 @@ object Bench {
       }.toMap
     }
     val results = selected.map { case (name, _) =>
-      val ts = timings.flatMap(_.get(name)).sorted
-      name -> (if (ts.isEmpty) 0.0 else ts(ts.size / 2))
+      val ts = timings.flatMap(_.get(name))
+      name -> (if (ts.isEmpty) 0.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -24,26 +24,40 @@ object JdbcSink {
       foreignKeys: Seq[(String, String, String)] = Nil, // (col, refTable, refCol)
       checks: Seq[String] = Nil)
 
-  def sqlType(dt: DataType): String = dt match {
-    case StringType => "VARCHAR"
-    case IntegerType => "INT"
-    case LongType => "BIGINT"
-    case DoubleType => "DOUBLE PRECISION"
-    case FloatType => "REAL"
-    case BooleanType => "BOOL"
-    case TimestampType => "TIMESTAMP"
-    case DateType => "DATE"
-    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-    case BinaryType => "BYTEA"
-    case other => other.sql
+  /** Target-database dialects for the emitted DDL. Postgres is the
+    * reference's target (etl/load.py); Derby is the embedded database the
+    * round-trip spec executes against (no bare VARCHAR, BOOLEAN not BOOL,
+    * BLOB not BYTEA). */
+  sealed trait Dialect
+  case object Postgres extends Dialect
+  case object Derby extends Dialect
+
+  def sqlType(dt: DataType, dialect: Dialect = Postgres): String = (dt, dialect) match {
+    case (StringType, Postgres) => "VARCHAR"
+    case (StringType, Derby) => "VARCHAR(512)"
+    case (IntegerType, _) => "INT"
+    case (LongType, _) => "BIGINT"
+    case (DoubleType, _) => "DOUBLE PRECISION"
+    case (FloatType, _) => "REAL"
+    case (BooleanType, Postgres) => "BOOL"
+    case (BooleanType, Derby) => "BOOLEAN"
+    case (TimestampType, _) => "TIMESTAMP"
+    case (DateType, _) => "DATE"
+    case (d: DecimalType, _) => s"DECIMAL(${d.precision},${d.scale})"
+    case (BinaryType, Postgres) => "BYTEA"
+    case (BinaryType, Derby) => "BLOB"
+    case (other, _) => other.sql
   }
 
   /** CREATE TABLE with PK/FK/CHECK, the constraint surface Spark's writer
     * drops (ref DDL shape: etl/load.py:112-472). */
-  def createTableDdl(spec: TableSpec): String = {
+  def createTableDdl(spec: TableSpec, dialect: Dialect = Postgres): String = {
     val cols = spec.schema.fields.map { f =>
-      val nullable = if (f.nullable) "" else " NOT NULL"
-      s"  ${f.name} ${sqlType(f.dataType)}$nullable"
+      // Derby insists PK columns are declared NOT NULL (42831); Postgres
+      // implies it, so the emitted Postgres DDL is left as the ref's shape
+      val forceNotNull = dialect == Derby && spec.primaryKey.contains(f.name)
+      val nullable = if (f.nullable && !forceNotNull) "" else " NOT NULL"
+      s"  ${f.name} ${sqlType(f.dataType, dialect)}$nullable"
     }
     val pk =
       if (spec.primaryKey.isEmpty) Nil

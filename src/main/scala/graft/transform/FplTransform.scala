@@ -13,8 +13,10 @@ import graft.sources.Sources
   * Differences from the reference are architectural, not semantic: the 11
   * outputs are projections of one Catalyst-optimized plan instead of 11
   * eagerly-materialized pickles; fixture/team/position joins are
-  * broadcast; validation (V1/V2/V3) runs as distributed aggregations with
-  * the reference's raise-vs-log toggle (etl/run_transform.py:43-46).
+  * broadcast; V3 warnings ride along with the first action via `observe`
+  * (run() triggers no job), and V1/V2 validation is the explicit
+  * [[validate]] step with the reference's raise-vs-log toggle
+  * (etl/run_transform.py:43-46).
   *
   * Scale notes: the only shuffles are the league-table group-sum and the
   * players_full dedup window (partitioned by the PK); everything else is
@@ -39,8 +41,35 @@ object FplTransform {
   def lenientTs(c: Column): Column =
     try_to_timestamp(trim(regexp_replace(c, "[TZ]", " ")))
 
+  /** V3 warning WITHOUT an eager job: a CollectMetrics (`observe`) node
+    * piggy-backs the violation count on whatever action first materializes
+    * the frame, and a one-shot listener turns it into `warn`. run(...)
+    * stays fully lazy — no Spark job until an output is acted on. */
+  private def warnOnMaterialize(df: DataFrame, metric: Column,
+      msg: Long => String, warn: String => Unit): DataFrame = {
+    val name = s"fpl_v3_${java.util.UUID.randomUUID().toString.take(8)}"
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val mgr = df.sparkSession.listenerManager
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get(name).foreach { row =>
+          if (fired.compareAndSet(false, true)) {
+            val n = row.getAs[Long]("n")
+            if (n > 0) warn(msg(n))
+            mgr.unregister(this)
+          }
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    mgr.register(listener)
+    df.observe(name, coalesce(sum(metric.cast("long")), lit(0L)).as("n"))
+  }
+
   def run(fixturesRaw: DataFrame, mainRaw: DataFrame, playersRaw: DataFrame,
-      raiseErrors: Boolean = true,
       warn: String => Unit = m => System.err.println(m)): Map[String, DataFrame] = {
 
     // ---- fixtures (ref :87-129) -------------------------------------
@@ -60,10 +89,13 @@ object FplTransform {
       col("team_a_difficulty").as("away_team_difficulty"))
 
     // V3 — postponed fixtures warning (null gameweek), then keep all rows
-    // (the ref warns here and drops only in players_future, :119-129)
-    val nPostponed = fixturesAll.filter(col("gameweek_id").isNull).count()
-    if (nPostponed > 0) warn(s"[fpl] $nPostponed fixtures with null gameweek (postponed)")
-    val fixtures = fixturesAll.persist()
+    // (the ref warns here and drops only in players_future, :119-129);
+    // emitted lazily on first materialization, no job at build time.
+    // observe sits ABOVE persist: metrics inside a cached subtree would be
+    // hidden behind InMemoryTableScan and never reach the listener.
+    val fixtures = warnOnMaterialize(fixturesAll.persist(),
+      col("gameweek_id").isNull,
+      n => s"[fpl] $n fixtures with null gameweek (postponed)", warn)
 
     // ---- gameweeks / teams / positions / players_summary (ref :135-240)
     val gameweeks = Sources.explodeChild(
@@ -187,12 +219,14 @@ object FplTransform {
         col("finished").as("fixture_finished"),
         col("difficulty"),
         lenientTs(col("kickoff_time")).as("kickoff"))
-    // F1 — drop null-gameweek (postponed) rows, with count logging
-    val nDropped = playersFutureRaw.filter(col("gameweek_id").isNull).count()
-    if (nDropped > 0) warn(s"[fpl] dropping $nDropped future rows with null gameweek")
+    // F1 — drop null-gameweek (postponed) rows, with lazy count logging
+    // (the observe node sits above the pre-filter frame, so the dropped
+    // count rides along with the first action on players_future)
     val fixByLong = fixtures.select(
       col("fixture_id_long"), col("fixture_id"))
-    val playersFuture = playersFutureRaw
+    val playersFuture = warnOnMaterialize(playersFutureRaw,
+      col("gameweek_id").isNull,
+      n => s"[fpl] dropping $n future rows with null gameweek", warn)
       .filter(col("gameweek_id").isNotNull)
       .join(broadcast(fixByLong), Seq("fixture_id_long"), "inner") // J2
 
@@ -238,25 +272,33 @@ object FplTransform {
       "team_results" -> teamResults,
       "league_table" -> leagueTable)
 
-    // ---- V1/V2 validation layer (ref :462-506) -----------------------
-    val pks: Map[String, Seq[String]] = Map(
-      "fixtures" -> Seq("fixture_id"),
-      "gameweeks" -> Seq("gameweek_id"),
-      "teams" -> Seq("team_id"),
-      "positions" -> Seq("position_id"),
-      "players_summary" -> Seq("player_id"),
-      "players_prev_seasons" -> Seq("player_id", "season_name"),
-      "players_past" -> Seq("player_id", "fixture_id"),
-      "players_future" -> Seq("player_id", "fixture_id"),
-      "players_full" -> Seq("player_id", "gameweek_id", "fixture_id"),
-      "team_results" -> Seq("team_id"),
-      "league_table" -> Seq("team_id"))
-    pks.foreach { case (name, pk) =>
-      Checks.enforce(s"$name unique PK ${pk.mkString(",")}",
-        Checks.isUniqueKey(out(name), pk), raiseErrors, warn)
-      Checks.enforce(s"$name non-null PK ${pk.mkString(",")}",
-        Checks.hasNoNullKeys(out(name), pk), raiseErrors, warn)
-    }
     out
   }
+
+  /** PK contract per output table (ref DDL: etl/load.py:112-472). */
+  val primaryKeys: Map[String, Seq[String]] = Map(
+    "fixtures" -> Seq("fixture_id"),
+    "gameweeks" -> Seq("gameweek_id"),
+    "teams" -> Seq("team_id"),
+    "positions" -> Seq("position_id"),
+    "players_summary" -> Seq("player_id"),
+    "players_prev_seasons" -> Seq("player_id", "season_name"),
+    "players_past" -> Seq("player_id", "fixture_id"),
+    "players_future" -> Seq("player_id", "fixture_id"),
+    "players_full" -> Seq("player_id", "gameweek_id", "fixture_id"),
+    "team_results" -> Seq("team_id"),
+    "league_table" -> Seq("team_id"))
+
+  /** V1/V2 validation layer (ref :462-506) as an EXPLICIT post-hoc step in
+    * the quality layer — `run(...)` itself stays lazy (plan construction
+    * triggers no jobs); callers validate once before publishing, exactly
+    * where the reference validates before load. */
+  def validate(tables: Map[String, DataFrame], raiseErrors: Boolean = true,
+      warn: String => Unit = m => System.err.println(m)): Unit =
+    primaryKeys.foreach { case (name, pk) =>
+      Checks.enforce(s"$name unique PK ${pk.mkString(",")}",
+        Checks.isUniqueKey(tables(name), pk), raiseErrors, warn)
+      Checks.enforce(s"$name non-null PK ${pk.mkString(",")}",
+        Checks.hasNoNullKeys(tables(name), pk), raiseErrors, warn)
+    }
 }

@@ -38,6 +38,22 @@ class FuzzyMatchPipelineSpec extends SparkSpec {
     assert(out.filter($"lid" === 2L).count() === 1)
   }
 
+  test("scoring runs through the native expression — no ScalaUDF in the plan") {
+    val out = FuzzyMatchPipeline.bestMatches(
+      left, right, "lid", "rid", "llong", "rlong", "lshort", "rshort",
+      blockCol = Some("blk"), threshold = 60.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"pipeline must score via graft_token_set_ratio, not a UDF:\n$plan")
+    assert(plan.contains("graft_token_set_ratio"), s"native expr missing:\n$plan")
+    // identical scores to the UDF kernel path on the same pairs
+    val udfScore = graft.functions.FuzzyMatch.tokenSetRatio("mohamed salah", "mo salah")
+      .max(graft.functions.FuzzyMatch.tokenSetRatio("m salah", "m. salah"))
+    val got = out.filter($"lid" === 2L).collect().head.getDouble(2)
+    assert(math.abs(got - BigDecimal(udfScore).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("blocking prevents cross-block matches") {
     // without blocking, lid=3 could weakly match b1 names; with blocking it
     // only sees b2 — and stays below threshold
