@@ -61,4 +61,28 @@ object Sources {
   /** S8/K2 — parquet intermediate handoff (the ref's pickle). */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** K3 — publish a landing file to a target filesystem under a
+    * run-id-suffixed name (ref: fpltools/utils.py:26-61 S3 upload, with
+    * retrieval by LastModified; encoding the run id IN the name instead is
+    * idempotent and safe under eventual consistency, and works on any
+    * Hadoop filesystem — local, hdfs, s3a). [[latestByPrefix]] is the
+    * matching read side. */
+  def publishWithRunId(spark: SparkSession, localFile: String, destDir: String,
+      prefix: String, runId: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = new Path(destDir)
+    val fs = dest.getFileSystem(conf)
+    fs.mkdirs(dest)
+    val src = new Path(localFile)
+    val name = src.getName
+    val ext = name.lastIndexOf('.') match {
+      case -1 => ""
+      case i => name.substring(i)
+    }
+    val out = new Path(dest, s"${prefix}_$runId$ext")
+    org.apache.hadoop.fs.FileUtil.copy(
+      src.getFileSystem(conf), src, fs, out, false, true, conf)
+    out.toString
+  }
 }

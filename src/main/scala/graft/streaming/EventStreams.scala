@@ -35,4 +35,16 @@ object EventStreams {
       .select(unix_micros(col("w.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total_value"))
   }
+
+  /** Streaming exact-dedup on a key set — the incremental twin of the
+    * batch hash-groupBy dedup in the training-data pipeline. State is
+    * BOUNDED: dropDuplicatesWithinWatermark keeps a key only until the
+    * watermark passes it, so a forever-running ingest job holds hours of
+    * keys, not the corpus. (Plain dropDuplicates on a stream would grow
+    * state without bound — the scale-wrong formulation.) */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 }

@@ -48,6 +48,21 @@ class SourcesSpec extends SparkSpec {
       Seq((1, "x", 1.5), (2, "y", 2.5)))
   }
 
+  test("K3: publishWithRunId round-trips through latestByPrefix") {
+    val src = Files.createTempDirectory("graft-pub-src")
+    val dest = Files.createTempDirectory("graft-pub-dest").toString
+    val f = src.resolve("main.json")
+    Files.writeString(f, """{"k":"v"}""")
+    val p1 = Sources.publishWithRunId(spark, f.toString, dest, "main", "20240101-000000")
+    val p2 = Sources.publishWithRunId(spark, f.toString, dest, "main", "20240301-120000")
+    assert(p1.endsWith("main_20240101-000000.json"))
+    // read side: latest run id wins, content is byte-exact
+    val latest = Sources.latestByPrefix(spark, dest, "main_")
+    assert(latest.contains(p2))
+    val p2Local = p2.stripPrefix("file:")
+    assert(Files.readString(java.nio.file.Paths.get(p2Local)) === """{"k":"v"}""")
+  }
+
   test("latestByPrefix: picks greatest timestamp-suffixed name") {
     val dir = Files.createTempDirectory("graft-latest").toString
     Seq("main_20240101-000000.json", "main_20240301-120000.json",

@@ -42,4 +42,30 @@ class EventStreamsSpec extends SparkSpec {
       .collect()
     assert(got.toSeq === expected.toSeq)
   }
+
+  test("dedupWithinWatermark: duplicate keys collapse to one row per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val batchEvents = Tables(spark, sf("sf0.001"), "events")
+    // inject duplicates: every event twice (the batch exact-dedup scenario)
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    batchEvents.unionByName(batchEvents)
+      .write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(dir)
+    val query = EventStreams.dedupWithinWatermark(streamed, Seq("event_id"))
+      .writeStream
+      .format("memory")
+      .queryName("dedup_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val got = spark.table("dedup_test")
+    assert(got.count() === batchEvents.count())
+    assert(got.groupBy($"event_id").count().filter($"count" > 1).isEmpty)
+  }
 }
