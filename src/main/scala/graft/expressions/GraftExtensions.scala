@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_jaccard_sorted"), SortedLongJaccard.info,
         SortedLongJaccard.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_heavy_hitters"), HeavyHitters.info,
+        HeavyHitters.builder))
     ext.injectOptimizerRule(_ => JaccardFusionRule)
   }
 }
@@ -49,6 +52,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_token_set_ratio", TokenSetRatioExpr.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_tokenstats", TokenStats.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard_sorted", SortedLongJaccard.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_heavy_hitters", HeavyHitters.builder, "built-in")
     // install the fusion rule too, so both registration paths behave alike
     if (!spark.experimental.extraOptimizations.contains(JaccardFusionRule)) {
       spark.experimental.extraOptimizations =

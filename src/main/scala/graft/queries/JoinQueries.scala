@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.QueryKit._
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Join coverage (SURVEY.md §2.5): outer joins, semi/anti, intersect,
   * role-playing self joins, theta/cartesian, and the as-of join.
@@ -22,6 +22,25 @@ object JoinQueries extends QueryPack {
     Tables(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Interval (range) join via the bucketed equi-join operator — the
+    // non-equi join Spark would otherwise plan as a nested loop /
+    // cartesian. Shipments falling inside sampled 7-day promo windows,
+    // counted per window. PlanSpec asserts the plan has no
+    // CartesianProduct / BroadcastNestedLoop.
+    "q_range_join" -> ((s, dir) => {
+      val epoch = to_date(lit("1990-01-01"))
+      val li = t(s, dir, "lineitem")
+        .select(datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"))
+      val iv = t(s, dir, "orders").filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey").as("promo_id"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 7)
+      RangeJoin.bucketed(li, iv, col("ship_day"), col("lo"), col("hi"), 7L)
+        .groupBy(col("promo_id"))
+        .agg(count(lit(1)).as("n_ships"))
+        .orderBy(col("promo_id"))
+    }),
 
     // J3 — left join with genuinely unmatched rows (ref: attach position_id
     // etl/run_transform.py:361-364). Build side filtered → nulls appear.
@@ -132,6 +151,19 @@ object JoinQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH li AS (
+        |  SELECT date_diff('day', DATE '1990-01-01', l_shipdate) AS ship_day FROM lineitem
+        |), iv AS (
+        |  SELECT o_orderkey AS promo_id,
+        |    date_diff('day', DATE '1990-01-01', o_orderdate) AS lo,
+        |    date_diff('day', DATE '1990-01-01', o_orderdate) + 7 AS hi
+        |  FROM orders WHERE o_orderkey % 199 = 0
+        |)
+        |SELECT promo_id, COUNT(*) AS n_ships
+        |FROM li JOIN iv ON ship_day BETWEEN lo AND hi
+        |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
+
     "q_join_left" ->
       """SELECT o_orderkey, o_custkey, c_name
         |FROM orders LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) r

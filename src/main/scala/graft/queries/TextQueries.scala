@@ -207,6 +207,20 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact vocabulary top-k: explode tokens → count → top 20. The exact
+    // anchor for the SpaceSaving sketch (graft_heavy_hitters), which at
+    // 100 TB replaces this full token shuffle with one capacity-bounded
+    // summary per partition — HeavyHittersSpec pins sketch == exact when
+    // capacity covers the distinct vocabulary.
+    "q_token_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(expr(tokensSpark("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    }),
+
     // SimHash (16-bit) + blocking bucket (native single-pass kernel; the
     // HOF twin `simhash16Spark` remains the documented portable form).
     "q_simhash" -> ((s, dir) => {
@@ -396,6 +410,13 @@ object TextQueries extends QueryPack {
          |FROM ex
          |WHERE doc_id NOT IN (SELECT doc_b FROM verified WHERE jac >= 0.5)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_token_topk" ->
+      s"""WITH t AS (
+         |  SELECT unnest(${tokensDuck("text")}) AS token FROM documents
+         |)
+         |SELECT token, COUNT(*) AS cnt FROM t GROUP BY token
+         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     "q_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents)

@@ -82,6 +82,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("similarity/near-dup family plans stay off the quadratic path") {
+    // LSH dedup joins on band keys (equi), ngram-jaccard broadcasts the
+    // probe side, range join buckets the interval axis — none of them may
+    // degenerate into a cartesian or nested-loop pair explosion.
+    for (q <- Seq("q_dedup_minhash_lsh", "q_ngram_jaccard", "q_corpus_clean",
+        "q_range_join")) {
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop:\n$p")
+    }
+    val ngram = SparkEntry.queries("q_ngram_jaccard")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(ngram.contains("BroadcastHashJoin"),
+      s"probe side of q_ngram_jaccard must broadcast:\n$ngram")
+  }
+
   test("bucketed fact-fact join is shuffle-free") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     Bucketing.writeBucketed(
