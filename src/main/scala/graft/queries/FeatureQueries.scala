@@ -41,6 +41,24 @@ object FeatureQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // Deterministic hash-based stratified sampling — reproducible
+    // train/test selection with per-stratum rates (urgent 50%, high 25%,
+    // rest 10%). Seeded RNG sampling is run- and partitioning-dependent;
+    // a key-hash threshold is stable across engines, runs and cluster
+    // sizes, which is what a 100 TB split actually requires.
+    "q_stratified_sample" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("h",
+          expr("o_orderkey * 2654435761 % 1000000007 % 100"))
+        .withColumn("rate",
+          when(col("o_orderpriority") === "1-URGENT", 50)
+            .when(col("o_orderpriority") === "2-HIGH", 25)
+            .otherwise(10))
+        .filter(col("h") < col("rate"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Log-log OLS imputation (ref: EDA cells 50-59 — release_clause from
     // value; stand-in: retail price from size, nulls injected). Closed-form
     // slope/intercept match DuckDB regr_slope/regr_intercept.
@@ -89,6 +107,16 @@ object FeatureQueries extends QueryPack {
         |  ON c.c_mktsegment = b.c_mktsegment
         | AND c_acctbal >= b.lower AND c_acctbal < b.upper
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT o_orderkey, o_orderpriority FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    o_orderkey * 2654435761 % 1000000007 % 100 AS h,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 50
+        |         WHEN o_orderpriority = '2-HIGH' THEN 25
+        |         ELSE 10 END AS rate
+        |  FROM orders
+        |) WHERE h < rate ORDER BY o_orderkey""".stripMargin,
 
     "q_linreg_impute" ->
       """WITH p AS (

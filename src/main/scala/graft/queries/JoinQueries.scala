@@ -147,6 +147,31 @@ object JoinQueries extends QueryPack {
           col("asof_click_event_id").as("click_event_id"),
           col("asof_click_tkey").as("click_tkey"))
         .orderBy(col("event_id"))
+    }),
+
+    // J10 forward + tolerance — the rest of the pandas merge_asof surface:
+    // for each purchase, the NEXT click at/after it, nulled when farther
+    // than 2 days out. Same union+window shape, mirrored.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), Tables.tsMicros.as("tkey"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_event_id"), col("user_id"),
+          Tables.tsMicros.as("click_tkey"))
+      val twoDaysUs = 2L * 24 * 3600 * 1000000
+      val joined = AsOfJoin.forward(
+        left = purchases, right = clicks,
+        key = "user_id", leftTime = "tkey", rightTime = "click_tkey",
+        rightPayload = Seq("click_event_id", "click_tkey"),
+        leftTieBreak = "event_id", rightTieBreak = "click_event_id")
+      AsOfJoin.applyTolerance(joined, "tkey", "asof_click_tkey",
+        lit(twoDaysUs), Seq("asof_click_event_id", "asof_click_tkey"),
+        forwardDir = true)
+        .select(col("event_id"), col("user_id"), col("tkey"),
+          col("asof_click_event_id").as("next_click_event_id"),
+          col("asof_click_tkey").as("next_click_tkey"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -237,6 +262,34 @@ object JoinQueries extends QueryPack {
         |  FROM u
         |)
         |SELECT event_id, user_id, tkey, click_event_id, click_tkey
+        |FROM f WHERE is_left = 1 ORDER BY event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS tkey
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS click_event_id, user_id, epoch_ns(ts)//1000 AS click_tkey
+        |  FROM events WHERE event_type = 'click'
+        |), u AS (
+        |  SELECT user_id, tkey AS t, 1 AS is_left, 0 AS ord, event_id, tkey,
+        |         NULL::BIGINT AS r_id, NULL::BIGINT AS r_t FROM p
+        |  UNION ALL
+        |  SELECT user_id, click_tkey AS t, 0 AS is_left, 1 AS ord, NULL, NULL,
+        |         click_event_id, click_tkey FROM c
+        |), f AS (
+        |  SELECT *,
+        |    first_value(r_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, ord, r_id
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nid,
+        |    first_value(r_t IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, ord, r_id
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM u
+        |)
+        |SELECT event_id, user_id, tkey,
+        |  CASE WHEN nt IS NOT NULL AND nt - tkey <= 172800000000 THEN nid END AS next_click_event_id,
+        |  CASE WHEN nt IS NOT NULL AND nt - tkey <= 172800000000 THEN nt END AS next_click_tkey
         |FROM f WHERE is_left = 1 ORDER BY event_id""".stripMargin
   )
 }

@@ -141,6 +141,38 @@ object MiscQueries extends QueryPack {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // CUBE totals (beyond-reference; completes the grouping-sets family
+    // with q_rollup — Catalyst expands to grouping sets, one shuffle).
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // PIVOT wide reshape (beyond-reference — pandas pivot_table; the
+    // values are enumerated explicitly, so no extra distinct-values job
+    // and a deterministic schema).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // UNPIVOT/melt long reshape (beyond-reference — pandas melt; Spark
+    // Dataset.unpivot is the built-in since 3.4).
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "metric", "value")
+        .orderBy(col("p_partkey"), col("metric"))
+    }),
+
     // Scale-path approximate aggregates: HLL distinct + t-digest quantiles.
     // These are the 100 TB substitutes for exact countDistinct/percentile
     // (one pass, bounded sketch memory, no exact-sort). No SQL oracle —
@@ -271,6 +303,24 @@ object MiscQueries extends QueryPack {
          |  ${sql.dsum("l_quantity")} AS sum_qty, COUNT(*) AS n
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sql.dsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
 
     "q_spearman" ->
       """WITH r AS (

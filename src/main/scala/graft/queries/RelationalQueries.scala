@@ -104,6 +104,18 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    // Exact edit distance (beyond-reference — the exact-metric cousin of
+    // the token_set_ratio fuzzy family; Levenshtein is deterministic, so
+    // unlike the rapidfuzz kernel it is oracle-checkable directly).
+    "q_edit_distance" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          levenshtein(lower(col("p_name")),
+            regexp_replace(lower(col("p_name")), "[aeiou]", "")).as("vowel_dist"),
+          levenshtein(col("p_brand"), lit("Brand#00")).as("brand_dist"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // P12/P14/P20 — split→columns, dict-map lookup (missing→null), binning
     // (ref: EDA cell 42, etl/additional_fifa.py:40-61, helpers.py:86-94).
     "q_split_map_bin" -> ((s, dir) => {
@@ -222,6 +234,13 @@ object RelationalQueries extends QueryPack {
         |  CASE WHEN o_orderstatus <> 'O'
         |    THEN (CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) END AS big_when_closed
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_edit_distance" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(lower(p_name),
+        |    regexp_replace(lower(p_name), '[aeiou]', '', 'g')) AS INT) AS vowel_dist,
+        |  CAST(levenshtein(p_brand, 'Brand#00') AS INT) AS brand_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_string_ops" ->
       """SELECT p_partkey,

@@ -53,4 +53,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() === 4)
     assert(out.columns.toSet === Set("lid", "k", "t", "asof_rid"))
   }
+
+  test("forward: >= semantics, tie goes to smallest tiebreaker, null when none") {
+    val out = AsOfJoin.forward(left, right,
+      key = "k", leftTime = "t", rightTime = "rt",
+      rightPayload = Seq("rid", "rt"),
+      leftTieBreak = "lid", rightTieBreak = "rid")
+      .orderBy("lid")
+      .select("lid", "asof_rid")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+
+    assert(out.toSeq === Seq(
+      (1L, 10L), // t=100: rows 10,11 at 100 → first = smallest tiebreak 10
+      (2L, -1L), // t=200: no right row at/after 200
+      (3L, 14L), // t=150: 151 is the next at/after (149 is before)
+      (4L, -1L) // no right rows for key 3
+    ))
+  }
+
+  test("tolerance: matches beyond the horizon are nulled, closer ones kept") {
+    val joined = AsOfJoin.forward(left, right, "k", "t", "rt",
+      Seq("rid", "rt"), "lid", "rid")
+    val out = AsOfJoin.applyTolerance(joined, "t", "asof_rt",
+      org.apache.spark.sql.functions.lit(0L), Seq("asof_rid", "asof_rt"),
+      forwardDir = true)
+      .orderBy("lid").select("lid", "asof_rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // tol=0 → only exact-time matches survive
+    assert(out.toSeq === Seq((1L, 10L), (2L, -1L), (3L, -1L), (4L, -1L)))
+  }
 }
