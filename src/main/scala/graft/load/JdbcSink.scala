@@ -87,6 +87,30 @@ object JdbcSink {
     visited.toSeq.map(byName)
   }
 
+  /** Spark's built-in Derby dialect writes StringType as CLOB —
+    * setNull(CLOB) against the VARCHAR columns our DDL declares (PKs
+    * cannot be CLOB in Derby) fails on null strings. This dialect pins
+    * VARCHAR for strings and defers everything else to the common JDBC
+    * mappings (BIGINT/DOUBLE/TIMESTAMP/BOOLEAN are all Derby-valid). */
+  private object DerbyVarcharDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+    override def getJDBCType(dt: DataType): Option[org.apache.spark.sql.jdbc.JdbcType] =
+      dt match {
+        case StringType =>
+          Some(org.apache.spark.sql.jdbc.JdbcType("VARCHAR(512)", java.sql.Types.VARCHAR))
+        case BooleanType =>
+          Some(org.apache.spark.sql.jdbc.JdbcType("BOOLEAN", java.sql.Types.BOOLEAN))
+        case _ => None
+      }
+  }
+
+  private lazy val derbyDialectRegistered: Unit =
+    org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DerbyVarcharDialect)
+
+  /** Install the VARCHAR-mapping Derby dialect (idempotent). Call before
+    * writing/reading a `jdbc:derby:` URL through Spark. */
+  def registerDerbyDialect(): Unit = derbyDialectRegistered
+
   /** K4/K5 — column-contract projection + append into a pre-created table.
     * Partitioned writes parallelize across executors via numPartitions. */
   def write(df: DataFrame, url: String, table: String,

@@ -36,6 +36,23 @@ object EventStreams {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Built-in session windows — the declarative third form of
+    * sessionization next to the batch lag/cumsum query (q_sessionize) and
+    * the flatMapGroupsWithState custom state op (StatefulSessions); on a
+    * stream, state is evicted past the watermark like any windowed agg.
+    * Boundary semantics: session_window merges events STRICTLY closer
+    * than `gap` (windows [t, t+gap) merge on overlap), where the lag rule
+    * `diff > gap breaks` also keeps an exactly-gap-apart pair together —
+    * the spec triangulates with the aligned `>=` break. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val timed = withEventTime(events)
+    timed
+      .groupBy(col("user_id"), session_window(col("event_time"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
+        col("n_events"))
+  }
+
   /** Streaming exact-dedup on a key set — the incremental twin of the
     * batch hash-groupBy dedup in the training-data pipeline. State is
     * BOUNDED: dropDuplicatesWithinWatermark keeps a key only until the

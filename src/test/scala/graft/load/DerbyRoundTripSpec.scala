@@ -52,6 +52,7 @@ class DerbyRoundTripSpec extends SparkSpec with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
+    JdbcSink.registerDerbyDialect()
     // FK-safe create order: parents first
     JdbcSink.loadOrder(Seq(fixtures, teams))
       .foreach(s => exec(JdbcSink.createTableDdl(s, Derby)))

@@ -43,6 +43,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("sessionCounts (session_window) equals the lag/cumsum sessionization") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1800000000L
+    val ev = graft.Tables(spark, sf("sf0.001"), "events")
+      .select(col("event_id"), col("user_id"), graft.Tables.tsMicros.as("tkey"))
+    // lag/cumsum form with the `>=` break matching session_window's
+    // strict-overlap merge rule
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("tkey"), col("event_id"))
+    val wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = ev
+      .withColumn("new_sess",
+        when(lag(col("tkey"), 1).over(wo).isNull ||
+          col("tkey") - lag(col("tkey"), 1).over(wo) >= gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wrun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("tkey")).as("session_start_us"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start_us"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+      .as[(Long, Long, Long)].collect()
+    val got = EventStreams.sessionCounts(graft.Tables(spark, sf("sf0.001"), "events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+      .as[(Long, Long, Long)].collect()
+    assert(expected.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("dedupWithinWatermark: duplicate keys collapse to one row per key") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
