@@ -63,13 +63,21 @@ object TextQueries extends QueryPack {
       .distinct()
   }
 
-  /** Exact-Jaccard verification of candidate pairs against distinct token
-    * sets (graft_jaccard fused kernel). */
+  /** Exact-Jaccard verification of candidate pairs against SORTED DISTINCT
+    * TOKEN-HASH sets — the merge kernel (graft_jaccard_sorted) replaces
+    * per-pair set builds; the sort is paid once per doc. Jaccard over the
+    * hash sets equals Jaccard over the token sets (injective in practice),
+    * and both engines hash identically either way. */
   private def verifyPairs(pairs: DataFrame, toksets: DataFrame): DataFrame =
     pairs
       .join(toksets.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
       .join(toksets.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
-      .withColumn("jac", r6(expr("graft_jaccard(ta, tb)")))
+      .withColumn("jac", r6(expr("graft_jaccard_sorted(ta, tb)")))
+
+  /** Sorted distinct token-hash set per doc (verifyPairs input). */
+  private def hashedTokset(src: DataFrame): DataFrame =
+    src.select(col("doc_id"),
+      expr(s"array_sort(array_distinct(${tokenHashesSpark("text")}))").as("tset"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -171,8 +179,7 @@ object TextQueries extends QueryPack {
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       GraftExtensions.register(s)
       val pairs = lshCandidatePairs(signatures(t(s, dir, "documents")))
-      val toks = t(s, dir, "documents").select(col("doc_id"),
-        expr(s"array_distinct(${tokensSpark("text")})").as("tset"))
+      val toks = hashedTokset(t(s, dir, "documents"))
       verifyPairs(pairs, toks)
         .filter(col("jac") >= 0.3)
         .select(col("doc_a"), col("doc_b"), col("jac"))
@@ -195,8 +202,7 @@ object TextQueries extends QueryPack {
         .drop("ts")
       val exact = graft.quality.Checks.dedupKeepFirst(qual, Seq("fp"), Seq("doc_id"))
       val pairs = lshCandidatePairs(signatures(exact.select(col("doc_id"), col("text"))))
-      val toksets = exact.select(col("doc_id"),
-        expr(s"array_distinct(${tokensSpark("text")})").as("tset"))
+      val toksets = hashedTokset(exact.select(col("doc_id"), col("text")))
       val nearDups = verifyPairs(pairs, toksets)
         .filter(col("jac") >= 0.5)
         .select(col("doc_b").as("doc_id"))
@@ -309,7 +315,7 @@ object TextQueries extends QueryPack {
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
        |), toksets AS (
-       |  SELECT doc_id, list_distinct(${tokensDuck("text")}) AS tset FROM $toksrc
+       |  SELECT doc_id, list_distinct(${tokenHashesDuck("text")}) AS tset FROM $toksrc
        |), verified AS (
        |  SELECT doc_a, doc_b,
        |    ROUND(${jaccardDuck("ta.tset", "tb.tset")}, 6) AS jac
