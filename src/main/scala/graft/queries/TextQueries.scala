@@ -213,6 +213,53 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Document chunking: overlapping token windows (size 50, stride 40) —
+    // the pretraining-pipeline split of long documents into model-sized
+    // pieces. The repartition barrier materializes the token array once
+    // per doc (CollapseProject would otherwise re-tokenize per chunk);
+    // chunk rows then explode per partition with no further shuffle.
+    "q_doc_chunks" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", expr(tokensSpark("text")))
+        .select(col("doc_id"), col("toks"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, greatest(size(toks) - 10, 1), 40)")).as("start"))
+        .select(col("doc_id"), col("start"),
+          expr("size(slice(toks, start, 50))").as("chunk_len"),
+          expr(charHashSpark("concat_ws(' ', slice(toks, start, 50))")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("start"))
+    }),
+
+    // Context-length packing: concat-then-split docs (in doc_id order)
+    // into fixed 1024-token training sequences. The global prefix sum uses
+    // the same bucketed two-pass as the KS test — per-bucket totals, a
+    // tiny offsets window over ~n/100 aggregated rows, a per-bucket local
+    // window — so no single task ever sorts the corpus.
+    "q_seq_packing" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d = t(s, dir, "documents")
+        .withColumn("ts", expr("graft_tokenstats(text)"))
+        .select(col("doc_id"), col("ts.n_tokens").cast("long").as("n_tokens"))
+        .withColumn("bucket", (col("doc_id") / 100).cast("long"))
+      val btot = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
+      val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val off = btot
+        .withColumn("boff", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+        .select(col("bucket"), col("boff"))
+      val wLoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      d.join(broadcast(off), Seq("bucket"))
+        .withColumn("cum", sum(col("n_tokens")).over(wLoc) + col("boff"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(cum - n_tokens) DIV 1024").as("seq_id"),
+          ((col("cum") - col("n_tokens")) % 1024).as("offset_in_seq"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact vocabulary top-k: explode tokens → count → top 20. The exact
     // anchor for the SpaceSaving sketch (graft_heavy_hitters), which at
     // 100 TB replaces this full token shuffle with one capacity-bounded
@@ -416,6 +463,35 @@ object TextQueries extends QueryPack {
          |FROM ex
          |WHERE doc_id NOT IN (SELECT doc_b FROM verified WHERE jac >= 0.5)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, greatest(len(toks) - 10, 1), 40)) AS start
+         |  FROM d
+         |)
+         |SELECT doc_id, CAST(start AS INT) AS start,
+         |  len(toks[start:start + 49]) AS chunk_len,
+         |  ${charHashDuck("array_to_string(toks[start:start + 49], ' ')")} AS chunk_fp
+         |FROM s ORDER BY doc_id, start""".stripMargin,
+
+    "q_seq_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tokens,
+        |  (cum - n_tokens) // 1024 AS seq_id,
+        |  (cum - n_tokens) % 1024 AS offset_in_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_token_topk" ->
       s"""WITH t AS (
