@@ -43,6 +43,27 @@ object SimilarityQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Per-label vector centroids — the cluster/profile aggregation of the
+    // embedding family, in its exact MERGEABLE form: element-wise sums
+    // are ORDER-DEPENDENT in floating point, so each element is rounded
+    // to 6 dp (deterministic on both engines) and summed as
+    // DECIMAL(18,6); the output is the integer-scaled sum (×1e6, a
+    // BIGINT) plus the count — bit-identical at any partitioning with NO
+    // float division anywhere (a rounded mean can land on a half-way
+    // boundary where engines' double→decimal rounding differs; the
+    // consumer divides sum/n once at the end). posexplode keys the
+    // shuffle by (label, pos) — dim × labels groups, perfectly parallel.
+    "q_embed_centroid" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(
+          (sum(round(col("v").cast("double"), 6).cast("decimal(18,6)")) *
+            lit(1000000)).cast("long").as("sum_micro6"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // Brute-force cosine top-k: the exact baseline every ANN variant is
     // measured against. Probe set = vec_id % 20 == 0 (5% sample). Norms
     // are precomputed per row (not per pair) — same doubles, 3× fewer
@@ -130,6 +151,16 @@ object SimilarityQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_embed_centroid" ->
+      """WITH e AS (
+        |  SELECT label, i - 1 AS pos,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |)
+        |SELECT label, CAST(pos AS INT) AS pos,
+        |  CAST(SUM(v) * 1000000 AS BIGINT) AS sum_micro6,
+        |  COUNT(*) AS n
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_cosine_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS n2 FROM embeddings

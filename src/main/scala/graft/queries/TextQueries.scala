@@ -274,6 +274,32 @@ object TextQueries extends QueryPack {
         .limit(20)
     }),
 
+    // TF-IDF top terms per document — the classic text-weighting op:
+    // exact integer tf/df counts (partitioning-invariant), idf =
+    // ln(N/df), top-3 terms per doc with deterministic ties. Shuffles on
+    // (doc, token) then token then doc — all high-cardinality keys.
+    "q_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(expr(tokensSpark("text"))).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(df, Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          r6(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("tfidf"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // SimHash (16-bit) + blocking bucket (native single-pass kernel; the
     // HOF twin `simhash16Spark` remains the documented portable form).
     "q_simhash" -> ((s, dir) => {
@@ -499,6 +525,27 @@ object TextQueries extends QueryPack {
          |)
          |SELECT token, COUNT(*) AS cnt FROM t GROUP BY token
          |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${tokensDuck("text")}) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+         |), df AS (
+         |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+         |), n AS (
+         |  SELECT COUNT(*) AS n_docs FROM documents
+         |), scored AS (
+         |  SELECT doc_id, tf.token AS token, tf.tf AS tf, df.df AS df,
+         |    ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+         |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+         |), ranked AS (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT doc_id, token, tf, df, tfidf, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "q_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents)
