@@ -43,6 +43,58 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("watermark: a late event beyond the horizon is dropped, not re-aggregated") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    def us(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000L
+    // events table shape: ts is NANOS since epoch
+    def rows(es: (Long, Int, Int)*) = es.toSeq.map { case (id, h, m) =>
+      (id, 1L, us(h, m) * 1000L, "click", 1.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+
+    val src = java.nio.file.Files.createTempDirectory("graft-wm-src").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-wm-chk").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-wm-out").toString
+    val schema = rows((0L, 9, 10)).schema
+
+    // memory sink cannot recover from a checkpoint; the parquet sink can,
+    // which is what makes the two-restart late-data scenario expressible
+    def runBatch(): Unit = {
+      val q = EventStreams.tumblingCounts(
+        spark.readStream.schema(schema).parquet(src),
+        watermark = Some("1 hour"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: 09:10 event, then 12:00 → watermark advances to 11:00,
+    // finalizing (and emitting) the 09:00 window with count 1
+    rows((1L, 9, 10), (2L, 11, 5), (3L, 12, 0))
+      .write.mode("append").parquet(src)
+    runBatch()
+    // batch 2: a LATE 09:20 event (beyond the 11:00 watermark → dropped)
+    // plus 13:00, which finalizes the 11:00 window
+    rows((4L, 9, 20), (5L, 13, 0))
+      .write.mode("append").parquet(src)
+    runBatch()
+    // batch 3: advance the watermark once more so every assertable window
+    // has flushed regardless of when the final empty batch runs
+    rows((6L, 15, 0)).write.mode("append").parquet(src)
+    runBatch()
+
+    val out = spark.read.parquet(outDir)
+      .select((col("window_start_us") / us(1, 0)).cast("int").as("hour"), col("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(out(9) === 1L, s"late 09:20 event must be dropped, got $out")
+    assert(out(11) === 1L, s"11:00 window finalized by batch 2, got $out")
+  }
+
   test("sessionCounts (session_window) equals the lag/cumsum sessionization") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
