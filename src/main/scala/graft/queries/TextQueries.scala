@@ -274,6 +274,39 @@ object TextQueries extends QueryPack {
         .limit(20)
     }),
 
+    // PMI bigram collocations — pointwise mutual information over
+    // adjacent token pairs: pmi = ln(c_xy·N_uni² / (N_bi·c_x·c_y)), all
+    // counts exact integers, support-filtered, global top-20. The barrier
+    // materializes tokens once; everything downstream is count shuffles
+    // on (a,b) / token keys.
+    "q_pmi_bigrams" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .withColumn("toks", expr(tokensSpark("text")))
+        .select(col("doc_id"), col("toks"))
+        .repartition(col("doc_id"))
+      val uni = toks.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val nUni = toks.groupBy().agg(sum(expr("size(toks)")).as("n_uni"))
+      val bi = toks
+        .filter(expr("size(toks) >= 2"))
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> " +
+            "struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+          .as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_xy"))
+      val nBi = bi.groupBy().agg(sum(col("c_xy")).as("n_bi"))
+      bi.filter(col("c_xy") >= 5)
+        .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+        .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .select(col("a"), col("b"), col("c_xy"),
+          r6(log(col("c_xy") * col("n_uni") * col("n_uni") /
+            (col("n_bi") * col("c_a") * col("c_b")))).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // TF-IDF top terms per document — the classic text-weighting op:
     // exact integer tf/df counts (partitioning-invariant), idf =
     // ln(N/df), top-3 terms per doc with deterministic ties. Shuffles on
@@ -525,6 +558,34 @@ object TextQueries extends QueryPack {
          |)
          |SELECT token, COUNT(*) AS cnt FROM t GROUP BY token
          |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q_pmi_bigrams" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents
+         |), u AS (
+         |  SELECT unnest(toks) AS tok FROM d
+         |), uni AS (
+         |  SELECT tok, COUNT(*) AS c FROM u GROUP BY tok
+         |), nu AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM u
+         |), bgr AS (
+         |  SELECT toks[i] AS a, toks[i + 1] AS b
+         |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+         |  WHERE len(toks) >= 2
+         |), bi AS (
+         |  SELECT a, b, COUNT(*) AS c_xy FROM bgr GROUP BY a, b
+         |), nb AS (
+         |  SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi FROM bi
+         |)
+         |SELECT bi.a, bi.b, c_xy,
+         |  ROUND(ln(CAST(c_xy * n_uni * n_uni AS DOUBLE)
+         |    / (n_bi * ca.c * cb.c)), 6) AS pmi
+         |FROM bi
+         |JOIN uni ca ON bi.a = ca.tok
+         |JOIN uni cb ON bi.b = cb.tok
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE c_xy >= 5
+         |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH tok AS (
