@@ -22,7 +22,8 @@ SCALED = {
     "lineitem": "l_orderkey + {off} AS l_orderkey",
 }
 QUERIES = ("q_quality_score,q_lang_id,q_token_topk,q_dedup_exact,"
-           "q_ks_test,q_spearman,q_agg_groupsum")
+           "q_ks_test,q_spearman,q_agg_groupsum,"
+           "q_tfidf,q_pmi_bigrams,q_doc_chunks,q_seq_packing")
 
 
 def build(k, dest):
