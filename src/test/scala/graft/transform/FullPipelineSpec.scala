@@ -64,4 +64,26 @@ class FullPipelineSpec extends SparkSpec {
     val lt = spark.read.jdbc(url, "league_table", props)
     assert(lt.count() === 3)
   }
+
+  test("modelling path: features read back FROM the database, pipeline fits") {
+    // ref §3.3: the notebooks read the loaded Postgres tables and build
+    // features + a classifier from them; here the same hop runs against
+    // the Derby tables the previous test loaded (S6 as the modelling
+    // entry point, not just a sink round-trip).
+    import org.apache.spark.sql.functions._
+    val full = spark.read.jdbc(url, "players_full", props)
+    assert(full.count() === 3)
+    val data = full.select(
+      (col("TOTAL_POINTS") > 3).cast("double").as("label"),
+      col("FIXTURE_HOME").cast("double").as("f_home"),
+      col("TOTAL_POINTS").cast("double").as("f_points"))
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("f_home", "f_points")).setOutputCol("features")
+      .transform(data)
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(10).fit(assembled)
+    val preds = model.transform(assembled)
+    assert(preds.columns.contains("prediction"))
+    assert(preds.count() === 3)
+  }
 }
