@@ -41,6 +41,46 @@ object FeatureQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // Winsorization: clip per-segment outliers at the exact p05/p95
+    // quantiles (data-cleaning staple). Quantile frame is dim-sized →
+    // broadcast back; thresholds rounded to 4 dp so the clip boundary is
+    // engine-portable (same mechanism as q_grouped_quantiles).
+    "q_winsorize" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val qs = c.groupBy(col("c_mktsegment")).agg(
+        r4(percentile(col("c_acctbal"), lit(0.05))).as("p05"),
+        r4(percentile(col("c_acctbal"), lit(0.95))).as("p95"))
+      c.join(broadcast(qs), Seq("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          greatest(col("p05"), least(col("p95"), col("c_acctbal"))).as("clipped"),
+          (col("c_acctbal") < col("p05") || col("c_acctbal") > col("p95"))
+            .cast("int").as("was_clipped"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Z-score outlier flags per group. Mean and variance come from EXACT
+    // DECIMAL sums (sum, sum-of-squares) so sigma — and therefore every
+    // z and every |z|>2 flag — is bit-identical across engines and
+    // partitionings; plain stddev_samp doubles would make boundary rows
+    // engine-dependent.
+    "q_zscore_outlier" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val stats = o.groupBy(col("o_orderpriority")).agg(
+        (dsum(col("o_totalprice")) / count(lit(1))).as("mu"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))"))
+          .cast("double").as("sumsq"),
+        count(lit(1)).as("n"))
+        .withColumn("sigma",
+          sqrt((col("sumsq") - col("mu") * col("mu") * col("n")) / (col("n") - 1)))
+        .select(col("o_orderpriority"), col("mu"), col("sigma"))
+      o.join(broadcast(stats), Seq("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          r6((col("o_totalprice") - col("mu")) / col("sigma")).as("z"),
+          (abs((col("o_totalprice") - col("mu")) / col("sigma")) > 2)
+            .cast("int").as("is_outlier"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Deterministic hash-based stratified sampling — reproducible
     // train/test selection with per-stratum rates (urgent 50%, high 25%,
     // rest 10%). Seeded RNG sampling is run- and partitioning-dependent;
@@ -107,6 +147,38 @@ object FeatureQueries extends QueryPack {
         |  ON c.c_mktsegment = b.c_mktsegment
         | AND c_acctbal >= b.lower AND c_acctbal < b.upper
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment,
+        |    ROUND(quantile_cont(c_acctbal, 0.05), 4) AS p05,
+        |    ROUND(quantile_cont(c_acctbal, 0.95), 4) AS p95
+        |  FROM customer GROUP BY c_mktsegment
+        |)
+        |SELECT c_custkey, c.c_mktsegment AS c_mktsegment, c_acctbal,
+        |  greatest(p05, least(p95, c_acctbal)) AS clipped,
+        |  CAST(c_acctbal < p05 OR c_acctbal > p95 AS INT) AS was_clipped
+        |FROM customer c JOIN q ON c.c_mktsegment = q.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_zscore_outlier" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mu,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+        |      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sumsq,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY o_orderpriority
+        |), st AS (
+        |  SELECT o_orderpriority, mu,
+        |    sqrt((sumsq - mu * mu * n) / (n - 1)) AS sigma
+        |  FROM s
+        |)
+        |SELECT o_orderkey, o.o_orderpriority AS o_orderpriority,
+        |  ROUND((o_totalprice - mu) / sigma, 6) AS z,
+        |  CAST(abs((o_totalprice - mu) / sigma) > 2 AS INT) AS is_outlier
+        |FROM orders o JOIN st ON o.o_orderpriority = st.o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT o_orderkey, o_orderpriority FROM (
