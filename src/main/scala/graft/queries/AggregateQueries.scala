@@ -57,6 +57,24 @@ object AggregateQueries extends QueryPack {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Ordered grouped concatenation (beyond-reference — the pandas
+    // groupby.apply(list) staple): per-user event-type sequence in strict
+    // (time, id) order. collect_list is unordered by contract, so the
+    // deterministic form sorts a struct array whose leading fields are
+    // the sort key — one shuffle, no window.
+    "q_group_concat" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("user_id"), Tables.tsMicros.as("tkey"),
+          col("event_id"), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws(",", expr(
+            "transform(array_sort(collect_list(struct(tkey, event_id, event_type))), " +
+              "x -> x.event_type)")).as("events_seq"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
     // A9 — value_counts (ref: modelling_1 cell 20).
     "q_value_counts" -> ((s, dir) => {
       t(s, dir, "events")
@@ -189,6 +207,15 @@ object AggregateQueries extends QueryPack {
         |  ROUND(quantile_cont(c_acctbal, 0.5), 4) AS q50,
         |  ROUND(quantile_cont(c_acctbal, 0.75), 4) AS q75
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_group_concat" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS tkey, event_id, event_type FROM events
+        |)
+        |SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY tkey, event_id) AS events_seq,
+        |  COUNT(*) AS n
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_value_counts" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
