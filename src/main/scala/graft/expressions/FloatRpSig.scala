@@ -1,30 +1,37 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native random-hyperplane LSH signature over an ARRAY<FLOAT> embedding
-  * (8 planes; the ANN/dedup bucketing key).
+  * (`planes` sign bits; the ANN/dedup bucketing key).
   *
   * Bit j is set iff Σ_d w(j,d)·emb[d] ≥ 0 with the engine-portable ±1
   * weight w(j,d) = ((j·131071 + d·524287 + 17) mod 1000003) even ? +1 : −1.
   * The fold is the exact sequential double sum of the HOF formulation
   * (see FloatRpSigSpec's `hofSig`) and the DuckDB oracle — swapping this in
   * changes performance only (parity asserted in FloatRpSigSpec).
+  *
+  * `graft_rpsig(emb)` keeps the original 8 planes; `graft_rpsig(emb, n)`
+  * (n a literal, 1..60) is the banded-LSH form: consumers slice the
+  * signature into b bands of r bits each (n = b·r) and equi-join per band —
+  * the AND-OR construction whose bucket count scales with n instead of
+  * being fixed at 256 (see SimilarityQueries for the adaptive-r sizing).
   */
-case class FloatRpSig(child: Expression) extends UnaryExpression {
-
-  val planes = 8
+case class FloatRpSig(child: Expression, planes: Int = 8) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(FloatType, _) =>
+      case ArrayType(FloatType, _) if planes >= 1 && planes <= 60 =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_rpsig plane count must be in [1, 60], got $planes")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"graft_rpsig expects array<float>, got ${other.simpleString}")
@@ -84,7 +91,13 @@ object FloatRpSig {
     classOf[FloatRpSig].getCanonicalName, "graft_rpsig")
 
   val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 1, "graft_rpsig takes exactly 1 argument")
-    FloatRpSig(children.head)
+    children match {
+      case Seq(e) => FloatRpSig(e)
+      case Seq(e, Literal(p: Int, org.apache.spark.sql.types.IntegerType)) =>
+        FloatRpSig(e, p)
+      case _ =>
+        throw new IllegalArgumentException(
+          "graft_rpsig takes (array<float>) or (array<float>, <int literal planes>)")
+    }
   }
 }

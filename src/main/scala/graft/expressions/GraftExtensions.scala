@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_simhash16"), TokenSimHash16.info,
         TokenSimHash16.builder))
     ext.injectFunction(
+      (FunctionIdentifier("graft_simhash60"), TokenSimHash60.info,
+        TokenSimHash60.builder))
+    ext.injectFunction(
       (FunctionIdentifier("graft_token_set_ratio"), TokenSetRatioExpr.info,
         TokenSetRatioExpr.builder))
     ext.injectFunction(
@@ -49,6 +52,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_rpsig", FloatRpSig.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard", StringSetJaccard.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash16", TokenSimHash16.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash60", TokenSimHash60.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_token_set_ratio", TokenSetRatioExpr.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_tokenstats", TokenStats.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard_sorted", SortedLongJaccard.builder, "built-in")

@@ -91,6 +91,19 @@ object TextAnalytics {
       s"CASE WHEN 2 * len(list_filter($th, x -> ((x >> b) & 1) = 1)) > len($th) " +
       s"THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)"
 
+  // ---- SimHash (60-bit; salted-parity votes — see TokenSimHash60) ----
+
+  /** DuckDB twin of graft_simhash60: the token hash has only ~30 bits of
+    * entropy (mod 1e9+7), so bit b votes the parity of an independent
+    * salted remix ((x·(1007b+31) + (2003b+7)) mod (2³¹−1)) rather than a
+    * raw hash bit. 60 bits keeps `1 << b` and the vote sum inside a
+    * signed BIGINT on both engines. */
+  def simhash60Duck(th: String): String =
+    s"CAST(list_sum(list_transform(generate_series(0, 59), b -> " +
+      s"CASE WHEN 2 * len(list_filter($th, x -> " +
+      s"((x * (1007 * b + 31) + (2003 * b + 7)) % $PM) % 2 = 1)) > len($th) " +
+      s"THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)"
+
   // ---- Jaccard over distinct token sets -----------------------------
 
   /** `ta`/`tb` must already be distinct arrays. */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,17 +15,53 @@ import graft.functions.TextAnalytics._
   * Scale notes: the brute-force top-k is probes × corpus with the corpus
   * side streamed (broadcast the probe set — it is the small side by
   * construction); ranking uses the rounded score so cross-engine ties are
-  * deterministic. The LSH variant buckets by random-hyperplane sign bits:
-  * candidate generation becomes an equi-join on (bucket), turning O(n²)
-  * into O(n·bucket_size) — the 100 TB path. Hyperplane weights are
-  * ±1 derived from a portable integer hash so the oracle reproduces them.
+  * deterministic. The LSH variants use banded random-hyperplane
+  * signatures (AND-OR construction): b=4 bands of r sign bits each,
+  * candidates = pairs agreeing on ANY full band, then exact cosine on
+  * candidates only — never n². The band width r is ADAPTIVE:
+  * r = ceil(log2(n / targetBucketSize)) clamped to [4, 15], computed with
+  * exact integer arithmetic from the corpus count, so the per-band bucket
+  * count grows ∝ n and expected bucket occupancy stays ~constant at any
+  * scale (a fixed r is a fixed 2^r-bucket space whose intra-bucket pair
+  * work grows quadratically with data — the round-2 scale defect).
+  * Hyperplane weights are ±1 derived from a portable integer hash so the
+  * oracle reproduces them bit-for-bit.
   */
 object SimilarityQueries extends QueryPack {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  private val nPlanes = 8
+  /** Bands in the AND-OR construction (OR over bands, AND within). */
+  private val nBandsRp = 4
+
+  /** Target expected rows per band bucket. */
+  private val targetBucket = 16L
+
+  /** Adaptive band width: smallest r with 2^r ≥ n/targetBucket, clamped
+    * to [4, 15] (4·15 = 60 planes keeps the signature in a signed long on
+    * both engines). Integer-exact: r = bit_length(ceil(n/B) − 1) — no
+    * float log whose ulps could disagree with the oracle at powers of 2. */
+  private def bandWidth(n: Long): Int = {
+    val m = math.max((n + targetBucket - 1) / targetBucket - 1, 1L)
+    val r = 64 - java.lang.Long.numberOfLeadingZeros(m)
+    math.min(15, math.max(4, r))
+  }
+
+  /** DuckDB twin of [[bandWidth]] (same integer formulation:
+    * length(bin(x)) = bit_length(x) for x ≥ 1). */
+  private def bandWidthDuck(src: String): String =
+    s"SELECT CAST(least(15, greatest(4, " +
+      s"length(bin(greatest((count(*) + ${targetBucket - 1}) // $targetBucket - 1, 1))))) AS INT) AS r " +
+      s"FROM $src"
+
+  /** Band key struct array for a long signature column: slice `sig` into
+    * [[nBandsRp]] bands of `r` bits. */
+  private def bandStructs(sig: Column, r: Int): Seq[Column] =
+    (0 until nBandsRp).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * r).bitwiseAND(lit((1L << r) - 1)).as("bkey"))
+    }
 
   /** ±1 pseudo-weight for (plane j, dim d): parity of a portable LCG mix —
     * the DuckDB twin of graft_rpsig (native side: expressions.FloatRpSig;
@@ -33,13 +69,34 @@ object SimilarityQueries extends QueryPack {
   private def weightDuck(j: String, d: String): String =
     s"CASE WHEN (($j * 131071 + $d * 524287 + 17) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END"
 
-  private def rpSigDuck(emb: String): String = {
-    s"CAST(list_sum(list_transform(generate_series(0, ${nPlanes - 1}), j -> " +
+  /** `planes` may reference the params CTE's `r` (e.g. "(4 * r)"). */
+  private def rpSigDuck(emb: String, planes: String): String = {
+    s"CAST(list_sum(list_transform(generate_series(0, $planes - 1), j -> " +
       s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(generate_series(1, len($emb)), d -> " +
       s"${weightDuck("j", "(d - 1)")} * CAST($emb[d] AS DOUBLE))), (s, v) -> s + v) >= 0 " +
       s"THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
   }
+
+  /** DuckDB CTE chain `params, e, bands, pairs`: adaptive-r banded
+    * candidate pairs over `embeddings` (twin of the Spark banding in
+    * q_ann_lsh / q_dedup_embedding). */
+  private def bandedPairsDuck: String =
+    s"""params AS (
+       |  ${bandWidthDuck("embeddings")}
+       |), e AS (
+       |  SELECT vec_id, embedding, ${rpSigDuck("embedding", "(4 * r)")} AS sig,
+       |    ${dotDuck("embedding", "embedding")} AS n2, r
+       |  FROM embeddings CROSS JOIN params
+       |), bands AS (
+       |  SELECT vec_id, b AS band,
+       |    (sig >> (b * r)) & ((CAST(1 AS BIGINT) << r) - 1) AS bkey
+       |  FROM e, unnest(generate_series(0, ${nBandsRp - 1})) AS t(b)
+       |), pairs AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+       |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -88,44 +145,70 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
-    // LSH-bucketed ANN: random-hyperplane signatures → candidates share the
-    // 8-bit bucket → exact cosine within bucket → top-1 per probe.
+    // Banded-LSH ANN: adaptive-r AND-OR banding (see object doc) →
+    // candidates share ≥1 full band with a probe → exact cosine on
+    // candidates only → top-1 per probe. The probe side (5% sample) stays
+    // broadcast through the band join, so candidate rows never shuffle.
     "q_ann_lsh" -> ((s, dir) => {
       GraftExtensions.register(s)
-      val e = t(s, dir, "embeddings")
-        .withColumn("sig", expr("graft_rpsig(embedding)"))
+      val base = t(s, dir, "embeddings")
+      val r = bandWidth(base.count())
+      val e = base
+        .withColumn("sig", expr(s"graft_rpsig(embedding, ${nBandsRp * r})"))
         .withColumn("n2", expr("graft_fdot(embedding, embedding)"))
+      val bands = e
+        .select(col("vec_id"), explode(array(bandStructs(col("sig"), r): _*)).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      val pBands = bands.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("probe_id"), col("band"), col("bkey"))
+      val candPairs = bands.as("c")
+        .join(broadcast(pBands).as("p"),
+          col("p.band") === col("c.band") && col("p.bkey") === col("c.bkey") &&
+            col("p.probe_id") =!= col("c.vec_id"))
+        .select(col("p.probe_id").as("probe_id"), col("c.vec_id").as("cand_id"))
+        .distinct()
       val probes = e.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-          col("sig").as("psig"), col("n2").as("pn2"))
+          col("n2").as("pn2"))
       val cands = e.select(col("vec_id").as("cand_id"),
-        col("embedding").as("ce"), col("sig").as("csig"), col("n2").as("cn2"))
+        col("embedding").as("ce"), col("n2").as("cn2"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("cand_id"))
-      broadcast(probes)
-        .join(cands, col("psig") === col("csig") && col("probe_id") =!= col("cand_id"))
+      candPairs
+        .join(cands, "cand_id")
+        .join(broadcast(probes), "probe_id")
         .withColumn("sim",
           r6(expr("graft_fdot(pe, ce)") / (sqrt(col("pn2")) * sqrt(col("cn2")))))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
-        .select(col("probe_id"), col("psig").as("bucket"), col("cand_id"), col("sim"))
+        .select(col("probe_id"), col("cand_id"), col("sim"))
         .orderBy(col("probe_id"))
     }),
 
-    // Embedding-cosine near-duplicate pairs above a threshold, bucketed by
-    // LSH signature (both directions of the dedup story: textual MinHash in
-    // TextQueries, embedding-cosine here).
+    // Embedding-cosine near-duplicate pairs above a threshold, candidates
+    // from the same adaptive-r banded LSH (both directions of the dedup
+    // story: textual MinHash in TextQueries, embedding-cosine here).
     "q_dedup_embedding" -> ((s, dir) => {
       GraftExtensions.register(s)
-      val e = t(s, dir, "embeddings")
-        .withColumn("sig", expr("graft_rpsig(embedding)"))
-        .withColumn("n2", expr("graft_fdot(embedding, embedding)"))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-        col("sig"), col("n2").as("na2"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-        col("sig"), col("n2").as("nb2"))
-      a.join(b, Seq("sig"))
-        .filter(col("id_a") < col("id_b"))
+      val base = t(s, dir, "embeddings")
+      val r = bandWidth(base.count())
+      val sigs = base
+        .select(col("vec_id"), expr(s"graft_rpsig(embedding, ${nBandsRp * r})").as("sig"))
+      val bands = sigs
+        .select(col("vec_id"), explode(array(bandStructs(col("sig"), r): _*)).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      val pairs = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      val ev = base.withColumn("n2", expr("graft_fdot(embedding, embedding)"))
+      pairs
+        .join(ev.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("n2").as("na2")), "id_a")
+        .join(ev.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("n2").as("nb2")), "id_b")
         .withColumn("sim",
           r6(expr("graft_fdot(ea, eb)") / (sqrt(col("na2")) * sqrt(col("nb2")))))
         .filter(col("sim") >= 0.35)
@@ -179,32 +262,29 @@ object SimilarityQueries extends QueryPack {
          |ORDER BY probe_id, rnk""".stripMargin,
 
     "q_ann_lsh" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, ${rpSigDuck("embedding")} AS sig,
-         |    ${dotDuck("embedding", "embedding")} AS n2 FROM embeddings
-         |), p AS (
-         |  SELECT vec_id AS probe_id, embedding AS pe, sig AS psig, n2 AS pn2
-         |  FROM e WHERE vec_id % 20 = 0
+      s"""WITH $bandedPairsDuck, cand AS (
+         |  SELECT id_a AS probe_id, id_b AS cand_id FROM pairs WHERE id_a % 20 = 0
+         |  UNION
+         |  SELECT id_b AS probe_id, id_a AS cand_id FROM pairs WHERE id_b % 20 = 0
          |), scored AS (
-         |  SELECT probe_id, psig, vec_id AS cand_id,
-         |    ROUND(${dotDuck("pe", "embedding")} / (sqrt(pn2) * sqrt(n2)), 6) AS sim
-         |  FROM p JOIN e ON psig = sig AND vec_id <> probe_id
+         |  SELECT probe_id, cand_id,
+         |    ROUND(${dotDuck("p.embedding", "c.embedding")} / (sqrt(p.n2) * sqrt(c.n2)), 6) AS sim
+         |  FROM cand
+         |  JOIN e p ON p.vec_id = probe_id
+         |  JOIN e c ON c.vec_id = cand_id
          |), ranked AS (
          |  SELECT *, row_number() OVER
          |    (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
          |  FROM scored
          |)
-         |SELECT probe_id, psig AS bucket, cand_id, sim FROM ranked WHERE rnk = 1
+         |SELECT probe_id, cand_id, sim FROM ranked WHERE rnk = 1
          |ORDER BY probe_id""".stripMargin,
 
     "q_dedup_embedding" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, ${rpSigDuck("embedding")} AS sig,
-         |    ${dotDuck("embedding", "embedding")} AS n2 FROM embeddings
-         |)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH $bandedPairsDuck
+         |SELECT id_a, id_b,
          |  ROUND(${dotDuck("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)), 6) AS sim
-         |FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |FROM pairs JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
          |WHERE ROUND(${dotDuck("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
 

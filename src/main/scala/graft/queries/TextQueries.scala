@@ -343,19 +343,39 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash near-dup pairs: bucket on the high byte (blocking), verify
-    // with hamming distance <= 3 over the 16-bit signatures — the
-    // bit-sketch variant of the dedup family (XOR + popcount, both
-    // engine-portable).
+    // SimHash near-dup pairs — 60-bit signatures (graft_simhash60), 4
+    // band tables of 15 bits each: candidates agree on ≥1 FULL band, then
+    // hamming ≤ 3 over the whole signature verifies (XOR + popcount, both
+    // engine-portable). The banding is EXACT for this threshold: ≤3
+    // differing bits touch ≤3 of the 4 bands (pigeonhole), so one band
+    // always survives intact — recall 1.0 vs a full n² scan, pinned by
+    // SimHashBandingSpec. Bucket space is 2^15 per band (vs the round-2
+    // fixed 256-bucket high byte whose pair work grew n²/256); near-dup
+    // docs are injected (1-token tail on every 40th doc) since the
+    // synthetic corpus has none at this strictness.
     "q_simhash_pairs" -> ((s, dir) => {
       GraftExtensions.register(s)
-      val sig = t(s, dir, "documents")
-        .select(col("doc_id"), expr("graft_simhash16(text)").as("sh16"))
-        .withColumn("bucket", expr("shiftright(sh16, 8)"))
-      val a = sig.select(col("doc_id").as("doc_a"), col("sh16").as("sa"), col("bucket"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("sh16").as("sb"), col("bucket"))
-      a.join(b, Seq("bucket"))
-        .filter(col("doc_a") < col("doc_b"))
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = d.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      val sig = d.unionByName(dups)
+        .select(col("doc_id"), expr("graft_simhash60(text)").as("sh"))
+      val bandCols = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 15).bitwiseAND(lit(32767L)).as("bkey"))
+      }
+      val bands = sig
+        .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("sh"),
+          col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sh").as("sa"), col("y.sh").as("sb"))
+        .distinct()
         .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
         .filter(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -615,16 +635,26 @@ object TextQueries extends QueryPack {
          |FROM th ORDER BY doc_id""".stripMargin,
 
     "q_simhash_pairs" ->
-      s"""WITH th AS (SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents),
-         |sig AS (
-         |  SELECT doc_id, ${simhash16Duck("th")} AS sh16 FROM th
-         |), b AS (
-         |  SELECT doc_id, sh16, sh16 >> 8 AS bucket FROM sig
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' extra' AS text
+         |  FROM documents WHERE doc_id % 40 = 0
+         |), th AS (
+         |  SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM u
+         |), sig AS (
+         |  SELECT doc_id, ${simhash60Duck("th")} AS sh FROM th
+         |), bands AS (
+         |  SELECT doc_id, sh, b AS band, (sh >> (b * 15)) & 32767 AS bkey
+         |  FROM sig, unnest(generate_series(0, 3)) AS t(b)
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.sh AS sa, y.sh AS sb
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
          |)
-         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |  CAST(bit_count(xor(x.sh16, y.sh16)) AS INT) AS hamming
-         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.sh16, y.sh16)) <= 3
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_ngram_jaccard" ->
