@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampled equi-depth range bucketing — the scale-correct replacement for
+  * fixed-width buckets (`floor(x / 1000)`) in the distributed prefix-sum
+  * pattern (q_ks_test, q_spearman and any two-pass cumulative sum).
+  *
+  * Fixed-width buckets serialize under skew: if most rows share a narrow
+  * value range they land in a handful of buckets and the per-bucket local
+  * window degrades toward a single-task sort. Equi-depth boundaries keep
+  * each bucket at ~n/nb rows regardless of the distribution.
+  *
+  * Everything stays in ONE lazy DAG — no driver-side action: a seeded
+  * sample feeds a `percentile_approx` sketch (distributed, mergeable),
+  * the ~nb boundary values explode into (bucket, lo, hi) interval rows,
+  * and the big frame picks its bucket via a BROADCAST range join (65
+  * tiny rows, codegen'd comparisons — no per-row lambda, no extra job).
+  * An earlier driver-side `approxQuantile` variant cost a full extra
+  * pass per query build; this formulation benches at parity with the
+  * fixed-width form it replaces.
+  *
+  * Correctness is boundary-independent: the bucket index is monotone in
+  * the value and the intervals partition (−∞, +∞), so (bucket,
+  * within-bucket order) decompositions reproduce the exact global order
+  * whatever the sample returned — approximation error moves work between
+  * buckets, never the answer. Duplicate boundaries (heavy skew) yield
+  * empty [b, b) intervals that simply never match.
+  */
+object RangeBuckets {
+
+  /** `df` plus a `bucketCol` LONG column: ~`nb` equi-depth buckets of
+    * `valueCol`, boundaries sampled at `frac` with a fixed seed. */
+  def withEquiDepthBucket(df: DataFrame, valueCol: String, bucketCol: String,
+      nb: Int = 64, frac: Double = 0.05): DataFrame = {
+    val probs = array((1 until nb).map(i => lit(i.toDouble / nb)): _*)
+    val bs = df.sample(frac, 42L)
+      .agg(percentile_approx(col(valueCol), probs, lit(100)).as("bs"))
+    val bounds = bs.select(explode(expr(
+      "transform(sequence(0, size(bs)), i -> struct(CAST(i AS BIGINT) AS bucket, " +
+        "IF(i = 0, CAST('-Infinity' AS DOUBLE), element_at(bs, i)) AS lo, " +
+        "IF(i = size(bs), CAST('Infinity' AS DOUBLE), element_at(bs, i + 1)) AS hi))")
+      ).as("b"))
+      .select(col("b.bucket").as(bucketCol), col("b.lo").as("__lo"), col("b.hi").as("__hi"))
+    df.join(broadcast(bounds),
+        col(valueCol) >= col("__lo") && col(valueCol) < col("__hi"))
+      .drop("__lo", "__hi")
+  }
+}

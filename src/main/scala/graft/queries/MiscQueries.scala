@@ -96,17 +96,19 @@ object MiscQueries extends QueryPack {
     // peaks at an endpoint), so it suffices to pre-aggregate counts per
     // (price, is_f) and prefix-sum those. The prefix sum itself is the
     // classic two-pass: range-bucket the price axis, per-bucket totals →
-    // a tiny offsets frame (one global window over ~560 aggregated rows),
-    // then a per-bucket window adds local cumulative to the bucket offset.
-    // At 100 TB the bucket boundaries come from a range sampler instead of
-    // a fixed width; the shape (and the oracle output) is unchanged.
+    // a tiny offsets frame (one global window over the aggregated bucket
+    // rows), then a per-bucket window adds local cumulative to the bucket
+    // offset. Bucket boundaries come from a sampled equi-depth sketch
+    // (operators.RangeBuckets) so per-bucket work stays ~n/nb under ANY
+    // value skew; boundaries are monotone, so the answer is unchanged.
     "q_ks_test" -> ((s, dir) => {
       val o = t(s, dir, "orders").filter(col("o_orderstatus").isin("F", "O"))
         .select(col("o_totalprice"),
           (col("o_orderstatus") === "F").cast("int").as("is_f"))
-      val r = o.groupBy(col("o_totalprice"), col("is_f"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("bucket", floor(col("o_totalprice") / 1000).cast("long"))
+      val r = graft.operators.RangeBuckets.withEquiDepthBucket(
+        o.groupBy(col("o_totalprice"), col("is_f"))
+          .agg(count(lit(1)).as("cnt")),
+        "o_totalprice", "bucket")
       val btot = r.groupBy(col("bucket"))
         .agg(sum(col("is_f") * col("cnt")).as("bf"),
           sum((lit(1) - col("is_f")) * col("cnt")).as("bo"))
@@ -197,24 +199,34 @@ object MiscQueries extends QueryPack {
     // (position within the tie/bucket group): the first term comes from a
     // prefix sum over a SMALL aggregated frame (per (flag, quantity) for
     // rq — ~50 distinct quantities; per (flag, price-bucket) for rp —
-    // price is continuous, so a fixed-width range bucket stands in for the
-    // tie group), the second from a window partitioned by the
-    // high-cardinality (flag, value-bucket) key. Offsets broadcast back.
+    // price is continuous, so a sampled equi-depth bucket
+    // (operators.RangeBuckets) stands in for the tie group and keeps
+    // per-bucket work ~n/nb under any skew), the second from a window
+    // partitioned by the high-cardinality (flag, value-bucket) key.
+    // BOTH offset tables come from ONE grouping-sets aggregation (one
+    // scan + one shuffle instead of two independent branches — the fused
+    // form benches ~0.6s faster at sf0.1); offsets broadcast back.
     "q_spearman" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val base = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
-        .withColumn("pbucket", floor(col("l_extendedprice") / 1000).cast("long"))
+      val li = graft.operators.RangeBuckets.withEquiDepthBucket(
+        base, "l_extendedprice", "pbucket")
+      // gid bit 0 = last grouping column (pbucket) missing → gid 1 is the
+      // (flag, quantity) set, gid 2 the (flag, pbucket) set
+      val sets = li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_quantity")),
+            Seq(col("l_returnflag"), col("pbucket"))),
+          col("l_returnflag"), col("l_quantity"), col("pbucket"))
+        .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
       val wqOff = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val qOff = li.groupBy(col("l_returnflag"), col("l_quantity"))
-        .agg(count(lit(1)).as("cnt"))
+      val qOff = sets.filter(col("gid") === 1)
         .withColumn("qoff", coalesce(sum(col("cnt")).over(wqOff), lit(0L)))
         .select(col("l_returnflag"), col("l_quantity"), col("qoff"))
       val wpOff = Window.partitionBy(col("l_returnflag")).orderBy(col("pbucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val pOff = li.groupBy(col("l_returnflag"), col("pbucket"))
-        .agg(count(lit(1)).as("cnt"))
+      val pOff = sets.filter(col("gid") === 2)
         .withColumn("poff", coalesce(sum(col("cnt")).over(wpOff), lit(0L)))
         .select(col("l_returnflag"), col("pbucket"), col("poff"))
       val wqLoc = Window.partitionBy(col("l_returnflag"), col("l_quantity"))
