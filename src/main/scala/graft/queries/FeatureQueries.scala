@@ -85,11 +85,15 @@ object FeatureQueries extends QueryPack {
     // train/test selection with per-stratum rates (urgent 50%, high 25%,
     // rest 10%). Seeded RNG sampling is run- and partitioning-dependent;
     // a key-hash threshold is stable across engines, runs and cluster
-    // sizes, which is what a 100 TB split actually requires.
+    // sizes, which is what a 100 TB split actually requires. The key is
+    // reduced mod p BEFORE the multiply: (p−1)·2654435761 < 2⁶³, so the
+    // hash never overflows LONG for any key (the unreduced form wrapped
+    // negative past orderkey ≈ 3.5e9 — silently in Spark, an error in
+    // DuckDB); for keys < p the value is unchanged.
     "q_stratified_sample" -> ((s, dir) => {
       t(s, dir, "orders")
         .withColumn("h",
-          expr("o_orderkey * 2654435761 % 1000000007 % 100"))
+          expr("o_orderkey % 1000000007 * 2654435761 % 1000000007 % 100"))
         .withColumn("rate",
           when(col("o_orderpriority") === "1-URGENT", 50)
             .when(col("o_orderpriority") === "2-HIGH", 25)
@@ -183,7 +187,7 @@ object FeatureQueries extends QueryPack {
     "q_stratified_sample" ->
       """SELECT o_orderkey, o_orderpriority FROM (
         |  SELECT o_orderkey, o_orderpriority,
-        |    o_orderkey * 2654435761 % 1000000007 % 100 AS h,
+        |    o_orderkey % 1000000007 * 2654435761 % 1000000007 % 100 AS h,
         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 50
         |         WHEN o_orderpriority = '2-HIGH' THEN 25
         |         ELSE 10 END AS rate

@@ -278,7 +278,11 @@ object TextQueries extends QueryPack {
     // adjacent token pairs: pmi = ln(c_xy·N_uni² / (N_bi·c_x·c_y)), all
     // counts exact integers, support-filtered, global top-20. The barrier
     // materializes tokens once; everything downstream is count shuffles
-    // on (a,b) / token keys.
+    // on (a,b) / token keys. Computed as a SUM OF LOGS (ln c_xy + 2 ln N −
+    // …): the product form squares the corpus token count in LONG
+    // arithmetic, which silently wraps negative past ~3e9 tokens (Spark
+    // non-ANSI) while DuckDB errors — the log form never overflows and
+    // both engines fold the same exact-integer logs in the same order.
     "q_pmi_bigrams" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .withColumn("toks", expr(tokensSpark("text")))
@@ -301,8 +305,8 @@ object TextQueries extends QueryPack {
         .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
         .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
         .select(col("a"), col("b"), col("c_xy"),
-          r6(log(col("c_xy") * col("n_uni") * col("n_uni") /
-            (col("n_bi") * col("c_a") * col("c_b")))).as("pmi"))
+          r6(log(col("c_xy")) + lit(2.0) * log(col("n_uni")) -
+            log(col("n_bi")) - log(col("c_a")) - log(col("c_b"))).as("pmi"))
         .orderBy(col("pmi").desc, col("a"), col("b"))
         .limit(20)
     }),
@@ -598,8 +602,9 @@ object TextQueries extends QueryPack {
          |  SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi FROM bi
          |)
          |SELECT bi.a, bi.b, c_xy,
-         |  ROUND(ln(CAST(c_xy * n_uni * n_uni AS DOUBLE)
-         |    / (n_bi * ca.c * cb.c)), 6) AS pmi
+         |  ROUND(ln(CAST(c_xy AS DOUBLE)) + 2.0 * ln(CAST(n_uni AS DOUBLE))
+         |    - ln(CAST(n_bi AS DOUBLE)) - ln(CAST(ca.c AS DOUBLE))
+         |    - ln(CAST(cb.c AS DOUBLE)), 6) AS pmi
          |FROM bi
          |JOIN uni ca ON bi.a = ca.tok
          |JOIN uni cb ON bi.b = cb.tok

@@ -41,31 +41,65 @@ object FplTransform {
   def lenientTs(c: Column): Column =
     try_to_timestamp(trim(regexp_replace(c, "[TZ]", " ")))
 
+  /** Warn listeners registered by [[warnOnMaterialize]] that have not
+    * fired yet. A listener self-unregisters when its observed frame first
+    * materializes — but a caller that builds plans and never acts on them
+    * (or a long-lived session invoking run() repeatedly and discarding
+    * outputs) would accumulate listeners and retained warn closures on the
+    * shared SparkSession. Such callers should call
+    * [[detachWarnListeners]] when discarding a run's outputs. */
+  private val pendingWarnListeners = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.util.QueryExecutionListener)]()
+
+  /** Unregister every not-yet-fired warn listener this object attached to
+    * `spark`; returns how many were detached. Safe to call any time —
+    * fired listeners have already removed themselves. */
+  def detachWarnListeners(spark: org.apache.spark.sql.SparkSession): Int = {
+    val it = pendingWarnListeners.iterator()
+    var n = 0
+    while (it.hasNext) {
+      val e = it.next()
+      if (e._1 eq spark) {
+        spark.listenerManager.unregister(e._2)
+        it.remove()
+        n += 1
+      }
+    }
+    n
+  }
+
   /** V3 warning WITHOUT an eager job: a CollectMetrics (`observe`) node
     * piggy-backs the violation count on whatever action first materializes
     * the frame, and a one-shot listener turns it into `warn`. run(...)
-    * stays fully lazy — no Spark job until an output is acted on. */
+    * stays fully lazy — no Spark job until an output is acted on. The
+    * listener is tracked in [[pendingWarnListeners]] until it fires (see
+    * the leak note there). */
   private def warnOnMaterialize(df: DataFrame, metric: Column,
       msg: Long => String, warn: String => Unit): DataFrame = {
     val name = s"fpl_v3_${java.util.UUID.randomUUID().toString.take(8)}"
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val mgr = df.sparkSession.listenerManager
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit =
-        qe.observedMetrics.get(name).foreach { row =>
-          if (fired.compareAndSet(false, true)) {
-            val n = row.getAs[Long]("n")
-            if (n > 0) warn(msg(n))
-            mgr.unregister(this)
+    val session = df.sparkSession
+    val mgr = session.listenerManager
+    val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.get(name).foreach { row =>
+            if (fired.compareAndSet(false, true)) {
+              val n = row.getAs[Long]("n")
+              if (n > 0) warn(msg(n))
+              mgr.unregister(this)
+              pendingWarnListeners.remove((session, this))
+            }
           }
-        }
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = ()
-    }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
     mgr.register(listener)
+    pendingWarnListeners.add((session, listener))
     df.observe(name, coalesce(sum(metric.cast("long")), lit(0L)).as("n"))
   }
 

@@ -92,4 +92,17 @@ class FplTransformSpec extends SparkSpec {
       .select(date_format($"fixture_kickoff_datetime", "yyyy-MM-dd HH:mm").as("k"))
       .collect().head.getString(0) === "2024-08-10 11:30")
   }
+
+  test("detachWarnListeners reclaims listeners of never-materialized runs") {
+    // a run whose outputs are discarded without any action would leak its
+    // V3 listeners on the shared session; detach must reclaim them
+    FplTransform.run(
+      Sources.json(spark, dir + "/fixtures.json", FplSchemas.fixturesRaw),
+      Sources.json(spark, dir + "/main.json", FplSchemas.mainRaw),
+      Sources.json(spark, dir + "/players.json", FplSchemas.playersRaw),
+      warn = _ => ())
+    assert(FplTransform.detachWarnListeners(spark) >= 1)
+    // idempotent: everything already detached
+    assert(FplTransform.detachWarnListeners(spark) === 0)
+  }
 }
