@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -19,31 +19,104 @@ import graft.expressions.GraftExtensions
   * Training samples the corpus; assignment is one narrow pass. Search is
   * an equi-join on cluster + exact scoring (graft_fdot codegen kernel) +
   * per-probe top-k window.
+  *
+  * Two quantizer builds:
+  *  - [[build]] — MLlib KMeans (k-means||). Its internal RDD shuffle is
+  *    Kryo-serialized and on JDK 17 needs the `--add-opens` flags Spark's
+  *    launch scripts add; fine under spark-submit/sbt, unavailable under
+  *    a bare `java` launcher.
+  *  - [[buildLloyd]] — the same Lloyd iteration expressed in DataFrame
+  *    ops only (broadcast centroids → codegen distance → argmin window;
+  *    posexplode mean update). Deterministic seeded init, no MLlib on the
+  *    execution path — this is what the declared q_ann_ivf query uses.
   */
 object IvfIndex {
 
-  final case class Index(model: KMeansModel, assignments: DataFrame)
+  /** Trained coarse quantizer: cell centroids (tiny, driver-held — k
+    * vectors, the size of a dim table) + per-vector cell assignment. */
+  final case class Index(centers: Seq[(Int, Array[Float])], assignments: DataFrame)
 
-  /** Train the coarse quantizer and assign every vector to its cell. */
-  def build(embeddings: DataFrame, k: Int, seed: Long = 42L): Index = {
+  /** MLlib k-means|| build (see class doc for the launcher caveat). */
+  def build(embeddings: DataFrame, k: Int, seed: Long = 42L,
+      maxIter: Int = 20): Index = {
     val vecs = embeddings.withColumn("features",
       array_to_vector(col("embedding")))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(vecs)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(vecs)
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cluster"))
-    Index(model, assigned)
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+    Index(centers, assigned)
+  }
+
+  /** DataFrame-native Lloyd build: init = the k lowest-vec_id vectors
+    * (deterministic), then `iters` rounds of assign (one distributed
+    * pass: broadcast k centroids, squared-distance argmin) and update
+    * (posexplode → per-(cluster, dim) mean → k·dim-row collect — the only
+    * driver data is the centroid table itself). Empty cells keep their
+    * previous centroid. */
+  def buildLloyd(embeddings: DataFrame, k: Int, iters: Int = 5): Index = {
+    val spark = embeddings.sparkSession
+    GraftExtensions.register(spark)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    var centers: Seq[(Int, Array[Float])] =
+      e.orderBy(col("vec_id")).limit(k).collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Float](1).toArray)
+        }.toSeq
+    var assigned: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      assigned = assign(spark, e, centers)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centers = centers.map { case (c, old) =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Float](old.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+            (c, arr)
+          case None => (c, old) // empty cell: keep previous centroid
+        }
+      }
+      it += 1
+    }
+    Index(centers, assign(spark, e, centers))
+  }
+
+  /** One assignment pass: nearest centroid by squared euclidean distance
+    * (‖c‖² − 2c·x tie-broken by cluster id; ‖x‖² is constant per row). */
+  private def assign(spark: SparkSession, e: DataFrame,
+      centers: Seq[(Int, Array[Float])]): DataFrame = {
+    val cents = centersDf(spark, centers)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cluster"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        expr("graft_fdot(centroid, centroid)") -
+          lit(2.0) * expr("graft_fdot(embedding, centroid)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+  }
+
+  private def centersDf(spark: SparkSession,
+      centers: Seq[(Int, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    centers.map { case (i, a) => (i, a.toSeq) }.toDF("cluster", "centroid")
+      .select(col("cluster"), col("centroid").cast("array<float>").as("centroid"))
   }
 
   /** Nearest `nProbe` cells per probe vector (tiny centroid table —
     * computed via a broadcast cross join). */
   private def probeCells(spark: SparkSession, index: Index, probes: DataFrame,
       nProbe: Int): DataFrame = {
-    import spark.implicits._
-    val centroids = index.model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cluster", "centroid")
     val w = Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("cluster"))
-    probes.crossJoin(broadcast(centroids))
+    probes.crossJoin(broadcast(centersDf(spark, index.centers)))
       .withColumn("dist",
         -expr("graft_fdot(pe, centroid)")) // cosine-normalized corpus → max dot
       .withColumn("rnk", row_number().over(w))

@@ -107,6 +107,31 @@ object AggregateQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A11 matrix form — the full NxN Pearson correlation matrix of a
+    // feature frame (ref: df.corr() heatmaps, EDA cells 51/81/83,
+    // modelling_1 cell 32), in tidy long output (col_x, col_y, r). ALL
+    // N·(N+1)/2 coefficients come from ONE aggregation pass (each corr is
+    // a mergeable co-moment triple; Catalyst partial-aggregates them
+    // together), so the cost is one scan + one 1-row shuffle no matter
+    // how many columns — never N² passes over the data.
+    "q_corr_matrix" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val idx = for { i <- cols.indices; j <- cols.indices if j >= i } yield (i, j)
+      val aggs = idx.map { case (i, j) =>
+        r6(corr(col(cols(i)), col(cols(j)))).as(s"r_${i}_$j")
+      }
+      val pairs = idx.map { case (i, j) =>
+        struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+          col(s"r_${i}_$j").as("r"))
+      }
+      t(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(pairs: _*)).as("p"))
+        .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+          col("p.r").as("r"))
+        .orderBy(col("col_x"), col("col_y"))
+    }),
+
     // A12 — row-wise max/sum (ref: etl/additional_fifa.py:154 greatest of
     // two match scores).
     "q_rowwise_max" -> ((s, dir) => {
@@ -236,6 +261,23 @@ object AggregateQueries extends QueryPack {
         |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val idx = for { i <- cols.indices; j <- cols.indices if j >= i } yield (i, j)
+      val aggSel = idx.map { case (i, j) =>
+        s"ROUND(corr(${cols(i)}, ${cols(j)}), 6) AS r_${i}_$j"
+      }.mkString(",\n  ")
+      val rows = idx.map { case (i, j) =>
+        s"SELECT '${cols(i)}' AS col_x, '${cols(j)}' AS col_y, r_${i}_$j AS r FROM m"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+         |  SELECT $aggSel
+         |  FROM lineitem
+         |)
+         |$rows
+         |ORDER BY col_x, col_y""".stripMargin
+    },
 
     "q_rowwise_max" ->
       """SELECT l_orderkey, l_linenumber,

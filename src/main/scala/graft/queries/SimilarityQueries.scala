@@ -216,6 +216,28 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // IVF ANN — the coarse-quantizer alternative to hyperplane LSH: a
+    // k-means index partitions the vector space, probes search the
+    // nProbe nearest cells with exact cosine (operators.IvfIndex; at
+    // scale `cluster` is the table's partition key and pruning does the
+    // rest). No SQL oracle (k-means is not SQL-expressible) → driver
+    // records rows-only; quality is gated by IvfIndexSpec instead:
+    // recall@1 vs brute force is monotone in nProbe and exact at
+    // nProbe = k. Bounded DataFrame-native build (k=8, 5 Lloyd rounds,
+    // deterministic init — see IvfIndex.buildLloyd for why not MLlib
+    // here).
+    "q_ann_ivf" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = t(s, dir, "embeddings")
+      val index = graft.operators.IvfIndex.buildLloyd(e, k = 8, iters = 5)
+      val probes = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      graft.operators.IvfIndex.search(index, probes, topK = 3, nProbe = 2)
+        .select(col("probe_id"), col("cand_id"), r6(col("sim")).as("sim"),
+          col("rnk"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata columns.
     // The real decode (image/audio libs) is stubbed behind a deterministic
     // byte-level "feature extractor" (see graft.operators.MultimodalStub
