@@ -56,22 +56,44 @@ object Bench {
           false
       }
     val ok = selected.filter { case (n, fn) => run(n, fn) } // warmup pass
+    // a failed run records NO timing: its fast time-to-failure must not
+    // enter the min, and a query with no successful pass must be absent
+    // from the queries map (errors[] is its only record) — a broken query
+    // must never read as a fast one
     val timings = Seq.fill(timedPasses) {
-      ok.map { case (name, fn) =>
+      ok.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        run(name, fn)
-        name -> (System.nanoTime() - t0) / 1e9
+        if (run(name, fn)) Some(name -> (System.nanoTime() - t0) / 1e9)
+        else None
       }.toMap
     }
-    val results = selected.map { case (name, _) =>
+    val results = selected.flatMap { case (name, _) =>
       val ts = timings.flatMap(_.get(name))
-      name -> (if (ts.isEmpty) 0.0 else ts.min)
+      ts.minOption.map(name -> _)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // durable full per-query record (the driver's BENCH artifact keeps
+    // only a tail — per-query history was being lost between rounds);
+    // opt-out/redirect via SPARK_GRAFT_BENCH_OUT=/path or "off"
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench/results")
+    if (outDir != "off") try {
+      val dir = java.nio.file.Paths.get(outDir)
+      java.nio.file.Files.createDirectories(dir)
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd-HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      java.nio.file.Files.writeString(dir.resolve(s"bench-$stamp.json"), line)
+      java.nio.file.Files.writeString(dir.resolve("latest.json"), line)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] durable record skipped: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

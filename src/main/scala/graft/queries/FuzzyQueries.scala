@@ -58,6 +58,34 @@ object FuzzyQueries extends QueryPack {
         .orderBy(col("probe_id"))
     }),
 
+    // Structural twin of q_fuzzy_match, ORACLE-CHECKED: everything in the
+    // fuzzy pipeline EXCEPT the kernel score is SQL-expressible — the
+    // blocking join fan-out per probe, the name normalization, the
+    // exact-match short-circuit, and token-set equality (the
+    // score == 100 fast path). A broken block key, regex or tokenizer
+    // breaks these counts even though the kernel itself has no oracle;
+    // the kernel's scores are pinned end-to-end by FuzzyMatchPipelineSpec
+    // against the independent UDF twin, so between the two checks the
+    // rows-only query is structure-verified.
+    "q_fuzzy_block_stats" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      def toks(name: org.apache.spark.sql.Column) =
+        sort_array(array_distinct(split(name, " ")))
+      val probes = c.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("probe_id"), col("c_nationkey").as("nk"),
+          concat(lit("customer "), col("c_custkey").cast("string")).as("probe_name"))
+        .withColumn("probe_toks", toks(col("probe_name")))
+      val cands = c.select(col("c_custkey").as("cand_id"), col("c_nationkey").as("nk"),
+        regexp_replace(lower(col("c_name")), "#", " ").as("cand_name"))
+        .withColumn("cand_toks", toks(col("cand_name")))
+      broadcast(probes).join(cands, Seq("nk"))
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_cands"),
+          sum((col("probe_name") === col("cand_name")).cast("long")).as("n_exact"),
+          sum((col("probe_toks") === col("cand_toks")).cast("long")).as("n_tokset_eq"))
+        .orderBy(col("probe_id"))
+    }),
+
     // Streaming-parity batch aggregate: tumbling 1h windows per event_type
     // (EventStreams.tumblingCounts runs this same plan incrementally).
     "q_tumbling_window" -> ((s, dir) => {
@@ -67,6 +95,24 @@ object FuzzyQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fuzzy_block_stats" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS probe_id, c_nationkey AS nk,
+        |    'customer ' || CAST(c_custkey AS VARCHAR) AS probe_name,
+        |    list_sort(list_distinct(string_split('customer ' || CAST(c_custkey AS VARCHAR), ' '))) AS probe_toks
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |), c AS (
+        |  SELECT c_custkey AS cand_id, c_nationkey AS nk,
+        |    replace(lower(c_name), '#', ' ') AS cand_name,
+        |    list_sort(list_distinct(string_split(replace(lower(c_name), '#', ' '), ' '))) AS cand_toks
+        |  FROM customer
+        |)
+        |SELECT probe_id, COUNT(*) AS n_cands,
+        |  CAST(SUM(CAST(probe_name = cand_name AS INT)) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CAST(probe_toks = cand_toks AS INT)) AS BIGINT) AS n_tokset_eq
+        |FROM p JOIN c USING (nk)
+        |GROUP BY probe_id ORDER BY probe_id""".stripMargin,
+
     "q_tumbling_window" ->
       s"""WITH e AS (
          |  SELECT epoch_us(date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000))) AS window_start_us,

@@ -50,24 +50,62 @@ object HttpExtract {
   /** S1 — one bulk endpoint (ref retrieve_data). */
   def retrieveData(fetcher: HttpFetcher, url: String): String = fetcher.get(url)
 
+  /** Splice the fan-out key into a fetched JSON object (the ref tags each
+    * element-summary doc with its player id). Handles the empty-object
+    * response `{}` / `{ }` — naive `{"player_id":N,` + tail would emit a
+    * trailing comma and corrupt the landing. */
+  private[sources] def spliceId(id: Long, body: String): String = {
+    val b = body.trim
+    require(b.startsWith("{") && b.endsWith("}"),
+      s"expected JSON object for id $id")
+    if (b.tail.trim == "}") s"""{"player_id":$id}"""
+    else s"""{"player_id":$id,${b.tail}"""
+  }
+
   /** S2 — distributed per-key fan-out (ref retrieve_player_details): fetch
     * `urlTemplate.format(id)` for every id on the executors, splice the id
     * into each JSON object, and assemble the array-of-docs landing form
     * the transform's `playersRaw` schema reads. Results come back sorted
-    * by id so the landing file is deterministic. */
+    * by id so the landing file is deterministic.
+    *
+    * DRIVER-ASSEMBLED: collects every doc and builds one string — the
+    * reference's landing shape, right at its ~600-player scale. For a
+    * fan-out over millions of keys use [[retrievePlayerDetailsJsonl]],
+    * which never moves the docs through the driver. */
   def retrievePlayerDetails(spark: SparkSession, fetcher: HttpFetcher,
       urlTemplate: String, playerIds: Seq[Long],
       partitions: Int = 8): String = {
     val docs = spark.sparkContext
       .parallelize(playerIds, math.min(partitions, math.max(1, playerIds.size)))
-      .map { id =>
-        val body = fetcher.get(urlTemplate.format(id)).trim
-        require(body.startsWith("{"), s"expected JSON object for id $id")
-        id -> s"""{"player_id":$id,${body.tail}"""
-      }
+      .map(id => id -> spliceId(id, fetcher.get(urlTemplate.format(id))))
       .collect()
       .sortBy(_._1)
     docs.map(_._2).mkString("[\n", ",\n", "\n]")
+  }
+
+  /** S2 at scale — the same fan-out landing as PARTITIONED JSONL, written
+    * from the EXECUTORS: ids are sorted and range-partitioned, each task
+    * opens one HTTP client, fetches its slice and writes one
+    * `part-*.txt` of line-delimited docs — the driver never holds a doc.
+    * Deterministic modulo partition count: sorted ids → stable slice per
+    * part file; every line is self-keyed (`player_id` spliced in), and
+    * readers get deterministic order by sorting on it
+    * ([[Sources.jsonl]] + orderBy, as FplTransform's tables all do).
+    * Returns the landing directory. */
+  def retrievePlayerDetailsJsonl(spark: SparkSession, fetcher: HttpFetcher,
+      urlTemplate: String, playerIds: Seq[Long], outDir: String,
+      partitions: Int = 8): String = {
+    val rdd = spark.sparkContext
+      .parallelize(playerIds.sorted,
+        math.min(partitions, math.max(1, playerIds.size)))
+      // one line per doc: raw CR/LF in a JSON body is always inter-token
+      // whitespace (unescaped newlines are illegal inside JSON strings),
+      // so flattening to spaces is lossless
+      .map(id => spliceId(id, fetcher.get(urlTemplate.format(id)))
+        .replaceAll("[\n\r]", " "))
+    spark.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING)
+      .write.mode("overwrite").text(outDir)
+    outDir
   }
 
   /** K1 — byte-exact landing save (ref save_intermediate_data). */

@@ -27,6 +27,17 @@ object Sources {
       .option("multiLine", true)
       .json(path)
 
+  /** S3 at scale — schema-explicit LINE-DELIMITED JSON (one doc per line,
+    * e.g. the partitioned fan-out landing of
+    * [[HttpExtract.retrievePlayerDetailsJsonl]]). Splittable and
+    * parallel — multiLine JSON parses each file on a single core. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType,
+      failFast: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .json(path)
+
   /** S4 — dict-of-docs fan-out: a parent row with array<struct> children →
     * one child table, parent key injected (ref: per-player history/fixtures
     * stacking, etl/run_transform.py:246-254). `outer=false` (the ref's

@@ -54,6 +54,40 @@ class FuzzyMatchPipelineSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("declared q_fuzzy_match equals an independent driver-side recomputation") {
+    // the driver records q_fuzzy_match rows-only (no SQL oracle for the
+    // kernel) — this pins the WHOLE declared query, blocking + scoring +
+    // threshold + top-1, against a from-scratch reimplementation over the
+    // raw-string UDF kernel (itself verified against published rapidfuzz
+    // vectors in FuzzyMatchSpec)
+    val got = graft.queries.FuzzyQueries.queries("q_fuzzy_match")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val cust = graft.Tables(spark, sf("sf0.001"), "customer")
+      .select("c_custkey", "c_nationkey", "c_name").collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getAs[Number](1).longValue(), r.getString(2)))
+    val cands = cust.map { case (k, nk, name) =>
+      (k, nk, name.toLowerCase.replace("#", " "))
+    }
+    val expected = cust.filter(_._1 % 100 == 0).flatMap { case (pk, pnk, _) =>
+      val probeName = s"customer $pk"
+      val scored = cands.filter(_._2 == pnk).map { case (ck, _, cname) =>
+        val raw = if (probeName == cname) 100.0
+          else graft.functions.FuzzyMatch.tokenSetRatio(probeName, cname)
+        (ck, raw)
+      }.filter(_._2 > 55.0)
+      if (scored.isEmpty) None
+      else Some(pk -> scored.minBy { case (ck, s) => (-s, ck) })
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (pk, (ck, s)) =>
+      assert(got(pk)._1 === ck, s"probe $pk best-cand mismatch")
+      assert(math.abs(got(pk)._2 - BigDecimal(s).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"probe $pk score mismatch")
+    }
+  }
+
   test("blocking prevents cross-block matches") {
     // without blocking, lid=3 could weakly match b1 names; with blocking it
     // only sees b2 — and stays below threshold

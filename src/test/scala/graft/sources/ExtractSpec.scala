@@ -87,4 +87,42 @@ class ExtractSpec extends SparkSpec with BeforeAndAfterAll {
     }
     assert(err.getMessage.contains("404"))
   }
+
+  test("executor-written JSONL fan-out feeds the transform identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("fpl-jsonl")
+    val ids = FplRawFixtures.playerDocs.keys.toSeq.sorted
+    val playersDir = HttpExtract.retrievePlayerDetailsJsonl(
+      spark, new JdkHttpFetcher(), s"$base/api/element-summary/%d/",
+      ids, s"$tmp/players", partitions = 2)
+    // multiple part files actually written by executors
+    val parts = new java.io.File(playersDir)
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(parts === 2)
+    // parsed JSONL frame == parsed array-landing frame (same schema, rows)
+    val viaJsonl = Sources.jsonl(spark, playersDir, FplSchemas.playersRaw)
+    val arrayPath = HttpExtract.saveIntermediate(
+      FplRawFixtures.playersJson, "players", tmp.toString)
+    val viaArray = Sources.json(spark, arrayPath, FplSchemas.playersRaw)
+    assert(viaJsonl.count() === viaArray.count())
+    assert(viaJsonl.exceptAll(viaArray).count() === 0)
+    assert(viaArray.exceptAll(viaJsonl).count() === 0)
+    // and the transform accepts the JSONL landing end-to-end
+    val mainPath = HttpExtract.saveIntermediate(
+      FplRawFixtures.mainJson, "main", tmp.toString)
+    val fixturesPath = HttpExtract.saveIntermediate(
+      FplRawFixtures.fixturesJson, "fixtures", tmp.toString)
+    val tables = FplTransform.run(
+      Sources.json(spark, fixturesPath, FplSchemas.fixturesRaw),
+      Sources.json(spark, mainPath, FplSchemas.mainRaw),
+      viaJsonl, warn = _ => ())
+    FplTransform.validate(tables, raiseErrors = true)
+    assert(tables("players_full").count() === 3)
+  }
+
+  test("spliceId: empty-object responses stay valid JSON") {
+    assert(HttpExtract.spliceId(7, "{}") === """{"player_id":7}""")
+    assert(HttpExtract.spliceId(7, "{ }") === """{"player_id":7}""")
+    assert(HttpExtract.spliceId(7, """ {"a":1} """) === """{"player_id":7,"a":1}""")
+    intercept[IllegalArgumentException](HttpExtract.spliceId(7, "[1,2]"))
+  }
 }
