@@ -103,6 +103,29 @@ object FeatureQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES): key =
+    // ln(u)/w with u a portable pseudo-random from the row key — top-k by
+    // key is a weight-proportional sample, computed as one distributed
+    // TakeOrderedAndProject pass (mergeable per-partition top-k, no
+    // shuffle of the corpus). Deterministic across engines, runs and
+    // partitionings — seeded RNG sampling is none of those. Keys are
+    // rounded to 6 dp and tie-broken by doc_id so ranking can't flip
+    // between engines; the overflow-safe reduced hash (see
+    // q_stratified_sample) feeds u ∈ (0, 1].
+    "q_weighted_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("w", length(col("text")).cast("double"))
+        .withColumn("u",
+          (expr("doc_id % 1000000007 * 2654435761 % 1000000007") + lit(1))
+            .cast("double") / lit(1000000008.0))
+        // + 0.0 normalizes IEEE −0.0 (u=1 → ln 0, sign depends on the
+        // engine's rounding path) to +0.0 on both engines
+        .withColumn("skey", r6(log(col("u")) / col("w")) + lit(0.0))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("w").cast("long").as("w"), col("skey"))
+    }),
+
     // Log-log OLS imputation (ref: EDA cells 50-59 — release_clause from
     // value; stand-in: retail price from size, nulls injected). Closed-form
     // slope/intercept match DuckDB regr_slope/regr_intercept.
@@ -193,6 +216,17 @@ object FeatureQueries extends QueryPack {
         |         ELSE 10 END AS rate
         |  FROM orders
         |) WHERE h < rate ORDER BY o_orderkey""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+        |    CAST(doc_id % 1000000007 * 2654435761 % 1000000007 + 1 AS DOUBLE)
+        |      / 1000000008.0 AS u
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w,
+        |  ROUND(ln(u) / w, 6) + 0.0 AS skey
+        |FROM d ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
 
     "q_linreg_impute" ->
       """WITH p AS (

@@ -216,6 +216,33 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Embedding dedup in its CANONICALIZATION form — the shape that stays
+    // linear at 100 TB: group on the FULL banded signature (co-directional
+    // duplicates agree on every sign bit), keep the lowest vec_id as
+    // canonical. Pair-LISTING (q_dedup_embedding) is inherently
+    // output-bound: a duplicate cluster of size m emits m²/2 true pairs,
+    // so its work grows with the data's duplicate structure no matter how
+    // the candidates are generated; a pipeline that only needs "one row
+    // per near-dup group" uses this keep-first form instead (the
+    // embedding twin of q_corpus_clean's exact-dedup stage). Exact-copy
+    // dups injected (every 40th vector) — the synthetic corpus has none.
+    "q_embed_dedup_canon" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dups = base.filter(col("vec_id") % 40 === 0)
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      val all = base.unionByName(dups)
+      val r = bandWidth(all.count())
+      all
+        .withColumn("sig", expr(s"graft_rpsig(embedding, ${nBandsRp * r})"))
+        .groupBy(col("sig"))
+        .agg(min(col("vec_id")).as("canonical_id"),
+          count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+        .select(col("canonical_id"), col("n_members"))
+        .orderBy(col("canonical_id"))
+    }),
+
     // IVF ANN — the coarse-quantizer alternative to hyperplane LSH: a
     // k-means index partitions the vector space, probes search the
     // nProbe nearest cells with exact cosine (operators.IvfIndex; at
@@ -309,6 +336,22 @@ object SimilarityQueries extends QueryPack {
          |FROM pairs JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
          |WHERE ROUND(${dotDuck("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_dedup_canon" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 500000 AS vec_id, embedding
+         |  FROM embeddings WHERE vec_id % 40 = 0
+         |), params AS (
+         |  ${bandWidthDuck("u")}
+         |), e AS (
+         |  SELECT vec_id, ${rpSigDuck("embedding", "(4 * r)")} AS sig
+         |  FROM u CROSS JOIN params
+         |)
+         |SELECT min(vec_id) AS canonical_id, COUNT(*) AS n_members
+         |FROM e GROUP BY sig HAVING COUNT(*) > 1
+         |ORDER BY canonical_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

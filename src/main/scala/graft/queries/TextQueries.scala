@@ -311,6 +311,32 @@ object TextQueries extends QueryPack {
         .limit(20)
     }),
 
+    // Per-language token-distribution Shannon entropy — the corpus-
+    // diversity diagnostic of a training-data pipeline (a collapsed or
+    // deduplicate-heavy shard shows up as an entropy drop). Uses the
+    // identity H = ln(n) − (Σ c·ln c)/n over exact integer counts; each
+    // c·ln c term is rounded to 6 dp and summed as DECIMAL(18,6), so the
+    // aggregation is exact and partitioning/engine-invariant (a plain
+    // double sum is order-dependent — the q_embed_centroid mechanism).
+    // Shuffles on (lang, token) then lang: both high- or low-cardinality
+    // keys with mergeable partial aggregates.
+    "q_token_entropy" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("lang"), explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy(col("lang"))
+        .agg(
+          sum(col("c")).as("n"),
+          count(lit(1)).as("n_distinct"),
+          sum(round(col("c") * log(col("c")), 6).cast("decimal(18,6)"))
+            .as("s_clnc"))
+        .select(col("lang"), col("n"), col("n_distinct"),
+          r6(log(col("n")) - col("s_clnc").cast("double") / col("n"))
+            .as("entropy"))
+        .orderBy(col("lang"))
+    }),
+
     // TF-IDF top terms per document — the classic text-weighting op:
     // exact integer tf/df counts (partitioning-invariant), idf =
     // ln(N/df), top-3 terms per doc with deterministic ties. Shuffles on
@@ -386,12 +412,16 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // N-gram (token-set) Jaccard near-dup lookup for a probe sample,
-    // blocked by language — the oracle-checkable, bounded variant of
-    // pairwise similarity (probes × same-lang candidates, never n²).
-    // Token sets are SORTED DISTINCT HASH arrays: the O(|a|+|b|) merge
-    // kernel (graft_jaccard_sorted) replaces per-pair set builds, the
-    // sort is paid once per row, and the small probe side broadcasts so
+    // N-gram (token-set) Jaccard top-k for a probe sample, blocked by
+    // language — the EXACT baseline of the jaccard-similarity family:
+    // language has a FIXED number of blocks, so probe×block pair work
+    // grows quadratically with data (scaleprobe measures ~5.6× wall at
+    // 4×). Declared quadratic-by-intent, exempt like q_cosine_topk; the
+    // scale path is q_jaccard_topk_lsh below, which generates candidates
+    // through the MinHash band join instead. Token sets are SORTED
+    // DISTINCT HASH arrays: the O(|a|+|b|) merge kernel
+    // (graft_jaccard_sorted) replaces per-pair set builds, the sort is
+    // paid once per row, and the small probe side broadcasts so
     // candidates never shuffle for the join.
     "q_ngram_jaccard" -> ((s, dir) => {
       GraftExtensions.register(s)
@@ -406,6 +436,53 @@ object TextQueries extends QueryPack {
         .orderBy(col("jac").desc, col("cand_id"))
       cands.join(broadcast(probes), Seq("lang"))
         .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          r6(expr("graft_jaccard_sorted(ta, tb)")).as("jac"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("probe_id"), col("cand_id"), col("jac"), col("rnk"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // The scale path of the jaccard top-k family: candidates come from
+    // the MinHash BAND JOIN (probe-side bands broadcast against corpus
+    // bands — bucket keyspace PM² per band, occupancy stays ~constant as
+    // data grows) instead of a fixed language block; exact sorted-merge
+    // Jaccard then ranks candidates per probe. ANN semantics: a probe
+    // with no band-mate (nothing similar in the corpus) returns fewer
+    // than 3 rows — the price of never touching the n² pair space.
+    // Near-dup docs injected (1-token tail on every 40th doc, the
+    // q_simhash_pairs corpus) since the synthetic corpus has few.
+    "q_jaccard_topk_lsh" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = d0.unionByName(
+        d0.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+      val sig = signatures(docs)
+      val bandStructs = (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          (col(s"mh${2 * b}") * lit(PM) + col(s"mh${2 * b + 1}")).as("bkey"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      val pBands = bands.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("probe_id"), col("band"), col("bkey"))
+      val cand = bands.as("c")
+        .join(broadcast(pBands).as("p"),
+          col("p.band") === col("c.band") && col("p.bkey") === col("c.bkey") &&
+            col("p.probe_id") =!= col("c.doc_id"))
+        .select(col("p.probe_id").as("probe_id"), col("c.doc_id").as("cand_id"))
+        .distinct()
+      val toks = hashedTokset(docs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("jac").desc, col("cand_id"))
+      cand
+        .join(toks.select(col("doc_id").as("probe_id"), col("tset").as("ta")), "probe_id")
+        .join(toks.select(col("doc_id").as("cand_id"), col("tset").as("tb")), "cand_id")
         .select(col("probe_id"), col("cand_id"),
           r6(expr("graft_jaccard_sorted(ta, tb)")).as("jac"))
         .withColumn("rnk", row_number().over(w))
@@ -612,6 +689,18 @@ object TextQueries extends QueryPack {
          |WHERE c_xy >= 5
          |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
 
+    "q_token_entropy" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(${tokensDuck("text")}) AS tok FROM documents
+         |), c AS (
+         |  SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok
+         |)
+         |SELECT lang, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_distinct,
+         |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
+         |    CAST(SUM(CAST(ROUND(c * ln(c), 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |      / SUM(c), 6) AS entropy
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_tfidf" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(${tokensDuck("text")}) AS token FROM documents
@@ -661,6 +750,38 @@ object TextQueries extends QueryPack {
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_jaccard_topk_lsh" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' extra' AS text
+         |  FROM documents WHERE doc_id % 40 = 0
+         |), ${sigCte("u")}, bands AS (
+         |  ${(0 until nBands).map { b =>
+             s"SELECT doc_id, $b AS band, mh${2 * b} * $PM + mh${2 * b + 1} AS bkey FROM mh"
+           }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS cand_id
+         |  FROM bands p JOIN bands c
+         |    ON p.band = c.band AND p.bkey = c.bkey AND p.doc_id <> c.doc_id
+         |  WHERE p.doc_id % 20 = 0
+         |), toksets AS (
+         |  SELECT doc_id, list_distinct(${tokenHashesDuck("text")}) AS tset
+         |  FROM u
+         |), scored AS (
+         |  SELECT probe_id, cand_id,
+         |    ROUND(${jaccardDuck("ta.tset", "tb.tset")}, 6) AS jac
+         |  FROM cand
+         |  JOIN toksets ta ON ta.doc_id = probe_id
+         |  JOIN toksets tb ON tb.doc_id = cand_id
+         |), ranked AS (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY jac DESC, cand_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, cand_id, jac, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH toks AS (

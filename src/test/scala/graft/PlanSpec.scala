@@ -98,6 +98,40 @@ class PlanSpec extends SparkSpec {
       s"probe side of q_ngram_jaccard must broadcast:\n$ngram")
   }
 
+  test("banded LSH family: equi band joins, broadcast probe sides") {
+    // probe-driven variants must broadcast the (small) probe band table
+    for (q <- Seq("q_ann_lsh", "q_jaccard_topk_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q probe bands must broadcast:\n$p")
+    }
+    // pair-listing variants: the band self-join must stay an equi join
+    for (q <- Seq("q_dedup_embedding", "q_simhash_pairs", "q_embed_dedup_canon")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop:\n$p")
+    }
+  }
+
+  test("corr matrix computes all coefficients in one aggregation, no joins") {
+    val p = plan("q_corr_matrix")
+    assert(!p.contains("Join"), s"q_corr_matrix must not join:\n$p")
+    assert(p.contains("Aggregate"), s"expected aggregation:\n$p")
+  }
+
+  test("equi-depth bucket assignment is a bounded broadcast range join") {
+    // RangeBuckets joins the big frame against ~65 broadcast interval
+    // rows — a BroadcastNestedLoopJoin over a bounded build side is the
+    // intended shape (codegen comparisons), NOT a pair explosion; the
+    // bounds subtree must contain the sampled percentile aggregation.
+    val p = plan("q_ks_test")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast interval join:\n$p")
+    assert(p.contains("percentile_approx"), s"expected sampled boundaries:\n$p")
+  }
+
   test("bucketed fact-fact join is shuffle-free") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     Bucketing.writeBucketed(

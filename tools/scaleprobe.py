@@ -1,10 +1,23 @@
 #!/usr/bin/env python3
 """Scaling probe (driver-side tooling, like check.py — NOT library code):
-replicate the sf0.1 fact tables at 2x and 4x (key-offset copies), run the
-scale-sensitive queries through graft.Bench at each size, and print the
-wall-clock scaling ratios. Linear (ratio ~= size factor) means the plan
-has no hidden quadratic or single-task stage; the results are recorded in
-BASELINE.md."""
+replicate the sf0.1 fact tables at 2x and 4x, run the scale-sensitive
+queries through graft.Bench at each size, and print the wall-clock scaling
+ratios. Linear (ratio ~= size factor) means the plan has no hidden
+quadratic or single-task stage; the results are recorded in BASELINE.md.
+
+Replicas are PERTURBED, not copied: a verbatim copy of every document /
+embedding would make each row a true near-duplicate of its replicas, so
+the pair-generation family's OUTPUT (and its work) would grow
+quadratically by data construction and the probe would measure the data,
+not the algorithm. Instead each replica k gets
+ - documents: doc_id offset + a Caesar shift of the text (token structure
+   preserved, every alphabetic token hash changes -> no cross-replica
+   near-dups);
+ - embeddings: vec_id offset + sign flips on a replica-specific half of
+   the dimensions (cosine(original, replica) ~= 0 -> no manufactured
+   similar pairs; intra-replica structure intact);
+ - orders / lineitem: key offsets (as before).
+"""
 import json
 import os
 import shutil
@@ -16,14 +29,40 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-SCALED = {
-    "documents": "doc_id + {off} AS doc_id",
-    "orders": "o_orderkey + {off} AS o_orderkey",
-    "lineitem": "l_orderkey + {off} AS l_orderkey",
-}
-QUERIES = ("q_quality_score,q_lang_id,q_token_topk,q_dedup_exact,"
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+QUERIES = os.environ.get("SPROBE_QUERIES",
+           "q_quality_score,q_lang_id,q_token_topk,q_dedup_exact,"
            "q_ks_test,q_spearman,q_agg_groupsum,"
-           "q_tfidf,q_pmi_bigrams,q_doc_chunks,q_seq_packing")
+           "q_tfidf,q_pmi_bigrams,q_doc_chunks,q_seq_packing,"
+           # pair-generation family — the one place a quadratic would hide
+           "q_simhash_pairs,q_dedup_embedding,q_ann_lsh,"
+           "q_dedup_minhash_lsh,q_ngram_jaccard,q_cosine_topk,"
+           "q_jaccard_topk_lsh")
+
+
+def replica_select(table, i, src):
+    """SELECT for replica i (0 = original) of one table."""
+    base = f"SELECT * FROM read_parquet('{src}')"
+    if i == 0:
+        return base
+    off = 100_000_000 * i
+    if table == "documents":
+        shifted = ALPHA[i:] + ALPHA[:i]  # Caesar shift by i
+        return (f"SELECT * REPLACE (doc_id + {off} AS doc_id, "
+                f"translate(text, '{ALPHA}', '{shifted}') AS text) "
+                f"FROM read_parquet('{src}')")
+    if table == "embeddings":
+        # flip a replica-specific half of the dims (j is 1-based)
+        return (f"SELECT * REPLACE (vec_id + {off} AS vec_id, "
+                f"list_transform(embedding, (x, j) -> "
+                f"CAST(CASE WHEN (j + {i}) % 4 IN (1, 2) THEN -x ELSE x END AS FLOAT)) "
+                f"AS embedding) FROM read_parquet('{src}')")
+    if table == "orders":
+        return f"SELECT * REPLACE (o_orderkey + {off} AS o_orderkey) FROM read_parquet('{src}')"
+    if table == "lineitem":
+        return f"SELECT * REPLACE (l_orderkey + {off} AS l_orderkey) FROM read_parquet('{src}')"
+    return None  # dimension tables: never replicated
 
 
 def build(k, dest):
@@ -32,18 +71,10 @@ def build(k, dest):
     for t in TABLES:
         src = f"{SRC}/{t}.parquet"
         out = f"{dest}/{t}.parquet"
-        if t not in SCALED or k == 1:
+        if k == 1 or replica_select(t, 1, src) is None:
             shutil.copyfile(src, out)
             continue
-        key = SCALED[t]
-        selects = []
-        for i in range(k):
-            off = 100_000_000 * i
-            cols = key.format(off=off) if i else key.split(" AS ")[1]
-            # replace only the key column; keep the rest verbatim
-            selects.append(
-                f"SELECT * REPLACE ({key.format(off=off)}) "
-                f"FROM read_parquet('{src}')")
+        selects = [replica_select(t, i, src) for i in range(k)]
         con.execute(
             f"COPY ({' UNION ALL '.join(selects)}) TO '{out}' (FORMAT PARQUET)")
 
@@ -51,7 +82,7 @@ def build(k, dest):
 def bench(dest):
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=dest, SPARK_GRAFT_CPUS="32",
-               SPARK_GRAFT_ONLY=QUERIES)
+               SPARK_GRAFT_ONLY=QUERIES, SPARK_GRAFT_BENCH_OUT="off")
     out = subprocess.run(
         ["java", "-cp", "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*",
          "-Xmx48g", "graft.Bench"],
