@@ -89,18 +89,21 @@ object IvfIndex {
   }
 
   /** One assignment pass: nearest centroid by squared euclidean distance
-    * (‖c‖² − 2c·x tie-broken by cluster id; ‖x‖² is constant per row). */
+    * (‖c‖² − 2c·x tie-broken by cluster id; ‖x‖² is constant per row).
+    * argmin is a `min_by` HASH AGGREGATE over the k-way cross join — a
+    * partial-aggregating, sort-free shape (a per-vec_id window would
+    * exchange + sort n·k rows every Lloyd round). */
   private def assign(spark: SparkSession, e: DataFrame,
       centers: Seq[(Int, Array[Float])]): DataFrame = {
     val cents = centersDf(spark, centers)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cluster"))
     e.crossJoin(broadcast(cents))
       .withColumn("dist",
         expr("graft_fdot(centroid, centroid)") -
           lit(2.0) * expr("graft_fdot(embedding, centroid)"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("cluster"), struct(col("dist"), col("cluster"))).as("cluster"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("cluster"))
   }
 

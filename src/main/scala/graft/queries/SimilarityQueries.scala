@@ -250,13 +250,14 @@ object SimilarityQueries extends QueryPack {
     // rest). No SQL oracle (k-means is not SQL-expressible) → driver
     // records rows-only; quality is gated by IvfIndexSpec instead:
     // recall@1 vs brute force is monotone in nProbe and exact at
-    // nProbe = k. Bounded DataFrame-native build (k=8, 5 Lloyd rounds,
-    // deterministic init — see IvfIndex.buildLloyd for why not MLlib
-    // here).
+    // nProbe = k. Bounded DataFrame-native build (k=8, 3 Lloyd rounds —
+    // a coarse quantizer converges in a few rounds and each round is a
+    // full corpus pass; deterministic init — see IvfIndex.buildLloyd for
+    // why not MLlib here).
     "q_ann_ivf" -> ((s, dir) => {
       GraftExtensions.register(s)
       val e = t(s, dir, "embeddings")
-      val index = graft.operators.IvfIndex.buildLloyd(e, k = 8, iters = 5)
+      val index = graft.operators.IvfIndex.buildLloyd(e, k = 8, iters = 3)
       val probes = e.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       graft.operators.IvfIndex.search(index, probes, topK = 3, nProbe = 2)
