@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Equi-depth bucket properties on a PATHOLOGICALLY skewed column — the
+  * case fixed-width buckets serialize on. Correctness must be
+  * boundary-independent: the (bucket, within-bucket order) decomposition
+  * reproduces the exact global prefix sum whatever the sampled
+  * boundaries are, and on skewed data the buckets actually divide the
+  * off-mode mass instead of collapsing into one hot bucket.
+  */
+class RangeBucketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 90% of rows share one value (the skew mode), the rest spread wide
+  private lazy val skewed = spark.range(0, 20000).select(
+    col("id"),
+    when(col("id") % 10 =!= 0, lit(42.0))
+      .otherwise((col("id") % 1000).cast("double") * 7.3).as("x"))
+
+  test("bucketed two-pass prefix sum == single-task global prefix sum under skew") {
+    val b = RangeBuckets.withEquiDepthBucket(skewed, "x", "bucket")
+    // two-pass form (the q_ks_test / q_seq_packing shape)
+    val btot = b.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = btot.withColumn("boff", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val wLoc = Window.partitionBy(col("bucket")).orderBy(col("x"), col("id"))
+    val twoPass = b.join(broadcast(off), Seq("bucket"))
+      .withColumn("pos", col("boff") + row_number().over(wLoc))
+      .select(col("id"), col("pos"))
+    // truth: one global window (single task — fine in a test)
+    val wG = Window.orderBy(col("x"), col("id"))
+    val global = skewed.withColumn("pos_g", row_number().over(wG).cast("long"))
+      .select(col("id"), col("pos_g"))
+    assert(twoPass.join(global, "id")
+      .filter(col("pos") =!= col("pos_g")).count() === 0)
+  }
+
+  test("skewed data: off-mode mass is spread over many buckets") {
+    val b = RangeBuckets.withEquiDepthBucket(skewed, "x", "bucket")
+    val sizes = b.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 90% mode is indivisible (equal values cannot be split) but the
+    // OTHER 10% must not share its bucket wholesale: fixed-width
+    // floor(x/1000) puts everything in one bucket here
+    val n = 20000L
+    val modeBucketMax = sizes.values.max
+    assert(modeBucketMax < n * 95 / 100,
+      s"mode bucket swallowed everything: $sizes")
+    // duplicate quantile boundaries collapse at the mode, so the bucket
+    // count reflects the spread mass only — several buckets, not one
+    assert(sizes.size >= 5, s"too few buckets on the spread mass: ${sizes.size}")
+    // every non-mode bucket is small (~n/nb, not O(n))
+    val nonMode = sizes.values.toSeq.sorted.dropRight(1)
+    assert(nonMode.forall(_ <= n / 10), s"a non-mode bucket is hot: $sizes")
+  }
+
+  test("every row lands in exactly one bucket (intervals partition the line)") {
+    val b = RangeBuckets.withEquiDepthBucket(skewed, "x", "bucket")
+    assert(b.count() === skewed.count())
+    assert(b.groupBy(col("id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 1).count() === 0)
+  }
+}
