@@ -447,54 +447,20 @@ object TextQueries extends QueryPack {
     // Near-dup CONNECTED COMPONENTS — the transitive-closure completion
     // of the dedup family: LSH gives verified pairs, but "A~B, B~C"
     // must collapse to ONE canonical doc per cluster, which needs
-    // components, not pairs. Distributed min-label propagation: labels
-    // start at doc_id, each round takes the min over neighbors
-    // (edge join + groupBy-min — all shuffles on high-cardinality ids),
-    // repeated until a fixpoint the driver detects with one count per
-    // round (rounds needed = component diameter; near-dup clusters are
-    // shallow — 2-3 here; the alternating-star variants bound it at
-    // O(log n) for pathological chains). The DuckDB oracle reproduces
-    // the fixpoint with a recursive CTE, so the loop itself is
-    // oracle-checked.
+    // components, not pairs. Distributed min-label propagation with
+    // pointer jumping (operators.ConnectedComponents — O(log diameter)
+    // rounds, convergence by one "Σ lbl unchanged" aggregate per round).
+    // The DuckDB oracle reproduces the fixpoint with a recursive CTE,
+    // so the iterative loop itself is oracle-checked.
     "q_dedup_components" -> ((s, dir) => {
       GraftExtensions.register(s)
       val docs = t(s, dir, "documents")
       val pairs = verifyPairs(lshCandidatePairs(signatures(docs)), hashedTokset(docs))
         .filter(col("jac") >= 0.3)
         .select(col("doc_a"), col("doc_b"))
-      // materialize the edge list ONCE — every loop round references it,
-      // and without the barrier each round would recompute the whole
-      // signature→band→verify pipeline upstream of it
-      val edges = pairs
-        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint(true)
-      var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id"))
-        .localCheckpoint(true)
-      // labels only ever DECREASE, so the fixpoint test is "Σ lbl
-      // unchanged" — one tiny aggregate per round instead of a join
-      // (decimal sum: id sums can pass 2⁶³ at large corpora)
-      def lblSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-      var prevSum = lblSum(labels)
-      var converged = false
-      while (!converged) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("doc_a"), col("lbl").as("nl")), "doc_a")
-          .groupBy(col("doc_b").as("doc_id"))
-          .agg(min(col("nl")).as("nbr_lbl"))
-        val next = labels
-          .join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint(true) // cut the per-round lineage growth
-        val s = lblSum(next)
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
-        labels = next
-      }
+      val (labels, _) = graft.operators.ConnectedComponents.run(pairs, "doc_a", "doc_b")
       labels
-        .select(col("doc_id"), col("lbl").as("component_id"))
+        .select(col("id").as("doc_id"), col("component").as("component_id"))
         .orderBy(col("doc_id"))
     }),
 
