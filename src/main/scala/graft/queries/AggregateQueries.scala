@@ -213,6 +213,38 @@ object AggregateQueries extends QueryPack {
       val sup = t(s, dir, "supplier").filter(col("s_suppkey") <= 7)
       Checks.fkOrphans(li, sup, "l_suppkey", "s_suppkey")
         .orderBy(col("l_suppkey"))
+    }),
+
+    // Grouped APPROX quantiles with an oracle-checked error band — the
+    // 100 TB substitute for q_grouped_quantiles: exact `percentile`
+    // buffers every value of a group in one aggregation buffer, which a
+    // trillion-row group cannot do; `approx_percentile` (KLL-ish, GK) is
+    // bounded-memory and mergeable. The sketch itself is engine-specific,
+    // so the declared output carries EXACT quantiles (oracle-computable)
+    // plus in-band booleans: accuracy=10000 bounds the rank error at
+    // n/10000, far inside the exact [p49, p51] / [p94, p96] bands, so the
+    // oracle asserts the flags as TRUE — a broken sketch hash-mismatches
+    // instead of hiding behind rows-only.
+    "q_group_quantile_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          // array forms: ONE exact buffer and ONE sketch per group, not
+          // one full-value buffer per requested percentile
+          percentile(col("l_extendedprice"),
+            array(lit(0.49), lit(0.5), lit(0.51), lit(0.94), lit(0.95), lit(0.96)))
+            .as("ex"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(10000)).as("ap"))
+        .select(col("l_returnflag"), col("n"),
+          r4(col("ex").getItem(1)).as("p50_exact"),
+          r4(col("ex").getItem(4)).as("p95_exact"),
+          (col("ap").getItem(0) >= col("ex").getItem(0) &&
+            col("ap").getItem(0) <= col("ex").getItem(2)).as("p50_in_band"),
+          (col("ap").getItem(1) >= col("ex").getItem(3) &&
+            col("ap").getItem(1) <= col("ex").getItem(5)).as("p95_in_band"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -224,6 +256,13 @@ object AggregateQueries extends QueryPack {
     "q_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_group_quantile_approx" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+        |  TRUE AS p50_in_band, TRUE AS p95_in_band
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_grouped_quantiles" ->

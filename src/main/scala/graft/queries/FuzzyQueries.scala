@@ -91,6 +91,19 @@ object FuzzyQueries extends QueryPack {
     "q_tumbling_window" -> ((s, dir) => {
       EventStreams.tumblingCounts(t(s, dir, "events"))
         .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
+    // Streaming-parity batch join: click→purchase attribution within 1h
+    // (EventStreams.attributionJoin is the stateful stream-stream form;
+    // on a batch frame the watermark is a no-op and the plan is an
+    // equi-join on user_id + time-range filter — which is exactly what
+    // the oracle runs).
+    "q_event_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      EventStreams.attributionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     })
   )
 
@@ -122,6 +135,21 @@ object FuzzyQueries extends QueryPack {
          |SELECT window_start_us, event_type, COUNT(*) AS n,
          |  ${sql.dsum("value")} AS total_value
          |FROM e GROUP BY window_start_us, event_type
-         |ORDER BY window_start_us, event_type""".stripMargin
+         |ORDER BY window_start_us, event_type""".stripMargin,
+
+    "q_event_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS ct
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS pt,
+        |    value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, click_id, purchase_id, pt - ct AS delay_us,
+        |  purchase_value
+        |FROM c JOIN p USING (user_id)
+        |WHERE pt >= ct AND pt <= ct + 3600000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
   )
 }

@@ -64,4 +64,36 @@ object EventStreams {
     withEventTime(events)
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream-stream inner join — click→purchase attribution: every
+    * purchase a user makes within `horizon` of one of their clicks.
+    *
+    * Scale notes: this is Spark's canonical stateful two-stream join.
+    * Both sides carry a watermark AND the join condition bounds
+    * purchase_time to [click_time, click_time + horizon], which is what
+    * lets the state store evict a click once the purchase-side watermark
+    * passes click_time + horizon — without the time bound, both sides'
+    * state would grow forever. Inner-join rows emit as soon as they
+    * match (the watermark gates only state eviction), so append-mode
+    * output is incremental. On a batch frame the same plan degrades to a
+    * plain equi-join on user_id with a range filter (withWatermark is a
+    * batch no-op), which is how the DuckDB oracle checks it
+    * (q_event_attribution). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val c = withEventTime(clicks).withWatermark("event_time", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+    val p = withEventTime(purchases).withWatermark("event_time", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"), col("value").as("purchase_value"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_time") >= col("click_time") &&
+          col("purchase_time") <= col("click_time") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_time")) - unix_micros(col("click_time")))
+          .as("delay_us"),
+        col("purchase_value"))
+  }
 }

@@ -43,6 +43,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("attributionJoin: stream-stream inner join equals the batch twin") {
+    import org.apache.spark.sql.functions._
+    val batchEvents = Tables(spark, sf("sf0.001"), "events")
+    val expected = EventStreams.attributionJoin(
+        batchEvents.filter(col("event_type") === "click"),
+        batchEvents.filter(col("event_type") === "purchase"))
+      .orderBy("user_id", "click_id", "purchase_id")
+      .collect()
+    assert(expected.nonEmpty)
+
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    Files.copy(
+      Paths.get(sf("sf0.001"), "events.parquet"),
+      Paths.get(dir, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // two independent stream readers over the same source, filtered to
+    // the two event roles — the join is genuinely stream-stream
+    def streamOf(tpe: String) = spark.readStream
+      .schema(batchEvents.schema).parquet(dir)
+      .filter(col("event_type") === tpe)
+    val query = EventStreams.attributionJoin(streamOf("click"), streamOf("purchase"))
+      .writeStream
+      .format("memory")
+      .queryName("attribution_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val got = spark.table("attribution_test")
+      .orderBy("user_id", "click_id", "purchase_id")
+      .collect()
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("watermark: a late event beyond the horizon is dropped, not re-aggregated") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
