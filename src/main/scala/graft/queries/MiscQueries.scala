@@ -240,10 +240,38 @@ object MiscQueries extends QueryPack {
         .groupBy(col("l_returnflag"))
         .agg(r6(corr(col("rq"), col("rp"))).as("spearman"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Z-order (Morton) clustering key — the data-layout operator behind
+    // multi-dimensional file skipping (operators.ZOrder; ZOrderSpec
+    // quantifies the pruning win). The declared query pins BIT-PARITY of
+    // the interleave ladder against DuckDB running the same shift/mask
+    // SQL — pure integer ops, so it is exact at any scale.
+    "q_zorder" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          graft.operators.ZOrder.zvalue(
+            col("c_nationkey"), col("c_custkey") % 65536).as("zv"))
+        .orderBy(col("c_custkey"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_zorder" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_nationkey & 65535 AS x0, (c_custkey % 65536) & 65535 AS y0
+        |  FROM customer
+        |), s1 AS (
+        |  SELECT c_custkey, (x0 | (x0 << 8)) & 16711935 AS x1, (y0 | (y0 << 8)) & 16711935 AS y1 FROM b
+        |), s2 AS (
+        |  SELECT c_custkey, (x1 | (x1 << 4)) & 252645135 AS x2, (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1
+        |), s3 AS (
+        |  SELECT c_custkey, (x2 | (x2 << 2)) & 858993459 AS x3, (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2
+        |), s4 AS (
+        |  SELECT c_custkey, (x3 | (x3 << 1)) & 1431655765 AS x4, (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3
+        |)
+        |SELECT c_custkey, x4 | (y4 << 1) AS zv FROM s4 ORDER BY c_custkey""".stripMargin,
+
     "q_fillna_dropna" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -148,4 +148,36 @@ class PlanSpec extends SparkSpec {
       s"bucketed join still shuffles:\n$p")
     assert(joined.count() > 0)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // Catalyst's InjectRuntimeFilter: when a big scan shuffle-joins a
+    // selectively-filtered side, a bloom filter built from the small
+    // side's join keys is pushed into the big side's scan — at 100 TB
+    // this is the difference between scanning the full fact table and
+    // skipping most of it before the shuffle. Thresholds are tuned for
+    // clusters, so the spec lowers the application-side floor to pin the
+    // mechanism itself.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "true")
+      conf.set(keys(1), "0")
+      conf.set(keys(2), "-1") // force a shuffle join so the filter applies
+      val li = Tables(spark, dir, "lineitem")
+      val o = Tables(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+      assert(j.count() > 0)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
