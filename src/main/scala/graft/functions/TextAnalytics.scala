@@ -70,6 +70,23 @@ object TextAnalytics {
       s"(($th[i] * 31 + $th[i + 1]) % $P * 31 + $th[i + 2]) % $P) " +
       s"ELSE [] END"
 
+  /** Generalized k-token window hashes over a token-hash array `th` —
+    * the k-ary form of the 3-shingle fingerprint (k=2 drives the
+    * bigram-repetition quality rule, k=8 the decontamination grams).
+    * Left fold with init 0 ≡ the shingle polynomial for k=3. */
+  def gramHashesSpark(th: String, k: Int): String =
+    s"CASE WHEN size($th) >= $k THEN " +
+      s"transform(sequence(1, size($th) - ${k - 1}), i -> " +
+      s"aggregate(slice($th, i, $k), CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % $P)) " +
+      s"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+
+  def gramHashesDuck(th: String, k: Int): String =
+    s"CASE WHEN len($th) >= $k THEN " +
+      s"list_transform(generate_series(1, len($th) - ${k - 1}), i -> " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $th[i:i+${k - 1}]), " +
+      s"(a, x) -> (a * 31 + x) % $P)) " +
+      s"ELSE [] END"
+
   // ---- MinHash ------------------------------------------------------
 
   /** i-th MinHash over a shingle-fingerprint array (null for <3 tokens). */

@@ -509,6 +509,66 @@ object TextQueries extends QueryPack {
         .filter(col("rnk") <= 3)
         .select(col("probe_id"), col("cand_id"), col("jac"), col("rnk"))
         .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // Gopher/MassiveText-style REPETITION filter — the published quality
+    // rules that catch degenerate (looping) text: fraction of the doc
+    // consumed by its most frequent token, and the duplicate-bigram
+    // fraction. Both are per-doc computations: the bigram side is pure
+    // HOF arithmetic (no shuffle at all); the top-token side is an
+    // explode + two hash aggs keyed by doc_id — fully distributed, and
+    // the flag compares ROUNDED fractions so the boundary can't flip
+    // between engines.
+    "q_repetition_filter" -> ((s, dir) => {
+      val th = t(s, dir, "documents")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("doc_id"), col("th"))
+        .repartition(col("doc_id")) // barrier: th computed once, not per use
+      val bg = th
+        .withColumn("bg", expr(gramHashesSpark("th", 2)))
+        .select(col("doc_id"), size(col("th")).cast("long").as("n_tokens"),
+          size(col("bg")).cast("long").as("nb"),
+          size(array_distinct(col("bg"))).cast("long").as("nd"))
+      val top = th
+        .select(col("doc_id"), explode(col("th")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("cnt")).as("top1"), sum(col("cnt")).as("ntok"))
+      bg.join(top, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("top1").cast("double") / col("ntok")).as("top1_frac"),
+          r6(when(col("nb") > 0,
+            lit(1.0) - col("nd").cast("double") / col("nb"))
+            .otherwise(lit(0.0))).as("dup_bigram_frac"))
+        .withColumn("flagged",
+          col("top1_frac") > 0.12 || col("dup_bigram_frac") > 0.05)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark DECONTAMINATION — the published n-gram-overlap rule for
+    // keeping eval data out of training corpora: a training doc is
+    // contaminated if any of its 8-token grams appears in the eval set's
+    // gram table. The eval side (doc_id % 97 = 0 here; a real benchmark
+    // suite in production) is tiny, so its distinct grams BROADCAST and
+    // the training side streams through one scan — a semi-join on gram
+    // hashes, never any pairwise doc comparison.
+    "q_decontaminate" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("doc_id"), col("th"))
+        .repartition(col("doc_id"))
+        .withColumn("g", explode(expr(gramHashesSpark("th", 8))))
+        .select(col("doc_id"), col("g"))
+      val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("g").as("eg")).distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalGrams), col("g") === col("eg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("eg")).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"),
+          (col("n_hits") > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -832,6 +892,51 @@ object TextQueries extends QueryPack {
          |  FROM scored
          |)
          |SELECT probe_id, cand_id, jac, rnk FROM ranked WHERE rnk <= 3
-         |ORDER BY probe_id, rnk""".stripMargin
+         |ORDER BY probe_id, rnk""".stripMargin,
+
+    "q_repetition_filter" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents
+         |), bg AS (
+         |  SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+         |    ${gramHashesDuck("th", 2)} AS bga
+         |  FROM th
+         |), bgs AS (
+         |  SELECT doc_id, n_tokens, CAST(len(bga) AS BIGINT) AS nb,
+         |    CAST(len(list_distinct(bga)) AS BIGINT) AS nd
+         |  FROM bg
+         |), u AS (
+         |  SELECT doc_id, unnest(th) AS tok FROM th
+         |), c AS (
+         |  SELECT doc_id, tok, COUNT(*) AS cnt FROM u GROUP BY doc_id, tok
+         |), tp AS (
+         |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top1,
+         |    CAST(sum(cnt) AS BIGINT) AS ntok
+         |  FROM c GROUP BY doc_id
+         |), j AS (
+         |  SELECT b.doc_id, b.n_tokens,
+         |    ROUND(CAST(top1 AS DOUBLE) / ntok, 6) AS top1_frac,
+         |    ROUND(CASE WHEN nb > 0 THEN 1.0 - CAST(nd AS DOUBLE) / nb
+         |      ELSE 0.0 END, 6) AS dup_bigram_frac
+         |  FROM bgs b JOIN tp USING (doc_id)
+         |)
+         |SELECT doc_id, n_tokens, top1_frac, dup_bigram_frac,
+         |  (top1_frac > 0.12 OR dup_bigram_frac > 0.05) AS flagged
+         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents
+         |), g AS (
+         |  SELECT doc_id, unnest(${gramHashesDuck("th", 8)}) AS g FROM th
+         |), ev AS (
+         |  SELECT DISTINCT g AS eg FROM g WHERE doc_id % 97 = 0 AND g IS NOT NULL
+         |), tr AS (
+         |  SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0
+         |)
+         |SELECT tr.doc_id, COUNT(DISTINCT ev.eg) AS n_hits,
+         |  COUNT(DISTINCT ev.eg) > 0 AS contaminated
+         |FROM tr LEFT JOIN ev ON tr.g = ev.eg
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
   )
 }
