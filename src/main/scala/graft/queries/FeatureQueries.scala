@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.QueryKit._
 import graft.features.{Features, Impute}
+import graft.functions.TextAnalytics.{tokenHashesSpark, tokenHashesDuck}
 
 /** Feature-engineering coverage (SURVEY.md §3.3): multi-column lag
   * features and per-group quantile-bucket assignment, oracle-checked.
@@ -138,6 +139,25 @@ object FeatureQueries extends QueryPack {
         .select(col("p_partkey"), col("p_size"), col("maybe_price"),
           col("price_filled"), col("was_imputed"), col("slope"), col("intercept"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // The hashing trick (signed feature hashing) — fixed-dimensional text
+    // featurization with NO global vocabulary state: bucket = hash % 1024,
+    // sign from the next hash bit so collisions cancel in expectation.
+    // This is the featurizer that survives 100 TB where CountVectorizer
+    // can't: no fit pass, no broadcast vocab, just one explode + one
+    // doc_id-keyed aggregation. Output is the sparse (doc, bucket, weight)
+    // triplet layout.
+    "q_feature_hash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr(tokenHashesSpark("text"))).as("h"))
+        .select(col("doc_id"), (col("h") % 1024).as("bucket"),
+          when(shiftright(col("h"), 10) % 2 === 0, lit(1)).otherwise(lit(-1))
+            .as("sign"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sign")).as("weight"))
+        .orderBy(col("doc_id"), col("bucket"))
     })
   )
 
@@ -246,6 +266,15 @@ object FeatureQueries extends QueryPack {
         |  CAST(maybe_price IS NULL AS INT) AS was_imputed,
         |  slope, intercept
         |FROM p CROSS JOIN c
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_feature_hash" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, unnest(${tokenHashesDuck("text")}) AS h FROM documents
+         |)
+         |SELECT doc_id, h % 1024 AS bucket,
+         |  CAST(SUM(CASE WHEN (h // 1024) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+         |FROM u GROUP BY doc_id, bucket
+         |ORDER BY doc_id, bucket""".stripMargin
   )
 }

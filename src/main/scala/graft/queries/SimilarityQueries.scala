@@ -280,6 +280,30 @@ object SimilarityQueries extends QueryPack {
           expr("ascii(substring(text, 1, 1))").as("first_byte"),
           col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Int8 scalar quantization — the standard vector-store compression
+    // (4 bytes → 1 per dim): per-DIM min/max over the corpus (a 64-row
+    // broadcast), then floor((v−min)/(max−min)·255) clamped to 255.
+    // Everything is elementwise IEEE double arithmetic on identical
+    // inputs (sub/div/mul are correctly rounded, floor exact, NO float
+    // summation anywhere), so the bytes are bit-portable across engines
+    // and partitionings. Output is one row per (vec, dim) — the columnar
+    // layout a quantized index writer produces.
+    "q_embed_quantize" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          col("col").cast("double").as("v"))
+      val stats = e.groupBy(col("dim"))
+        .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      e.join(broadcast(stats), "dim")
+        .select(col("vec_id"), col("dim"),
+          when(col("vmax") === col("vmin"), lit(0L))
+            .otherwise(least(lit(255L),
+              floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * 255)))
+            .as("q"))
+        .orderBy(col("vec_id"), col("dim"))
     })
   )
 
@@ -360,6 +384,21 @@ object SimilarityQueries extends QueryPack {
         |  lower(hex(encode(substring(text, 1, 4)))) AS head_hex,
         |  ascii(substring(text, 1, 1)) AS first_byte,
         |  source
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), st AS (
+        |  SELECT dim, min(v) AS vmin, max(v) AS vmax FROM e GROUP BY dim
+        |)
+        |SELECT vec_id, dim,
+        |  CASE WHEN vmax = vmin THEN 0
+        |    ELSE CAST(least(255, floor((v - vmin) / (vmax - vmin) * 255)) AS BIGINT)
+        |  END AS q
+        |FROM e JOIN st USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin
   )
 }
