@@ -200,7 +200,11 @@ object TextQueries extends QueryPack {
         .filter(col("n_tokens") >= 30 && col("stop_ratio") <= 0.4)
         .withColumn("fp", expr(charHashSpark("text")))
         .drop("ts")
+      // barrier: `exact` feeds three consumers (signatures, token sets,
+      // the final anti-join) — materialize the quality+dedup stage once
+      // instead of recomputing tokenstats+hash+window per consumer
       val exact = graft.quality.Checks.dedupKeepFirst(qual, Seq("fp"), Seq("doc_id"))
+        .localCheckpoint(true)
       val pairs = lshCandidatePairs(signatures(exact.select(col("doc_id"), col("text"))))
       val toksets = hashedTokset(exact.select(col("doc_id"), col("text")))
       val nearDups = verifyPairs(pairs, toksets)
