@@ -190,9 +190,10 @@ object MiscQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
-    // A11 — Spearman correlation as corr of row-number ranks (deterministic
-    // tie-break by key; pandas average-rank ties differ — documented
-    // divergence, SURVEY.md §7.4 item 4 analogue).
+    // A11 — Spearman correlation over ranks: AVERAGE rank for ties on the
+    // discrete quantity axis (the pandas/textbook treatment), sequential
+    // (orderkey, linenumber)-deterministic rank on the near-continuous
+    // price axis.
     //
     // Distributed ranking — no window partitioned by the 3-value flag.
     // rank(row) = (#rows in the flag group with a smaller sort key) +
@@ -219,23 +220,28 @@ object MiscQueries extends QueryPack {
             Seq(col("l_returnflag"), col("pbucket"))),
           col("l_returnflag"), col("l_quantity"), col("pbucket"))
         .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      // Quantity is DISCRETE (~50 values): ties take their AVERAGE rank
+      // (the textbook Spearman treatment), which is a pure function of
+      // the (flag, quantity) offset table — rank = prefix + (cnt+1)/2 —
+      // so the per-row rank needs NO window at all, just a broadcast
+      // join. Price is near-continuous: ties are broken by (orderkey,
+      // linenumber) and its rank keeps the bucket-local window. One
+      // full-frame window instead of two.
       val wqOff = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val qOff = sets.filter(col("gid") === 1)
+      val qAvg = sets.filter(col("gid") === 1)
         .withColumn("qoff", coalesce(sum(col("cnt")).over(wqOff), lit(0L)))
-        .select(col("l_returnflag"), col("l_quantity"), col("qoff"))
+        .select(col("l_returnflag"), col("l_quantity"),
+          (col("qoff") + (col("cnt") + 1) / 2.0).as("rq"))
       val wpOff = Window.partitionBy(col("l_returnflag")).orderBy(col("pbucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val pOff = sets.filter(col("gid") === 2)
         .withColumn("poff", coalesce(sum(col("cnt")).over(wpOff), lit(0L)))
         .select(col("l_returnflag"), col("pbucket"), col("poff"))
-      val wqLoc = Window.partitionBy(col("l_returnflag"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
       val wpLoc = Window.partitionBy(col("l_returnflag"), col("pbucket"))
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      li.join(broadcast(qOff), Seq("l_returnflag", "l_quantity"))
+      li.join(broadcast(qAvg), Seq("l_returnflag", "l_quantity"))
         .join(broadcast(pOff), Seq("l_returnflag", "pbucket"))
-        .withColumn("rq", (col("qoff") + row_number().over(wqLoc)).cast("double"))
         .withColumn("rp", (col("poff") + row_number().over(wpLoc)).cast("double"))
         .groupBy(col("l_returnflag"))
         .agg(r6(corr(col("rq"), col("rp"))).as("spearman"), count(lit(1)).as("n"))
@@ -363,13 +369,21 @@ object MiscQueries extends QueryPack {
         |ORDER BY p_partkey, metric""".stripMargin,
 
     "q_spearman" ->
-      """WITH r AS (
-        |  SELECT l_returnflag,
-        |    CAST(row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS DOUBLE) AS rq,
-        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+      """WITH q AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity
+        |), qr AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(COALESCE(SUM(cnt) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      + (cnt + 1) / 2.0 AS rq
+        |  FROM q
+        |), r AS (
+        |  SELECT l.l_returnflag, qr.rq,
+        |    CAST(row_number() OVER (PARTITION BY l.l_returnflag
         |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS DOUBLE) AS rp
-        |  FROM lineitem
+        |  FROM lineitem l JOIN qr USING (l_returnflag, l_quantity)
         |)
         |SELECT l_returnflag, ROUND(corr(rq, rp), 6) AS spearman, COUNT(*) AS n
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
