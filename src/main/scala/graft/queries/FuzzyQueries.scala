@@ -93,6 +93,16 @@ object FuzzyQueries extends QueryPack {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    // Hopping (sliding) windows: 1h windows every 15m — each event lands
+    // in 4 overlapping windows. The oracle reproduces Spark's
+    // epoch-aligned window enumeration explicitly (generate_series of the
+    // 4 slide-aligned starts per event), so the window-assignment
+    // semantics themselves are what's checked.
+    "q_hopping_window" -> ((s, dir) => {
+      EventStreams.hoppingCounts(t(s, dir, "events"))
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
     // Streaming-parity batch join: click→purchase attribution within 1h
     // (EventStreams.attributionJoin is the stateful stream-stream form;
     // on a batch frame the watermark is a no-op and the plan is an
@@ -135,6 +145,22 @@ object FuzzyQueries extends QueryPack {
          |SELECT window_start_us, event_type, COUNT(*) AS n,
          |  ${sql.dsum("value")} AS total_value
          |FROM e GROUP BY window_start_us, event_type
+         |ORDER BY window_start_us, event_type""".stripMargin,
+
+    "q_hopping_window" ->
+      s"""WITH e AS (
+         |  SELECT epoch_ns(ts) // 1000 AS tus, event_type, value FROM events
+         |), w AS (
+         |  SELECT unnest(generate_series(
+         |      (tus // 900000000) * 900000000 - 2700000000,
+         |      (tus // 900000000) * 900000000,
+         |      900000000)) AS window_start_us,
+         |    event_type, value
+         |  FROM e
+         |)
+         |SELECT window_start_us, event_type, COUNT(*) AS n,
+         |  ${sql.dsum("value")} AS total_value
+         |FROM w GROUP BY window_start_us, event_type
          |ORDER BY window_start_us, event_type""".stripMargin,
 
     "q_event_attribution" ->

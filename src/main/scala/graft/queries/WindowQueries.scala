@@ -172,10 +172,42 @@ object WindowQueries extends QueryPack {
           min(col("tkey")).as("session_start"),
           dsum(col("value")).as("session_value"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // RANGE-frame rolling aggregate — trailing 1h per user by EVENT TIME
+    // (a range frame, not a row frame: the window is defined by the time
+    // axis, so tied timestamps share one frame and the result is
+    // deterministic with no tie-break). Money goes through DECIMAL so
+    // the windowed sum is partition-order-independent.
+    "q_rolling_1h" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tkey"))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          Tables.tsMicros.as("tkey"), col("value"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .withColumn("sum_last_hour",
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double"))
+        .select(col("event_id"), col("user_id"), col("n_last_hour"),
+          col("sum_last_hour"))
+        .orderBy(col("event_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_1h" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tkey, value FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tkey
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     "q_window_lag" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tkey, value FROM events)
         |SELECT event_id, user_id, tkey, value,

@@ -36,6 +36,22 @@ object EventStreams {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Hopping (sliding) windows — each event lands in len/slide
+    * overlapping windows (4 at the 1h/15m default). Same bounded-state
+    * eviction as tumbling when watermarked; batch twin q_hopping_window
+    * is oracle-checked against an explicit window-enumeration join. */
+  def hoppingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes", watermark: Option[String] = None): DataFrame = {
+    val timed = withEventTime(events)
+    val src = watermark.fold(timed)(w => timed.withWatermark("event_time", w))
+    src
+      .groupBy(window(col("event_time"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
   /** Built-in session windows — the declarative third form of
     * sessionization next to the batch lag/cumsum query (q_sessionize) and
     * the flatMapGroupsWithState custom state op (StatefulSessions); on a
