@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Contiguous global row numbers in a total order WITHOUT a single-task
+  * global sort — the scale-correct form of zipWithIndex / monotonic ID
+  * assignment. A plain `row_number() OVER (ORDER BY ...)` funnels the
+  * whole dataset through ONE task; at 100 TB that is the job that never
+  * finishes.
+  *
+  * Decomposition (the q_spearman / q_ks_test prefix-sum pattern, made a
+  * first-class operator): sampled equi-depth buckets over the sort value
+  * ([[RangeBuckets]]) split the data into ~nb ≈-equal ranges; the bucket
+  * COUNT table (nb rows) prefix-sums into per-bucket offsets; a
+  * bucket-local window adds the within-bucket rank. rn = offset + local
+  * rank reproduces the exact global order because the bucket index is
+  * monotone in the value — boundary approximation moves work between
+  * buckets, never the answer.
+  *
+  * `tieBreak` columns must make (value, tieBreak...) unique for the
+  * numbering to be deterministic.
+  */
+object GlobalRowNumber {
+
+  def withRowNumber(df: DataFrame, valueCol: String, rnCol: String,
+      tieBreak: Seq[String], nb: Int = 64): DataFrame = {
+    val bucketed = RangeBuckets.withEquiDepthBucket(df, valueCol, "__bucket", nb)
+    val wOff = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // nb rows: the only global window in the plan runs over the bucket
+    // count table, never the data
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__bucket"), col("__off"))
+    val wLoc = Window.partitionBy(col("__bucket"))
+      .orderBy(col(valueCol) +: tieBreak.map(col): _*)
+    bucketed.join(broadcast(offsets), "__bucket")
+      .withColumn(rnCol, col("__off") + row_number().over(wLoc))
+      .drop("__bucket", "__off")
+  }
+}

@@ -192,10 +192,27 @@ object WindowQueries extends QueryPack {
         .select(col("event_id"), col("user_id"), col("n_last_hour"),
           col("sum_last_hour"))
         .orderBy(col("event_id"))
+    }),
+
+    // Global contiguous row numbering WITHOUT a single-task sort
+    // (operators.GlobalRowNumber): equi-depth buckets + nb-row offset
+    // prefix + bucket-local rank. The oracle is the plain global
+    // row_number the operator must reproduce exactly.
+    "q_global_rownum" -> ((s, dir) => {
+      graft.operators.GlobalRowNumber.withRowNumber(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", "rn", Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("rn"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_global_rownum" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn
+        |FROM orders ORDER BY rn""".stripMargin,
+
     "q_rolling_1h" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tkey, value FROM events
