@@ -114,6 +114,19 @@ object FuzzyQueries extends QueryPack {
           ev.filter(col("event_type") === "click"),
           ev.filter(col("event_type") === "purchase"))
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
+    // Left-outer attribution: clicks that never converted keep a row
+    // with null purchase columns (streaming form emits them on state
+    // expiry — EventStreamsSpec). Null sort position differs between
+    // engines by default, so the order pins NULLS FIRST explicitly.
+    "q_event_attribution_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      EventStreams.attributionJoinOuter(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy(col("user_id"), col("click_id"),
+          col("purchase_id").asc_nulls_first)
     })
   )
 
@@ -176,6 +189,21 @@ object FuzzyQueries extends QueryPack {
         |  purchase_value
         |FROM c JOIN p USING (user_id)
         |WHERE pt >= ct AND pt <= ct + 3600000000
-        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    "q_event_attribution_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS ct
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS pt,
+        |    value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, click_id, purchase_id, pt - ct AS delay_us,
+        |  purchase_value
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND pt >= ct AND pt <= ct + 3600000000
+        |ORDER BY c.user_id, click_id, purchase_id NULLS FIRST""".stripMargin
   )
 }

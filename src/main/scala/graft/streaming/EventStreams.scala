@@ -96,7 +96,20 @@ object EventStreams {
     * batch no-op), which is how the DuckDB oracle checks it
     * (q_event_attribution). */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    attributionJoinOf(clicks, purchases, horizon, watermark, "inner")
+
+  /** Left-outer form: clicks that never converted emit with null
+    * purchase columns — on a stream, ONLY once the purchase-side
+    * watermark passes click_time + horizon (the state-expiry emit that
+    * makes outer stream-stream joins correct); in batch it is a plain
+    * left join with the range condition. */
+  def attributionJoinOuter(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    attributionJoinOf(clicks, purchases, horizon, watermark, "left_outer")
+
+  private def attributionJoinOf(clicks: DataFrame, purchases: DataFrame,
+      horizon: String, watermark: String, joinType: String): DataFrame = {
     val c = withEventTime(clicks).withWatermark("event_time", watermark)
       .select(col("user_id"), col("event_id").as("click_id"),
         col("event_time").as("click_time"))
@@ -106,7 +119,8 @@ object EventStreams {
     c.join(p,
         col("user_id") === col("p_user") &&
           col("purchase_time") >= col("click_time") &&
-          col("purchase_time") <= col("click_time") + expr(s"INTERVAL $horizon"))
+          col("purchase_time") <= col("click_time") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (unix_micros(col("purchase_time")) - unix_micros(col("click_time")))
           .as("delay_us"),

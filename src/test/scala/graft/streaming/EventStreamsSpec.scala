@@ -78,6 +78,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("attributionJoinOuter: null rows emit exactly for expired unmatched clicks") {
+    import org.apache.spark.sql.functions._
+    val batchEvents = Tables(spark, sf("sf0.001"), "events")
+    val batch = EventStreams.attributionJoinOuter(
+        batchEvents.filter(col("event_type") === "click"),
+        batchEvents.filter(col("event_type") === "purchase"))
+      .collect().toSet
+
+    val dir = Files.createTempDirectory("graft-ssjo").toString
+    Files.copy(
+      Paths.get(sf("sf0.001"), "events.parquet"),
+      Paths.get(dir, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    def streamOf(tpe: String) = spark.readStream
+      .schema(batchEvents.schema).parquet(dir)
+      .filter(col("event_type") === tpe)
+    val query = EventStreams
+      .attributionJoinOuter(streamOf("click"), streamOf("purchase"))
+      .writeStream
+      .format("memory")
+      .queryName("attribution_outer_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+    val streamed = spark.table("attribution_outer_test").collect().toSet
+
+    // the stream can emit a null row only once the watermark passes
+    // click_time + horizon; clicks near the end of input legitimately
+    // stay open when AvailableNow stops — so streamed ⊆ batch, all
+    // MATCHED rows are present, and every null row in streamed is a
+    // null row in batch
+    assert(streamed.subsetOf(batch),
+      s"streamed rows not in batch: ${streamed.diff(batch).take(3)}")
+    val matchedBatch = batch.filter(_.get(2) != null)
+    val matchedStreamed = streamed.filter(_.get(2) != null)
+    assert(matchedStreamed === matchedBatch)
+    assert(streamed.exists(_.get(2) == null),
+      "expected at least one expired unmatched click to emit a null row")
+  }
+
   test("watermark: a late event beyond the horizon is dropped, not re-aggregated") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
