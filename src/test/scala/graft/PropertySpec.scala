@@ -83,4 +83,31 @@ class PropertySpec extends SparkSpec {
       assert(r >= 0.0 && r <= 100.0)
     }
   }
+
+  test("gramHashes(k=3) reproduces the proven shingle polynomial exactly") {
+    import graft.functions.TextAnalytics._
+    forSamples(Gen.listOfN(12, Gen.oneOf("spark", "data", "row", "agg",
+      "scan", "join", "key")), 10) { words =>
+      val text = words.mkString(" ")
+      val row = Seq(text).toDF("text")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(expr(shingleHashesSpark("th")).as("sh"),
+          expr(gramHashesSpark("th", 3)).as("g3"))
+        .head
+      assert(row.getSeq[Long](0) === row.getSeq[Long](1), text)
+    }
+  }
+
+  test("gramHashes: window count law and sub-k guard, any k") {
+    import graft.functions.TextAnalytics._
+    forSamples(Gen.zip(Gen.choose(2, 9), Gen.choose(0, 15)), 15) { case (k, n) =>
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      val got = Seq(text).toDF("text")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(expr(gramHashesSpark("th", k)).as("g"))
+        .head.getSeq[Long](0)
+      val expected = if (n >= k && n > 0) n - k + 1 else 0
+      assert(got.length === expected, s"k=$k n=$n")
+    }
+  }
 }

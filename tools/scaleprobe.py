@@ -45,6 +45,11 @@ def replica_select(table, i, src):
     """SELECT for replica i (0 = original) of one table."""
     base = f"SELECT * FROM read_parquet('{src}')"
     if i == 0:
+        if table == "events":
+            # replica 0 must match the BIGINT-nanos ts of replicas 1+
+            # (see the events branch below) or the UNION type-mismatches
+            return (f"SELECT * REPLACE (CAST(epoch_ns(ts) AS BIGINT) AS ts) "
+                    f"FROM read_parquet('{src}')")
         return base
     off = 100_000_000 * i
     if table == "documents":
@@ -58,6 +63,18 @@ def replica_select(table, i, src):
                 f"list_transform(embedding, (x, j) -> "
                 f"CAST(CASE WHEN (j + {i}) % 4 IN (1, 2) THEN -x ELSE x END AS FLOAT)) "
                 f"AS embedding) FROM read_parquet('{src}')")
+    if table == "events":
+        # disjoint per-replica user/event id spaces: groups and join
+        # keys grow linearly, no manufactured hot keys or cross-replica
+        # matches; timestamps unchanged so window population scales
+        # ts: the source parquet is TIMESTAMP(NANOS) (TESTDATA.md), which
+        # the engine reads as a nanos BIGINT via nanosAsLong. DuckDB's
+        # parquet writer demotes TIMESTAMP_NS to micros, silently changing
+        # the type Spark sees — so the replica writes the nanos BIGINT
+        # directly (Spark reads the identical LONG either way)
+        return (f"SELECT * REPLACE (event_id + {off} AS event_id, "
+                f"user_id + {off} AS user_id, "
+                f"CAST(epoch_ns(ts) AS BIGINT) AS ts) FROM read_parquet('{src}')")
     if table == "orders":
         return f"SELECT * REPLACE (o_orderkey + {off} AS o_orderkey) FROM read_parquet('{src}')"
     if table == "lineitem":
