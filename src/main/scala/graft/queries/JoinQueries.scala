@@ -172,10 +172,46 @@ object JoinQueries extends QueryPack {
           col("asof_click_event_id").as("next_click_event_id"),
           col("asof_click_tkey").as("next_click_tkey"))
         .orderBy(col("event_id"))
+    }),
+
+    // NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): null keys match
+    // each other instead of silently dropping — the semantics pandas
+    // merge users trip over when NaN keys vanish from an inner join.
+    // Still a hash-partitionable equi-join (null is just one more key
+    // value), so the plan is identical to a plain join at any scale.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("k",
+          when(col("o_orderkey") % 13 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey") % 100))
+      val dim = t(s, dir, "customer")
+        .select(
+          when(col("c_custkey") % 11 === 0, lit(null).cast("long"))
+            .otherwise(col("c_custkey") % 100).as("k"))
+        .distinct()
+        .withColumn("dim_hit", lit(1L))
+      o.join(dim, o("k") <=> dim("k"))
+        .groupBy(o("k").as("k"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("k").asc_nulls_first)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_nullsafe_join" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |    ELSE o_custkey % 100 END AS k
+        |  FROM orders
+        |), dim AS (
+        |  SELECT DISTINCT CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |    ELSE c_custkey % 100 END AS k
+        |  FROM customer
+        |)
+        |SELECT o.k, COUNT(*) AS n_orders
+        |FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.k
+        |GROUP BY o.k ORDER BY o.k NULLS FIRST""".stripMargin,
+
     "q_range_join" ->
       """WITH li AS (
         |  SELECT date_diff('day', DATE '1990-01-01', l_shipdate) AS ship_day FROM lineitem

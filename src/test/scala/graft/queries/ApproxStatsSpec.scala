@@ -58,4 +58,33 @@ class ApproxStatsSpec extends SparkSpec {
     val flags = out.select(col("l_returnflag")).collect().map(_.getString(0))
     assert(flags.toSeq.sorted === Seq("A", "N", "R"))
   }
+
+  test("count-min sketch: overestimate-only, within eps*n of exact counts") {
+    // the 4th sketch of the family (HLL distinct, t-digest quantiles,
+    // SpaceSaving top-k, CMS point frequency): mergeable O(w*d) state,
+    // the 100 TB substitute for an exact value_counts on an unbounded
+    // key domain. CMS never undercounts and overcounts by at most eps*n
+    // with prob 1-delta.
+    val ev = Tables(spark, sf("sf0.01"), "events")
+    val eps = 0.005
+    val sketch = ev.stat.countMinSketch(col("event_type"), eps, 0.001, 42)
+    val exact = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (k, cnt) =>
+      val est = sketch.estimateCount(k)
+      assert(est >= cnt, s"$k: CMS must never undercount ($est < $cnt)")
+      assert(est <= cnt + (eps * n).toLong + 1,
+        s"$k: est=$est exceeds exact=$cnt + eps*n=${(eps * n).toLong}")
+    }
+    // mergeability — the property that makes it distributable
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+      .stat.countMinSketch(col("event_type"), eps, 0.001, 42)
+    val half2 = ev.filter(col("event_id") % 2 =!= 0)
+      .stat.countMinSketch(col("event_type"), eps, 0.001, 42)
+    val merged = half1.mergeInPlace(half2)
+    exact.keys.foreach { k =>
+      assert(merged.estimateCount(k) >= exact(k))
+    }
+  }
 }

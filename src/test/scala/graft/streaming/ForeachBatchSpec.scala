@@ -39,4 +39,40 @@ class ForeachBatchSpec extends SparkSpec {
       .orderBy("window_start_us", "event_type").collect()
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("IdempotentSink.replaceBatch: a replayed batch does not duplicate output") {
+    import org.apache.spark.sql.functions._
+    val events = Tables(spark, sf("sf0.001"), "events")
+    val landing = Files.createTempDirectory("graft-idem-landing").toString
+    val sink = Files.createTempDirectory("graft-idem-sink").toString + "/out"
+    Files.copy(
+      Paths.get(sf("sf0.001"), "events.parquet"),
+      Paths.get(landing, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    var lastBatch: org.apache.spark.sql.DataFrame = null
+    var lastId = -1L
+    val q = spark.readStream
+      .schema(events.schema)
+      .parquet(landing)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        IdempotentSink.replaceBatch(
+          batch.select(col("event_id"), col("event_type")), id, sink)
+        lastBatch = batch.select(col("event_id"), col("event_type"))
+        lastId = id
+      }
+      .start()
+    q.awaitTermination(120000)
+
+    val afterRun = spark.read.parquet(sink).count()
+    assert(afterRun === events.count())
+    // simulate the at-least-once replay: failure between sink write and
+    // checkpoint commit re-delivers the SAME batch on restart
+    IdempotentSink.replaceBatch(lastBatch, lastId, sink)
+    val afterReplay = spark.read.parquet(sink)
+    assert(afterReplay.count() === afterRun, "replay duplicated rows")
+    assert(afterReplay.select("event_id").distinct().count() === afterRun)
+  }
 }
