@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   *
   * `tieBreak` columns must make (value, tieBreak...) unique for the
   * numbering to be deterministic.
+  *
+  * Size `nb` to the data: each bucket sorts ~n/nb rows in one task, so
+  * pick nb ≈ n / (rows that sort comfortably per task) — the same knob
+  * as shuffle partitions. Buckets are sampled equi-depth, so skew does
+  * not concentrate them.
   */
 object GlobalRowNumber {
 
