@@ -550,6 +550,39 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style LM quality scoring, self-contained: train bigram
+    // conditionals on the corpus itself (cxy/cx), score each doc by the
+    // mean log-probability of its bigrams. Low scores = improbable token
+    // sequences = the noisy tail a quality filter drops. The count
+    // tables are plain shuffled aggregations (vocab-sized, NOT
+    // broadcast — at 100 TB the bigram table is huge and the join
+    // shuffles on bigram hash); the per-doc sum is exact DECIMAL over
+    // per-term rounded logs so partition order can't move the hash.
+    "q_lm_score" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(th) >= 2 THEN transform(sequence(1, size(th) - 1), " +
+            s"i -> struct(element_at(th, i) AS h1, " +
+            s"(element_at(th, i) * 31 + element_at(th, i + 1)) % $P AS bg)) " +
+            "ELSE CAST(array() AS ARRAY<STRUCT<h1: BIGINT, bg: BIGINT>>) END"))
+          .as("p"))
+        .select(col("doc_id"), col("p.h1").as("h1"), col("p.bg").as("bg"))
+        .localCheckpoint(true) // three consumers: doc rows + both count tables
+      val uni = pairs.groupBy(col("h1")).agg(count(lit(1)).as("cx"))
+      val big = pairs.groupBy(col("h1"), col("bg")).agg(count(lit(1)).as("cxy"))
+      pairs
+        .join(big, Seq("h1", "bg"))
+        .join(uni, Seq("h1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(round(log(col("cxy").cast("double") / col("cx")), 6)
+            .cast("decimal(18,6)")).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          r6(col("s").cast("double") / col("n_bigrams")).as("lm_avg"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark DECONTAMINATION — the published n-gram-overlap rule for
     // keeping eval data out of training corpora: a training doc is
     // contaminated if any of its 8-token grams appears in the eval set's
@@ -927,6 +960,30 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, n_tokens, top1_frac, dup_bigram_frac,
          |  (top1_frac > 0.12 OR dup_bigram_frac > 0.05) AS flagged
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents
+         |), p AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN len(th) >= 2 THEN
+         |      list_transform(generate_series(1, len(th) - 1), i -> th[i])
+         |      ELSE [] END) AS h1,
+         |    unnest(CASE WHEN len(th) >= 2 THEN
+         |      list_transform(generate_series(1, len(th) - 1),
+         |        i -> (th[i] * 31 + th[i + 1]) % $P)
+         |      ELSE [] END) AS bg
+         |  FROM th
+         |), uni AS (
+         |  SELECT h1, COUNT(*) AS cx FROM p GROUP BY h1
+         |), big AS (
+         |  SELECT h1, bg, COUNT(*) AS cxy FROM p GROUP BY h1, bg
+         |)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(CAST(SUM(CAST(ROUND(ln(CAST(cxy AS DOUBLE) / cx), 6)
+         |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS lm_avg
+         |FROM p JOIN big USING (h1, bg) JOIN uni USING (h1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH th AS (
