@@ -93,6 +93,32 @@ object FuzzyQueries extends QueryPack {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    // Jaro-Winkler record linkage — the classic name-matching kernel as
+    // a codegen expression (expressions.JaroWinklerExpr), and the FIRST
+    // fuzzy kernel with a true DuckDB oracle: jaro_winkler_similarity is
+    // built in there, so the top-1-per-probe linkage hash-matches end to
+    // end (ranking on ROUNDED scores so ties can't flip engines).
+    // Blocking (same nation) bounds candidates exactly like q_fuzzy_match.
+    "q_jaro_winkler" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val c = t(s, dir, "customer")
+      val probes = c.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("probe_id"), col("c_nationkey").as("nk"),
+          concat(lit("customer "), col("c_custkey").cast("string"))
+            .as("probe_name"))
+      val cands = c.select(col("c_custkey").as("cand_id"),
+        col("c_nationkey").as("nk"),
+        regexp_replace(lower(col("c_name")), "#", " ").as("cand_name"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("jw").desc, col("cand_id"))
+      cands.join(broadcast(probes), Seq("nk"))
+        .withColumn("jw", r6(expr("graft_jaro_winkler(probe_name, cand_name)")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("probe_id"), col("cand_id"), col("jw"))
+        .orderBy(col("probe_id"))
+    }),
+
     // Hopping (sliding) windows: 1h windows every 15m — each event lands
     // in 4 overlapping windows. The oracle reproduces Spark's
     // epoch-aligned window enumeration explicitly (generate_series of the
@@ -159,6 +185,27 @@ object FuzzyQueries extends QueryPack {
          |  ${sql.dsum("value")} AS total_value
          |FROM e GROUP BY window_start_us, event_type
          |ORDER BY window_start_us, event_type""".stripMargin,
+
+    "q_jaro_winkler" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS probe_id, c_nationkey AS nk,
+        |    'customer ' || CAST(c_custkey AS VARCHAR) AS probe_name
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |), c AS (
+        |  SELECT c_custkey AS cand_id, c_nationkey AS nk,
+        |    replace(lower(c_name), '#', ' ') AS cand_name
+        |  FROM customer
+        |), s AS (
+        |  SELECT probe_id, cand_id,
+        |    ROUND(jaro_winkler_similarity(probe_name, cand_name), 6) AS jw
+        |  FROM p JOIN c USING (nk)
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY probe_id ORDER BY jw DESC, cand_id) AS rnk
+        |  FROM s
+        |)
+        |SELECT probe_id, cand_id, jw FROM r WHERE rnk = 1
+        |ORDER BY probe_id""".stripMargin,
 
     "q_hopping_window" ->
       s"""WITH e AS (
