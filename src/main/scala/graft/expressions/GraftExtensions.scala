@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_jaro_winkler"), JaroWinklerExpr.info,
         JaroWinklerExpr.builder))
     ext.injectFunction(
+      (FunctionIdentifier("graft_damerau"), DamerauLevenshteinExpr.info,
+        DamerauLevenshteinExpr.builder))
+    ext.injectFunction(
       (FunctionIdentifier("graft_tokenstats"), TokenStats.info,
         TokenStats.builder))
     ext.injectFunction(
@@ -58,6 +61,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_simhash60", TokenSimHash60.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_token_set_ratio", TokenSetRatioExpr.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_jaro_winkler", JaroWinklerExpr.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_damerau", DamerauLevenshteinExpr.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_tokenstats", TokenStats.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard_sorted", SortedLongJaccard.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_heavy_hitters", HeavyHitters.builder, "built-in")

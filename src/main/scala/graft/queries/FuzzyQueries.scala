@@ -119,6 +119,31 @@ object FuzzyQueries extends QueryPack {
         .orderBy(col("probe_id"))
     }),
 
+    // True Damerau-Levenshtein linkage (adjacent-swap typos cost 1, not
+    // the plain-levenshtein 2) — integer distances, so parity has no
+    // rounding hazard at all; oracle is DuckDB's built-in
+    // damerau_levenshtein. Same nation blocking; top-1 per probe by
+    // (distance ASC, cand_id).
+    "q_damerau" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val c = t(s, dir, "customer")
+      val probes = c.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("probe_id"), col("c_nationkey").as("nk"),
+          concat(lit("customer "), col("c_custkey").cast("string"))
+            .as("probe_name"))
+      val cands = c.select(col("c_custkey").as("cand_id"),
+        col("c_nationkey").as("nk"),
+        regexp_replace(lower(col("c_name")), "#", " ").as("cand_name"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist").asc, col("cand_id"))
+      cands.join(broadcast(probes), Seq("nk"))
+        .withColumn("dist", expr("graft_damerau(probe_name, cand_name)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("probe_id"), col("cand_id"), col("dist"))
+        .orderBy(col("probe_id"))
+    }),
+
     // Hopping (sliding) windows: 1h windows every 15m — each event lands
     // in 4 overlapping windows. The oracle reproduces Spark's
     // epoch-aligned window enumeration explicitly (generate_series of the
@@ -185,6 +210,27 @@ object FuzzyQueries extends QueryPack {
          |  ${sql.dsum("value")} AS total_value
          |FROM e GROUP BY window_start_us, event_type
          |ORDER BY window_start_us, event_type""".stripMargin,
+
+    "q_damerau" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS probe_id, c_nationkey AS nk,
+        |    'customer ' || CAST(c_custkey AS VARCHAR) AS probe_name
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |), c AS (
+        |  SELECT c_custkey AS cand_id, c_nationkey AS nk,
+        |    replace(lower(c_name), '#', ' ') AS cand_name
+        |  FROM customer
+        |), s AS (
+        |  SELECT probe_id, cand_id,
+        |    CAST(damerau_levenshtein(probe_name, cand_name) AS INT) AS dist
+        |  FROM p JOIN c USING (nk)
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY probe_id ORDER BY dist ASC, cand_id) AS rnk
+        |  FROM s
+        |)
+        |SELECT probe_id, cand_id, dist FROM r WHERE rnk = 1
+        |ORDER BY probe_id""".stripMargin,
 
     "q_jaro_winkler" ->
       """WITH p AS (
