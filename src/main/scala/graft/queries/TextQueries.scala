@@ -550,6 +550,24 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus report card — the per-(source, lang) summary a pipeline
+    // owner reads before training: doc counts, token volume, short-doc
+    // and exact-duplicate rates. One scan, one hash agg; countDistinct
+    // on the 8-byte fingerprint shuffles hashes, never documents.
+    "q_corpus_report" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      t(s, dir, "documents")
+        .withColumn("nt", expr("graft_tokenstats(text).n_tokens"))
+        .withColumn("fp", expr(charHashSpark("text")))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          r6(sum(col("nt")).cast("double") / count(lit(1))).as("avg_tokens"),
+          sum((col("n_chars") < 200).cast("long")).as("n_short"),
+          countDistinct(col("fp")).as("n_unique_fp"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // CCNet-style LM quality scoring, self-contained: train bigram
     // conditionals on the corpus itself (cxy/cx), score each doc by the
     // mean log-probability of its bigrams. Low scores = improbable token
@@ -960,6 +978,19 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, n_tokens, top1_frac, dup_bigram_frac,
          |  (top1_frac > 0.12 OR dup_bigram_frac > 0.05) AS flagged
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_report" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, n_chars, len(${tokensDuck("text")}) AS nt,
+         |    ${charHashDuck("text")} AS fp
+         |  FROM documents
+         |)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+         |  ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+         |  CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |  COUNT(DISTINCT fp) AS n_unique_fp
+         |FROM d GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "q_lm_score" ->
       s"""WITH th AS (
