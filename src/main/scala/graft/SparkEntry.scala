@@ -24,7 +24,8 @@ object SparkEntry {
     MlQueries,
     TransformQueries,
     MiscQueries,
-    FeatureQueries
+    FeatureQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.QueryKit._
+
+/** Corpus-governance and graph operators a large-scale training-data
+  * pipeline needs beyond the reference's surface: PII detection/redaction,
+  * C4-style segment filtering, cross-corpus span dedup, mixture
+  * rebalancing, robust (MAD) outlier stats, rank-family windows, and an
+  * exact-integer PageRank. Every query has a DuckDB oracle.
+  */
+object PipelineQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // The documents corpus is synthetic prose with no real PII, so the scan
+  // plants deterministic PII (email every 3rd doc, phone+IP every 5th)
+  // BEFORE detecting it — the regex machinery is exercised against known
+  // ground truth instead of vacuously counting zero matches.
+  private val emailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val phoneRe = """\b\d{3}-\d{4}\b"""
+  private val ipRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PII scan + redaction — per-doc entity counts and a fully redacted
+    // text. One projection pass, no shuffle until the final presentation
+    // sort: at 100 TB this is a map-only stage that pushes straight onto
+    // the parquet scan. Redaction replaces emails first so the IP pattern
+    // can never bite on an already-redacted fragment.
+    "q_pii_scan" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+                lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+                lit(".7"))).otherwise(lit(""))).as("txt"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("txt"), lit(emailRe), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phone"),
+          size(regexp_extract_all(col("txt"), lit(ipRe), lit(0)))
+            .cast("long").as("n_ip"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"),
+            ipRe, "<IP>").as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4-style segment filter via higher-order functions: split each doc
+    // into segments (on the stopword delimiter " the "), keep segments
+    // that are long enough (≥8 words) AND on-topic ('table'), reassemble.
+    // filter()/array_join() stay inside whole-stage codegen — no explode,
+    // no shuffle, no UDF; per-row cost is independent of corpus size.
+    "q_line_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("segs", split(col("text"), " the "))
+        .withColumn("kept",
+          expr("filter(segs, x -> size(split(x, ' ')) >= 8 AND x LIKE '%table%')"))
+        .select(col("doc_id"),
+          size(col("segs")).cast("long").as("n_seg"),
+          size(col("kept")).cast("long").as("n_kept"),
+          array_join(col("kept"), " | ").as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-corpus span-level exact dedup (the "remove duplicated
+    // passages, not whole documents" operator): docs are cut into 8-word
+    // chunks, the first global occurrence of each chunk (by doc_id, then
+    // position) survives, later occurrences are dropped and each doc is
+    // reassembled from its surviving chunks in order. Shuffles only
+    // (chunk, doc_id, ord) triples — never embeddings or full documents —
+    // so the heavy exchange is proportional to token count, the same
+    // shape exact-substring dedup takes at 100 TB.
+    "q_chunk_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("nc", expr("size(words) div 8"))
+        .withColumn("chunks", expr(
+          """CASE WHEN nc >= 1
+            |  THEN transform(sequence(0, nc - 1),
+            |         i -> array_join(slice(words, i * 8 + 1, 8), ' '))
+            |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      val ex = d.select(col("doc_id"),
+        posexplode(col("chunks")).as(Seq("ord", "chunk")))
+      val ranked = ex.withColumn("rn",
+        row_number().over(
+          Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("ord"))))
+      val dupes = ranked.groupBy(col("doc_id"))
+        .agg(sum((col("rn") > 1).cast("long")).as("n_dupes"))
+      val kept = ranked.filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(ord, chunk))), s -> s.chunk)"),
+          " ").as("dedup_text"))
+      d.select(col("doc_id"), col("nc").cast("long").as("n_chunks"))
+        .join(dupes, Seq("doc_id"), "left")
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_dupes"), lit(0L)).as("n_dupes"),
+          coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Training-mixture rebalancing: downsample every language to the
+    // smallest language's count, selecting rows by a portable overflow-
+    // safe key hash (see q_stratified_sample) so the kept set is identical
+    // across engines, runs and partitionings. The per-lang row_number is
+    // the only shuffle; the min-count frame is a broadcast scalar.
+    "q_lang_rebalance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("h", expr("doc_id % 1000000007 * 2654435761 % 1000000007"))
+      val m = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .agg(min(col("cnt")).as("m"))
+      d.withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        .crossJoin(broadcast(m))
+        .filter(col("rn") <= col("m"))
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Mode (most frequent value) per group with a deterministic tie-break
+    // — pandas .mode().iloc[0] / value_counts().idxmax(). Two hash aggs +
+    // one tiny window over the (source, lang) count frame; the corpus is
+    // never re-shuffled.
+    "q_mode" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("mode_lang"), col("cnt"))
+        .orderBy(col("source"))
+    }),
+
+    // Robust outlier stats via median absolute deviation — the outlier
+    // gate that survives heavy tails where z-scores don't. Prices move
+    // through integer cents so the exact-percentile interpolation (only
+    // ever integer midpoints) and the 3×MAD threshold comparison are
+    // bit-identical across engines; both quantile frames are group-sized
+    // broadcasts, so the fact table is scanned twice but never shuffled.
+    "q_mad_outlier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(percentile(col("cents"), lit(0.5)).as("med"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("dev", abs(col("cents") - col("med")))
+      val mad = dev.groupBy(col("l_returnflag"))
+        .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(r6(first(col("med")) / 100).as("median_price"),
+          r6(first(col("mad")) / 100).as("mad_price"),
+          sum((col("dev") > col("mad") * 3).cast("long")).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Rank-family window functions: percent_rank / cume_dist / ntile over
+    // a unique ordering (ties broken by key, so every value is engine-
+    // portable). One shuffle on the partition key, one sort.
+    "q_window_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          r6(percent_rank().over(w)).as("pctrank"),
+          r6(cume_dist().over(w)).as("cumedist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // PageRank (3 fixed iterations, d=0.85) over the undirected bipartite
+    // customer–supplier graph induced by lineitem⋈orders. Rank mass lives
+    // in BIGINT nano-units and the damping step is (17·s) div 20 — pure
+    // integer arithmetic, so the result is exact and partitioning-
+    // invariant (float PR would drift per sum order). Each iteration is
+    // one hash join + one hash agg on the edge list — the standard
+    // distributed PR shape; edges shuffle once per iteration and Spark's
+    // ReuseExchange dedupes the shared edge/degree subtrees. At larger
+    // graphs the unit scale drops (1e6) so per-node inbound mass — bounded
+    // by total mass ≈ |V|·unit — stays far below Long.MAX under the ×17.
+    "q_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // The adjacency subtree appears once per iteration in the logical
+      // plan; AQE's exchange reuse materializes it once physically
+      // (measured faster than an explicit localCheckpoint, whose eager
+      // re-materialization costs more than the reused exchange).
+      val adj = edges.join(deg.hint("shuffle_hash"), "src")
+      var pr = deg.select(col("src").as("node"), lit(1000000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        pr = adj.join(pr.hint("shuffle_hash"), adj("src") === pr("node"))
+          .select(col("dst"), expr("pr div deg").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("cs"))
+          .select(col("dst").as("node"),
+            expr("150000000L + (17 * cs) div 20").as("pr"))
+      }
+      pr.select(col("node"), col("pr"), (col("node") % 2).as("ntype"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(25)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pii_scan" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |           || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+         |         ELSE '' END AS txt
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, '$emailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(txt, '$phoneRe')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(txt, '$ipRe')) AS BIGINT) AS n_ip,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(txt, '$emailRe', '<EMAIL>', 'g'),
+         |      '$phoneRe', '<PHONE>', 'g'),
+         |    '$ipRe', '<IP>', 'g') AS redacted
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_line_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, str_split(text, ' the ') AS segs FROM documents
+        |), k AS (
+        |  SELECT doc_id, segs,
+        |    list_filter(segs,
+        |      x -> len(str_split(x, ' ')) >= 8 AND contains(x, 'table')) AS kept
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  CAST(len(segs) AS BIGINT) AS n_seg,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  COALESCE(array_to_string(kept, ' | '), '') AS cleaned
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, str_split(text, ' ') AS words,
+        |    len(str_split(text, ' ')) // 8 AS nc
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, nc)) AS ord,
+        |    unnest(list_transform(range(0, nc),
+        |      i -> array_to_string(list_slice(words, i * 8 + 1, i * 8 + 8), ' '))) AS chunk
+        |  FROM d
+        |), r AS (
+        |  SELECT doc_id, ord, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ord) AS rn
+        |  FROM ex
+        |), a AS (
+        |  SELECT doc_id, SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dupes
+        |  FROM r GROUP BY doc_id
+        |), k AS (
+        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY ord) AS dedup_text
+        |  FROM r WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(d.nc AS BIGINT) AS n_chunks,
+        |  CAST(COALESCE(a.n_dupes, 0) AS BIGINT) AS n_dupes,
+        |  COALESCE(k.dedup_text, '') AS dedup_text
+        |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+        |       LEFT JOIN k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_lang_rebalance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    doc_id % 1000000007 * 2654435761 % 1000000007 AS h
+        |  FROM documents
+        |), m AS (
+        |  SELECT MIN(cnt) AS m FROM (
+        |    SELECT COUNT(*) AS cnt FROM d GROUP BY lang
+        |  )
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |  FROM d
+        |)
+        |SELECT doc_id, lang, rn FROM r, m WHERE rn <= m.m
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang
+        |), r AS (
+        |  SELECT source, lang, cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rn
+        |  FROM c
+        |)
+        |SELECT source, lang AS mode_lang, cnt FROM r WHERE rn = 1
+        |ORDER BY source""".stripMargin,
+
+    "q_mad_outlier" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), med AS (
+        |  SELECT l_returnflag, quantile_cont(cents, 0.5) AS med
+        |  FROM li GROUP BY l_returnflag
+        |), dev AS (
+        |  SELECT li.l_returnflag AS l_returnflag, abs(cents - med) AS dev, med
+        |  FROM li JOIN med ON li.l_returnflag = med.l_returnflag
+        |), mad AS (
+        |  SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY l_returnflag
+        |)
+        |SELECT dev.l_returnflag AS l_returnflag,
+        |  ROUND(ANY_VALUE(dev.med) / 100, 6) AS median_price,
+        |  ROUND(ANY_VALUE(mad.mad) / 100, 6) AS mad_price,
+        |  CAST(SUM(CASE WHEN dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  COUNT(*) AS n
+        |FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
+        |GROUP BY dev.l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_ranks" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  ROUND(percent_rank() OVER w, 6) AS pctrank,
+        |  ROUND(cume_dist() OVER w, 6) AS cumedist,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT c AS src, p AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT p AS src, c AS dst FROM pairs
+        |), d AS (
+        |  SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+        |), p0 AS (
+        |  SELECT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM d
+        |), i1 AS (
+        |  SELECT e.dst AS node, 150000000 + (17 * SUM(p0.pr // d.deg)) // 20 AS pr
+        |  FROM e JOIN p0 ON e.src = p0.node JOIN d ON e.src = d.src
+        |  GROUP BY e.dst
+        |), i2 AS (
+        |  SELECT e.dst AS node, 150000000 + (17 * SUM(i1.pr // d.deg)) // 20 AS pr
+        |  FROM e JOIN i1 ON e.src = i1.node JOIN d ON e.src = d.src
+        |  GROUP BY e.dst
+        |), i3 AS (
+        |  SELECT e.dst AS node, 150000000 + (17 * SUM(i2.pr // d.deg)) // 20 AS pr
+        |  FROM e JOIN i2 ON e.src = i2.node JOIN d ON e.src = d.src
+        |  GROUP BY e.dst
+        |)
+        |SELECT node, CAST(pr AS BIGINT) AS pr, node % 2 AS ntype FROM i3
+        |ORDER BY pr DESC, node LIMIT 25""".stripMargin
+  )
+}
