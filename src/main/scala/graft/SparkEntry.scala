@@ -25,7 +25,8 @@ object SparkEntry {
     TransformQueries,
     MiscQueries,
     FeatureQueries,
-    PipelineQueries
+    PipelineQueries,
+    AnalyticsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
