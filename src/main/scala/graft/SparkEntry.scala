@@ -26,7 +26,8 @@ object SparkEntry {
     MiscQueries,
     FeatureQueries,
     PipelineQueries,
-    AnalyticsQueries
+    AnalyticsQueries,
+    WarehouseQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.QueryKit._
+
+/** Warehouse / ETL maintenance operators: SCD2 history compression, CDC
+  * snapshot diffing, event-path mining, per-group top-k, equal-width
+  * histograms, and MapType machinery. Every query has a DuckDB oracle.
+  */
+object WarehouseQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SCD Type-2 history build from an event log: consecutive equal
+    // attribute values collapse into one validity interval (only change
+    // rows open a new one), valid_to comes from the next change, the
+    // open interval is flagged current. Both windows share one (user_id)
+    // partitioning — a single shuffle end-to-end.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tk"), col("event_id"))
+      val chg = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tk"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("tk"), col("event_id"))
+      chg.withColumn("valid_to", lead(col("tk"), 1).over(w2))
+        .select(col("user_id"), col("event_type").as("status"),
+          col("tk").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.cast("int").as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    // CDC snapshot diff: two simulated snapshots of the orders dimension
+    // (disjoint 10% slices removed, a third of prices adjusted) full-outer
+    // joined on the PK and classified added / removed / changed. The join
+    // shuffles on the PK only; at 100 TB both sides prune columns to
+    // (key, compared attrs) at the scan.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val old = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("old_price"))
+      val neu = o.filter(col("o_orderkey") % 10 =!= 1)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")).as("new_price"))
+      old.join(neu, Seq("k"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_price").isNull, lit("added"))
+            .when(col("new_price").isNull, lit("removed"))
+            .when(col("old_price") =!= col("new_price"), lit("changed"))
+            .otherwise(lit("same")))
+        .filter(col("change_type") =!= "same")
+        .select(col("k").as("o_orderkey"), col("change_type"),
+          col("old_price"), col("new_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Event-path mining: each user's first five event types in time order
+    // become a '>'-joined journey string; journeys are counted and the
+    // top 20 reported. The per-user path assembly sorts tiny 5-element
+    // arrays; nothing global is ever single-task.
+    "q_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tk"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tk"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+          ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    }),
+
+    // Top-k per group (k=3): rank window partitioned by the group key,
+    // unique tie-break, filter — the canonical distributed top-N-per-key
+    // (partial top-k per partition would also work; the window form keeps
+    // rank numbers in the output).
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("p_brand"), col("rnk"))
+    }),
+
+    // Equal-width histogram via width_bucket (20k-wide bins over order
+    // totals): one map-side bucket assignment + one hash agg. Bin edges
+    // land only on exact 2-decimal multiples of the width, so the
+    // assignment is engine-exact.
+    "q_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(width_bucket(col("o_totalprice"), lit(0d), lit(700000d), lit(35))
+          .as("bucket"), col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("bucket"))
+    }),
+
+    // MapType machinery: per-document token histogram built as a real
+    // Spark map (map_from_entries over the grouped counts), then probed
+    // with element_at / size / map_keys. Outputs are scalars so the
+    // oracle can check them without sharing Spark's (unordered) map
+    // representation.
+    "q_map_ops" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("tok"), col("cnt"))))
+          .as("hist"))
+        .select(col("doc_id"),
+          coalesce(element_at(col("hist"), "table"), lit(0L)).as("n_table"),
+          size(col("hist")).cast("long").as("n_uniq"),
+          array_join(slice(array_sort(map_keys(col("hist"))), 1, 3), ",")
+            .as("keys_head"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS tk, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id)
+        |      AS prev_type
+        |  FROM events
+        |), chg AS (
+        |  SELECT user_id, event_id, tk, event_type FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_type AS status, tk AS valid_from,
+        |  lead(tk, 1) OVER (PARTITION BY user_id ORDER BY tk, event_id) AS valid_to,
+        |  CAST(lead(tk, 1) OVER (PARTITION BY user_id ORDER BY tk, event_id) IS NULL
+        |    AS INT) AS is_current
+        |FROM chg ORDER BY user_id, valid_from""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS old_price
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |), neu AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS new_price
+        |  FROM orders WHERE o_orderkey % 10 <> 1
+        |), d AS (
+        |  SELECT COALESCE(old.k, neu.k) AS o_orderkey, old_price, new_price,
+        |    CASE WHEN old_price IS NULL THEN 'added'
+        |         WHEN new_price IS NULL THEN 'removed'
+        |         WHEN old_price <> new_price THEN 'changed'
+        |         ELSE 'same' END AS change_type
+        |  FROM old FULL OUTER JOIN neu ON old.k = neu.k
+        |)
+        |SELECT o_orderkey, change_type, old_price, new_price
+        |FROM d WHERE change_type <> 'same' ORDER BY o_orderkey""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id)
+        |      AS rn
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM e WHERE rn <= 5 GROUP BY user_id
+        |)
+        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part
+        |) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+
+    "q_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) + 1 AS bucket,
+         |  COUNT(*) AS n,
+         |  ${sql.dsum("o_totalprice")} AS revenue
+         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_map_ops" ->
+      """WITH d AS (
+        |  SELECT doc_id, str_split(text, ' ') AS toks,
+        |    list_sort(list_distinct(str_split(text, ' '))) AS uniq
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x = 'table')) AS BIGINT) AS n_table,
+        |  CAST(len(uniq) AS BIGINT) AS n_uniq,
+        |  array_to_string(list_slice(uniq, 1, 3), ',') AS keys_head
+        |FROM d ORDER BY doc_id""".stripMargin
+  )
+}
