@@ -114,6 +114,52 @@ object WarehouseQueries extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // Islands-and-gaps: find missing o_orderkey ranges WITHOUT a global
+    // single-task sort — keys bucket by (key div 4096), within-bucket
+    // gaps come from a bucket-partitioned lead window, and cross-bucket
+    // gaps from a lead over the per-bucket min/max frame (4096× smaller
+    // than the data; the same aggregate-frame compromise as the KS /
+    // Spearman offset tables — for exact global numbering at any size
+    // see operators.GlobalRowNumber). Covers empty buckets: the bounds
+    // lead skips them, so a gap spanning whole buckets is still one row.
+    "q_id_gaps" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), expr("o_orderkey div 4096").as("b"))
+      val within = o
+        .withColumn("nxt", lead(col("k"), 1).over(
+          Window.partitionBy(col("b")).orderBy(col("k"))))
+        .filter(col("nxt") - col("k") > 1)
+        .select((col("k") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+      val bounds = o.groupBy(col("b"))
+        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+      val across = bounds
+        .withColumn("nxt_mn", lead(col("mn"), 1).over(Window.orderBy(col("b"))))
+        .filter(col("nxt_mn") - col("mx") > 1)
+        .select((col("mx") + 1).as("gap_start"), (col("nxt_mn") - 1).as("gap_end"))
+      within.unionAll(across)
+        .select(col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start") + 1).as("gap_len"))
+        .orderBy(col("gap_start"))
+    }),
+
+    // Anti-entropy table fingerprint: an order- and partitioning-
+    // invariant checksum per key range, from overflow-safe portable
+    // row hashes (pure integer arithmetic — both engines agree bit for
+    // bit). Sum-merge makes it associative: two replicas compare range
+    // checksums and ship only mismatching ranges, the replication-
+    // verification primitive at 100 TB.
+    "q_table_checksum" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .withColumn("h", expr(
+          """(o_orderkey % 1000000007 * 2654435761 % 1000000007
+            | + cents % 1000000007 * 1315423911 % 1000000007
+            | + ascii(substring(o_orderstatus, 1, 1))) % 1000000007""".stripMargin))
+        .groupBy(expr("o_orderkey div 10000").as("range_id"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("checksum"))
+        .orderBy(col("range_id"))
+    }),
+
     // MapType machinery: per-document token histogram built as a real
     // Spark map (map_from_entries over the grouped counts), then probed
     // with element_at / size / map_keys. Outputs are scalars so the
@@ -199,6 +245,28 @@ object WarehouseQueries extends QueryPack {
          |  COUNT(*) AS n,
          |  ${sql.dsum("o_totalprice")} AS revenue
          |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_id_gaps" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+        |  FROM orders
+        |)
+        |SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS gap_len
+        |FROM o WHERE nxt - k > 1 ORDER BY gap_start""".stripMargin,
+
+    "q_table_checksum" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders
+        |)
+        |SELECT o_orderkey // 10000 AS range_id, COUNT(*) AS n,
+        |  CAST(SUM((o_orderkey % 1000000007 * 2654435761 % 1000000007
+        |    + cents % 1000000007 * 1315423911 % 1000000007
+        |    + ord(substring(o_orderstatus, 1, 1))) % 1000000007) AS BIGINT)
+        |    AS checksum
+        |FROM o GROUP BY range_id ORDER BY range_id""".stripMargin,
 
     "q_map_ops" ->
       """WITH d AS (
