@@ -108,6 +108,26 @@ object EventStreams {
       horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame =
     attributionJoinOf(clicks, purchases, horizon, watermark, "left_outer")
 
+  /** Stream-static enrichment join + windowed aggregate: the event
+    * stream (carrying a `dim_key` column) joins a STATIC dimension
+    * `(dim_key, dim_label)` and aggregates per (window, dim_label).
+    * Spark re-plans the static side every micro-batch, so a broadcast
+    * dim is re-broadcast from the latest snapshot — the standard
+    * streaming-enrichment shape (no state needed on the dim side; the
+    * windowed agg's state stays watermark-bounded as usual). Identical
+    * plan on a batch frame, which is how the spec checks equivalence. */
+  def enrichedTumblingCounts(eventsWithKey: DataFrame, dim: DataFrame,
+      windowLen: String = "1 hour", watermark: Option[String] = None): DataFrame = {
+    val timed = withEventTime(eventsWithKey)
+    val src = watermark.fold(timed)(w => timed.withWatermark("event_time", w))
+    src.join(broadcast(dim), Seq("dim_key"))
+      .groupBy(window(col("event_time"), windowLen).as("w"), col("dim_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("dim_label"), col("n"), col("total_value"))
+  }
+
   private def attributionJoinOf(clicks: DataFrame, purchases: DataFrame,
       horizon: String, watermark: String, joinType: String): DataFrame = {
     val c = withEventTime(clicks).withWatermark("event_time", watermark)

@@ -78,6 +78,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("enrichedTumblingCounts: stream-static dim join equals batch") {
+    import org.apache.spark.sql.functions._
+    val batchEvents = Tables(spark, sf("sf0.001"), "events")
+      .withColumn("dim_key", col("user_id") % 25)
+    val dim = Tables(spark, sf("sf0.001"), "nation")
+      .select(col("n_nationkey").as("dim_key"), col("n_name").as("dim_label"))
+    val expected = EventStreams.enrichedTumblingCounts(batchEvents, dim)
+      .orderBy("window_start_us", "dim_label")
+      .collect()
+    assert(expected.nonEmpty)
+
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    Files.copy(
+      Paths.get(sf("sf0.001"), "events.parquet"),
+      Paths.get(dir, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val streamed = spark.readStream
+      .schema(Tables(spark, sf("sf0.001"), "events").schema)
+      .parquet(dir)
+      .withColumn("dim_key", col("user_id") % 25)
+    val query = EventStreams
+      .enrichedTumblingCounts(streamed, dim, watermark = Some("1 hour"))
+      .writeStream
+      .format("memory")
+      .queryName("enrich_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val got = spark.table("enrich_test")
+      .orderBy("window_start_us", "dim_label")
+      .collect()
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("attributionJoinOuter: null rows emit exactly for expired unmatched clicks") {
     import org.apache.spark.sql.functions._
     val batchEvents = Tables(spark, sf("sf0.001"), "events")
