@@ -114,6 +114,38 @@ object WarehouseQueries extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // Explicit GROUPING SETS (the general form behind cube/rollup, both
+    // already covered): detail, one-dimension subtotal and grand total in
+    // ONE aggregation pass, disambiguated by grouping_id. Spark expands
+    // the sets before the shuffle, so this stays a single hash-agg plan.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .select(col("gid").cast("long").as("gid"), col("o_orderpriority"),
+          col("o_orderstatus"), col("n"), col("revenue"))
+        .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+
+    // Schema-evolution union: merge two snapshots whose column sets
+    // diverged (old has price, new has status/priority) — unionByName
+    // with allowMissingColumns null-fills, the append path every
+    // long-lived ingestion pipeline eventually needs.
+    "q_union_evolve" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val old = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val neu = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      old.unionByName(neu, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Islands-and-gaps: find missing o_orderkey ranges WITHOUT a global
     // single-task sort — keys bucket by (key div 4096), within-bucket
     // gaps come from a bucket-partitioned lead window, and cross-bucket
@@ -245,6 +277,24 @@ object WarehouseQueries extends QueryPack {
          |  COUNT(*) AS n,
          |  ${sql.dsum("o_totalprice")} AS revenue
          |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+         |  o_orderpriority, o_orderstatus, COUNT(*) AS n,
+         |  ${sql.dsum("o_totalprice")} AS revenue
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+         |  (o_orderpriority), ())
+         |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+        .stripMargin,
+
+    "q_union_evolve" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+        |) UNION ALL BY NAME (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |) ORDER BY o_orderkey""".stripMargin,
 
     "q_id_gaps" ->
       """WITH o AS (
