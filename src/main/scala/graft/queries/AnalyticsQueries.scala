@@ -89,6 +89,49 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("month"))
     }),
 
+    // URL parsing (C4-style provenance filtering): synthesize a URL per
+    // doc, split it with Spark's dedicated parse_url kernel (HOST / PATH
+    // / QUERY), and flag blocklisted domains. Map-only; the oracle
+    // re-derives the parts with regexes, so the kernel's semantics are
+    // pinned, not just its plumbing.
+    "q_url_parse" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string"), lit("?lang="), col("lang")))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("HOST"))
+            .isin("src0.example.com", "src13.example.com")
+            .cast("int").as("is_blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Date-spine fill: a complete (month × status) reporting grid even
+    // where no orders exist — sequence() generates the month spine from
+    // the observed bounds, cross-joined with the status dim and
+    // left-joined to the aggregate, zeros filled. The spine is
+    // bounds-derived (two-row broadcast), never hand-enumerated.
+    "q_date_spine" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).as("m"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val spine = o.agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"),
+          expr("interval 1 month"))).as("m"))
+      val grid = spine.crossJoin(o.select(col("o_orderstatus")).distinct())
+      val agg = o.groupBy(col("m"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      grid.join(agg, Seq("m", "o_orderstatus"), "left")
+        .select(date_format(col("m"), "yyyy-MM").as("month"),
+          col("o_orderstatus"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy(col("month"), col("o_orderstatus"))
+    }),
+
     // Array / higher-order-function surface in one pass: tokenize, dedup
     // + sort, set-intersect against a literal vocabulary, fold token
     // lengths, and slice a preview — all codegen-resident per-row array
@@ -163,6 +206,43 @@ object AnalyticsQueries extends QueryPack {
          |  ROUND((revenue - lag(revenue, 1) OVER (ORDER BY month))
          |    / lag(revenue, 1) OVER (ORDER BY month) * 100, 6) AS growth_pct
          |FROM m ORDER BY month""".stripMargin,
+
+    "q_url_parse" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/docs/'
+        |      || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_extract(url, 'https://([^/]+)(/[^?]*)', 1) AS host,
+        |  regexp_extract(url, 'https://([^/]+)(/[^?]*)', 2) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS query,
+        |  CAST(regexp_extract(url, 'https://([^/]+)(/[^?]*)', 1)
+        |    IN ('src0.example.com', 'src13.example.com') AS INT) AS is_blocked
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_date_spine" ->
+      s"""WITH o AS (
+         |  SELECT date_trunc('month', o_orderdate) AS m, o_orderstatus, o_totalprice
+         |  FROM orders
+         |), spine AS (
+         |  SELECT unnest(generate_series((SELECT MIN(m) FROM o),
+         |    (SELECT MAX(m) FROM o), INTERVAL 1 MONTH)) AS m
+         |), grid AS (
+         |  SELECT spine.m, st.o_orderstatus
+         |  FROM spine CROSS JOIN (SELECT DISTINCT o_orderstatus FROM o) st
+         |), agg AS (
+         |  SELECT m, o_orderstatus, COUNT(*) AS n,
+         |    ${sql.dsum("o_totalprice")} AS revenue
+         |  FROM o GROUP BY m, o_orderstatus
+         |)
+         |SELECT strftime(grid.m, '%Y-%m') AS month,
+         |  grid.o_orderstatus AS o_orderstatus,
+         |  COALESCE(agg.n, 0) AS n, COALESCE(agg.revenue, 0.0) AS revenue
+         |FROM grid LEFT JOIN agg
+         |  ON grid.m = agg.m AND grid.o_orderstatus = agg.o_orderstatus
+         |ORDER BY month, o_orderstatus""".stripMargin,
 
     "q_array_ops" ->
       """WITH d AS (

@@ -304,10 +304,50 @@ object SimilarityQueries extends QueryPack {
               floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * 255)))
             .as("q"))
         .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    // Johnson–Lindenstrauss random projection 64→8 dims: signs come from
+    // the portable integer hash (oracle reproduces the matrix bit for
+    // bit) and each component accumulates in micro-scaled BIGINTs, so
+    // the sum is order-independent — Spark's fold and DuckDB's unordered
+    // SUM agree exactly. Map-only per row (nested HOFs stay in codegen);
+    // the projection that makes downstream ANN affordable at 100 TB.
+    "q_jl_projection" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(expr(
+          """transform(sequence(0, 7), j ->
+            |  aggregate(sequence(0, size(embedding) - 1), 0L,
+            |    (acc, i) -> acc
+            |      + CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE)
+            |                   * 1000000 + 0.5) AS LONG)
+            |      * (CASE WHEN (j * 256 + i) % 1000000007 * 2654435761
+            |                   % 1000000007 % 2 = 0
+            |          THEN 1L ELSE -1L END)))""".stripMargin)))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          round(col("col") / 1000000.0, 6).as("proj"))
+        .orderBy(col("vec_id"), col("j"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_jl_projection" ->
+      """WITH u AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, js.j,
+        |    SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+        |      * CASE WHEN (js.j * 256 + i) % 1000000007 * 2654435761
+        |                  % 1000000007 % 2 = 0
+        |        THEN 1 ELSE -1 END) AS acc
+        |  FROM u CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+        |  GROUP BY vec_id, js.j
+        |)
+        |SELECT vec_id, CAST(j AS BIGINT) AS j,
+        |  ROUND(acc / 1000000.0, 6) AS proj
+        |FROM s ORDER BY vec_id, j""".stripMargin,
+
     "q_embed_centroid" ->
       """WITH e AS (
         |  SELECT label, i - 1 AS pos,
