@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.GraftExtensions
+
+/** Product quantization (PQ) — the compression-based ANN path next to the
+  * coarse-quantizer IVF (`IvfIndex`) and hyperplane LSH (`q_ann_lsh`):
+  * the vector splits into `m` subvectors, each subspace trains its own
+  * tiny k-means codebook, and a vector compresses to `m` small codes
+  * (4×16 codes = 4 bytes for a 64-dim float vector, a 64× compression).
+  *
+  * Search is asymmetric distance computation (ADC): the probe computes a
+  * (m × k) distance table against the codebooks — probe-side only, tiny,
+  * broadcast — and a candidate's approximate distance is just `m` table
+  * lookups summed. No float vector math ever runs per (probe, candidate)
+  * pair.
+  *
+  * Scale notes: codebooks are m·k subvectors (driver-tiny at any corpus
+  * size); encoding is m broadcast-assign passes over the corpus (narrow,
+  * linear); search shuffles only (probe_id, cand_id, partial-dist) rows
+  * after a map-side broadcast join — the corpus embedding column itself
+  * is never read at query time, which is the point: at 100 TB the float
+  * vectors stay cold while the 4-byte codes serve candidates.
+  */
+object PqIndex {
+
+  /** Per-subspace codebooks: (subspace, centers(code, subvector)). */
+  final case class Codebooks(m: Int, sub: Int,
+      books: Seq[(Int, Seq[(Int, Array[Float])])])
+
+  /** Train one codebook per subspace with the DataFrame-native Lloyd
+    * build (deterministic init — see IvfIndex.buildLloyd). */
+  def train(embeddings: DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 3): Codebooks = {
+    val dim = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val books = (0 until m).map { s =>
+      val subv = embeddings.select(col("vec_id"),
+        expr(s"slice(embedding, ${s * sub + 1}, $sub)").as("embedding"))
+      (s, IvfIndex.buildLloyd(subv, k, iters).centers)
+    }
+    Codebooks(m, sub, books)
+  }
+
+  /** All codebook entries as a broadcastable frame (s, code, centroid). */
+  private def entriesDf(spark: SparkSession, cb: Codebooks): DataFrame = {
+    import spark.implicits._
+    cb.books.flatMap { case (s, centers) =>
+      centers.map { case (code, arr) => (s, code, arr.toSeq) }
+    }.toDF("s", "code", "centroid")
+      .select(col("s"), col("code"),
+        col("centroid").cast("array<float>").as("centroid"))
+  }
+
+  /** Encode the corpus: per subspace, nearest codebook entry by squared
+    * euclidean distance (broadcast cross join + min_by hash agg — the
+    * same sort-free argmin shape as IvfIndex.assign), then the m codes
+    * assemble into one array column. Output: (vec_id, codes). */
+  def encode(embeddings: DataFrame, cb: Codebooks): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftExtensions.register(spark)
+    val entries = entriesDf(spark, cb)
+    val subCodes = embeddings
+      .select(col("vec_id"), posexplode(
+        expr(s"transform(sequence(0, ${cb.m - 1}), s -> " +
+          s"slice(embedding, s * ${cb.sub} + 1, ${cb.sub}))"))
+        .as(Seq("s", "sv")))
+      .join(broadcast(entries), Seq("s"))
+      .withColumn("dist",
+        expr("graft_fdot(centroid, centroid)") -
+          lit(2.0) * expr("graft_fdot(sv, centroid)"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+    subCodes.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("code")))).as("sc"))
+      .select(col("vec_id"),
+        expr("transform(sc, x -> x.code)").as("codes"))
+  }
+
+  /** ADC top-k: probes (probe_id, pe) against the encoded corpus.
+    * Probe-side distance tables (probes × m × k rows) broadcast; each
+    * candidate contributes m lookup rows; the sum per (probe, candidate)
+    * ranks. Distances omit the constant ‖probe_sub‖² terms (rank-
+    * invariant per probe). Self-matches are not filtered — callers
+    * exclude probe_id == cand_id if unwanted. */
+  def search(cb: Codebooks, encoded: DataFrame, probes: DataFrame,
+      topK: Int): DataFrame = {
+    val spark = probes.sparkSession
+    GraftExtensions.register(spark)
+    val entries = entriesDf(spark, cb)
+    val tab = probes
+      .select(col("probe_id"), posexplode(
+        expr(s"transform(sequence(0, ${cb.m - 1}), s -> " +
+          s"slice(pe, s * ${cb.sub} + 1, ${cb.sub}))"))
+        .as(Seq("s", "psv")))
+      .join(broadcast(entries), Seq("s"))
+      .select(col("probe_id"), col("s"), col("code"),
+        (expr("graft_fdot(centroid, centroid)") -
+          lit(2.0) * expr("graft_fdot(psv, centroid)")).as("pdist"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist"), col("cand_id"))
+    encoded.select(col("vec_id").as("cand_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(tab), Seq("s", "code"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("pdist")).as("adist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("probe_id"), col("cand_id"), col("adist"), col("rnk"))
+  }
+}
