@@ -89,6 +89,69 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("month"))
     }),
 
+    // A/B two-proportion z-test: deterministic variant split (user_id
+    // parity), conversion = user purchased. All counts are exact
+    // integers; the z statistic is a scalar formula over them, so the
+    // only float math happens once per group at the very end (r6 for
+    // cross-engine parity). The shape is two hash aggs over the log —
+    // the experiment-analysis primitive at any scale.
+    // Conversion = "the user's LAST event is a purchase" (max-struct
+    // argmax, deterministic (tk, event_id) tie-break) — an "ever
+    // purchased" flag saturates to 1.0 once users have enough events
+    // (it did at sf0.01 already) and the z denominator hits p(1−p)=0;
+    // the last-event definition stays ≈1/5 at ANY event density.
+    "q_ab_test" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), (col("user_id") % 2).as("variant"),
+          expr("ts DIV 1000").as("tk"), col("event_id"),
+          (col("event_type") === "purchase").cast("int").as("is_conv"))
+      val perUser = e.groupBy(col("variant"), col("user_id"))
+        .agg(max(struct(col("tk"), col("event_id"), col("is_conv")))
+          .getField("is_conv").as("converted"))
+      val stats = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val wide = stats.filter(col("variant") === 0)
+        .select(col("n").as("n0"), col("conv").as("c0"))
+        .crossJoin(stats.filter(col("variant") === 1)
+          .select(col("n").as("n1"), col("conv").as("c1")))
+      // ANSI mode makes `/` on integral columns an integral division —
+      // every ratio goes through explicit doubles (matching the oracle's
+      // CASTs exactly)
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
+          r6(d(col("c0")) / col("n0")).as("p0"),
+          r6(d(col("c1")) / col("n1")).as("p1"))
+        .withColumn("pp", d(col("c0") + col("c1")) / (col("n0") + col("n1")))
+        .withColumn("z", r6(
+          (d(col("c0")) / col("n0") - d(col("c1")) / col("n1")) /
+            sqrt(col("pp") * (lit(1) - col("pp")) *
+              (d(lit(1)) / col("n0") + d(lit(1)) / col("n1")))))
+        .drop("pp")
+    }),
+
+    // Revenue concentration (Herfindahl–Hirschman index) per nation:
+    // HHI = Σ shareᵢ² computed as Σ revᵢ² / (Σ revᵢ)² with BOTH sums in
+    // exact DECIMAL — no order-dependent float accumulation, one double
+    // division at the end. Two hash aggs (customer, then nation); the
+    // market-structure metric that flags when a corpus/revenue source is
+    // dominated by a few keys.
+    "q_concentration" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val perCust = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      perCust.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("rev")).cast("double").as("total_rev"),
+          sum((col("rev") * col("rev")).cast("decimal(38,4)"))
+            .cast("double").as("sum_sq"))
+        .select(col("c_nationkey"), col("n_cust"),
+          r6(col("total_rev")).as("total_rev"),
+          r6(col("sum_sq") / (col("total_rev") * col("total_rev"))).as("hhi"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // URL parsing (C4-style provenance filtering): synthesize a URL per
     // doc, split it with Spark's dedicated parse_url kernel (HOST / PATH
     // / QUERY), and flag blocklisted domains. Map-only; the oracle
@@ -206,6 +269,42 @@ object AnalyticsQueries extends QueryPack {
          |  ROUND((revenue - lag(revenue, 1) OVER (ORDER BY month))
          |    / lag(revenue, 1) OVER (ORDER BY month) * 100, 6) AS growth_pct
          |FROM m ORDER BY month""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id % 2 AS variant, user_id,
+        |    (MAX(struct_pack(tk := epoch_ns(ts)//1000, eid := event_id,
+        |      c := CAST(event_type = 'purchase' AS INT)))).c AS converted
+        |  FROM events GROUP BY variant, user_id
+        |), s AS (
+        |  SELECT variant, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+        |  FROM pu GROUP BY variant
+        |), wide AS (
+        |  SELECT s0.n AS n0, s0.conv AS c0, s1.n AS n1, s1.conv AS c1
+        |  FROM (SELECT n, conv FROM s WHERE variant = 0) s0
+        |  CROSS JOIN (SELECT n, conv FROM s WHERE variant = 1) s1
+        |)
+        |SELECT n0, c0, n1, c1,
+        |  ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+        |  ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+        |  ROUND((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+        |    / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |      * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |      * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 6) AS z
+        |FROM wide""".stripMargin,
+
+    "q_concentration" ->
+      """WITH pc AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey, c_custkey
+        |)
+        |SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  ROUND(CAST(SUM(rev) AS DOUBLE), 6) AS total_rev,
+        |  ROUND(CAST(SUM(CAST(rev * rev AS DECIMAL(38,4))) AS DOUBLE)
+        |    / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)), 6) AS hhi
+        |FROM pc GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_url_parse" ->
       """WITH d AS (

@@ -154,8 +154,12 @@ object WarehouseQueries extends QueryPack {
     // Spearman offset tables — for exact global numbering at any size
     // see operators.GlobalRowNumber). Covers empty buckets: the bounds
     // lead skips them, so a gap spanning whole buckets is still one row.
+    // The generator emits CONTIGUOUS keys, so deletions are planted
+    // (every key ≡ 3,4 mod 19 dropped) — the detector is checked against
+    // known ground truth instead of passing vacuously on zero rows.
     "q_id_gaps" -> ((s, dir) => {
       val o = t(s, dir, "orders")
+        .filter(!(col("o_orderkey") % 19).isin(3, 4))
         .select(col("o_orderkey").as("k"), expr("o_orderkey div 4096").as("b"))
       val within = o
         .withColumn("nxt", lead(col("k"), 1).over(
@@ -300,7 +304,7 @@ object WarehouseQueries extends QueryPack {
       """WITH o AS (
         |  SELECT o_orderkey AS k,
         |    lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
-        |  FROM orders
+        |  FROM orders WHERE o_orderkey % 19 NOT IN (3, 4)
         |)
         |SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS gap_len
         |FROM o WHERE nxt - k > 1 ORDER BY gap_start""".stripMargin,
