@@ -180,4 +180,26 @@ class PlanSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("JSON extraction prunes the scan to the two touched columns") {
+    // get_json_object must not widen the scan: at 100 TB the events table
+    // carries many columns and the payload analytics reads exactly two.
+    val p = plan("q_json_extract")
+    assert(p.contains("ReadSchema: struct<event_type:string,props:string>"),
+      s"scan not pruned to (event_type, props):\n$p")
+  }
+
+  test("funnel stages broadcast user-sized frames, never shuffle the log twice") {
+    val p = plan("q_funnel")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast stage joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"log-sized sort-merge join crept in:\n$p")
+  }
+
+  test("PII scan is map-only: no exchange before the presentation sort") {
+    val p = plan("q_pii_scan")
+    // exactly one exchange — the rangepartitioning for the final ORDER BY
+    val exchanges = "Exchange".r.findAllIn(p).size -
+      "ReusedExchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the final sort exchange:\n$p")
+  }
 }
