@@ -1,0 +1,104 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Native Johnson–Lindenstrauss projection over an ARRAY<FLOAT> embedding:
+  * `graft_jlproj(emb, k)` returns the k micro-scaled component sums
+  *
+  *   out[j] = Σ_i floor(emb[i]·10⁶ + 0.5) · sign(j, i)
+  *
+  * with the engine-portable sign(j, i) = ((j·256 + i) mod p · 2654435761
+  * mod p) even ? +1 : −1 (p = 1000000007) — EXACTLY the arithmetic of the
+  * q_jl_projection HOF/oracle formulation (integer accumulation makes the
+  * sum order-independent, so the DuckDB oracle and any partitioning agree
+  * bit for bit). The nested-HOF form evaluates ~k·dim interpreted lambda
+  * calls per row; this is one fused codegen loop — parity is asserted in
+  * JlProjectSpec, so swapping it in changes performance only.
+  */
+case class JlProjectExpr(child: Expression, k: Int = 8) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) if k >= 1 && k <= 64 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_jlproj k must be in [1, 64], got $k")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_jlproj expects array<float>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val micro = math.floor(a.getFloat(i).toDouble * 1000000 + 0.5).toLong
+        val h = (j * 256L + i) % 1000000007L * 2654435761L % 1000000007L
+        s += (if (h % 2 == 0) micro else -micro)
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val micro = ctx.freshName("micro")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $micro = (long) Math.floor(
+         |      ((double) $a.getFloat($i)) * 1000000 + 0.5);
+         |    long $h = ($j * 256L + $i) % 1000000007L * 2654435761L % 1000000007L;
+         |    $s += (($h % 2 == 0) ? $micro : -$micro);
+         |  }
+         |  $out[$j] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JlProjectExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_jlproj"
+}
+
+object JlProjectExpr {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[JlProjectExpr].getCanonicalName, "graft_jlproj")
+
+  val builder: Seq[Expression] => Expression = { children =>
+    children match {
+      case Seq(e) => JlProjectExpr(e)
+      case Seq(e, Literal(p: Int, org.apache.spark.sql.types.IntegerType)) =>
+        JlProjectExpr(e, p)
+      case _ =>
+        throw new IllegalArgumentException(
+          "graft_jlproj takes (array<float>) or (array<float>, <int literal k>)")
+    }
+  }
+}

@@ -309,20 +309,17 @@ object SimilarityQueries extends QueryPack {
     // Johnson–Lindenstrauss random projection 64→8 dims: signs come from
     // the portable integer hash (oracle reproduces the matrix bit for
     // bit) and each component accumulates in micro-scaled BIGINTs, so
-    // the sum is order-independent — Spark's fold and DuckDB's unordered
-    // SUM agree exactly. Map-only per row (nested HOFs stay in codegen);
-    // the projection that makes downstream ANN affordable at 100 TB.
+    // the sum is order-independent — the kernel and DuckDB's unordered
+    // SUM agree exactly. Map-only per row via the fused codegen
+    // graft_jlproj expression (the nested-HOF twin costs ~k·dim
+    // interpreted lambda calls per row — JlProjectSpec pins bit-parity
+    // between the two and the oracle); the projection that makes
+    // downstream ANN affordable at 100 TB.
     "q_jl_projection" -> ((s, dir) => {
+      GraftExtensions.register(s)
       t(s, dir, "embeddings")
-        .select(col("vec_id"), posexplode(expr(
-          """transform(sequence(0, 7), j ->
-            |  aggregate(sequence(0, size(embedding) - 1), 0L,
-            |    (acc, i) -> acc
-            |      + CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE)
-            |                   * 1000000 + 0.5) AS LONG)
-            |      * (CASE WHEN (j * 256 + i) % 1000000007 * 2654435761
-            |                   % 1000000007 % 2 = 0
-            |          THEN 1L ELSE -1L END)))""".stripMargin)))
+        .select(col("vec_id"),
+          posexplode(expr("graft_jlproj(embedding, 8)")))
         .select(col("vec_id"), col("pos").cast("long").as("j"),
           round(col("col") / 1000000.0, 6).as("proj"))
         .orderBy(col("vec_id"), col("j"))

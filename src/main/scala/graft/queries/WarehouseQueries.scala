@@ -65,6 +65,31 @@ object WarehouseQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // MERGE-style upsert (the apply side of the CDC diff): a changes
+    // batch full-outer joins the target on the PK — matched rows take
+    // the source values (update), unmatched source rows insert,
+    // unmatched target rows carry over — emitting the merged table plus
+    // the per-row action. One PK shuffle; at 100 TB this is the
+    // copy-on-write MERGE INTO plan without a table format.
+    "q_merge_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val target = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("t_price"),
+          col("o_orderstatus").as("t_status"))
+      val source = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") + 1000.0).as("s_price"),
+          lit("U").as("s_status"))
+      target.join(source, Seq("k"), "full_outer")
+        .select(col("k").as("o_orderkey"),
+          coalesce(col("s_price"), col("t_price")).as("price"),
+          coalesce(col("s_status"), col("t_status")).as("status"),
+          when(col("s_price").isNotNull && col("t_price").isNotNull, "update")
+            .when(col("t_price").isNull, "insert")
+            .otherwise("keep").as("action"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Event-path mining: each user's first five event types in time order
     // become a '>'-joined journey string; journeys are counted and the
     // top 20 reported. The per-user path assembly sorts tiny 5-element
@@ -254,6 +279,23 @@ object WarehouseQueries extends QueryPack {
         |)
         |SELECT o_orderkey, change_type, old_price, new_price
         |FROM d WHERE change_type <> 'same' ORDER BY o_orderkey""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS t_price, o_orderstatus AS t_status
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |), source AS (
+        |  SELECT o_orderkey AS k, o_totalprice + 1000.0 AS s_price, 'U' AS s_status
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT COALESCE(target.k, source.k) AS o_orderkey,
+        |  COALESCE(s_price, t_price) AS price,
+        |  COALESCE(s_status, t_status) AS status,
+        |  CASE WHEN s_price IS NOT NULL AND t_price IS NOT NULL THEN 'update'
+        |       WHEN t_price IS NULL THEN 'insert'
+        |       ELSE 'keep' END AS action
+        |FROM target FULL OUTER JOIN source ON target.k = source.k
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_event_paths" ->
       """WITH e AS (
