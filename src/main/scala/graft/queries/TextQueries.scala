@@ -269,6 +269,23 @@ object TextQueries extends QueryPack {
     // 100 TB replaces this full token shuffle with one capacity-bounded
     // summary per partition — HeavyHittersSpec pins sketch == exact when
     // capacity covers the distinct vocabulary.
+    // BPE vocabulary induction exposed through the driver contract: the
+    // learned merge table (rank, a, b, merged) for 8 rounds over the
+    // corpus word-frequency table. No SQL oracle — the training loop is
+    // iterative (argmax + rewrite per round), not SQL-expressible — so
+    // the driver records rows-only; BpeTrainerSpec proves the merge
+    // sequence identical to the single-machine Sennrich reference.
+    "q_bpe_merges" -> ((s, dir) => {
+      val wc = graft.operators.BpeTrainer.wordCounts(
+        t(s, dir, "documents"), "text")
+      val model = graft.operators.BpeTrainer.train(wc, rounds = 8)
+      import s.implicits._
+      model.merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b, a + b) }
+        .toDF("rank", "a", "b", "merged")
+        .orderBy(col("rank"))
+    }),
+
     "q_token_topk" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(expr(tokensSpark("text"))).as("token"))
