@@ -110,4 +110,24 @@ class PropertySpec extends SparkSpec {
       assert(got.length === expected, s"k=$k n=$n")
     }
   }
+
+  test("portable key hash: overflow-free and mod-p correct at ANY long key") {
+    // The sampling/split/checksum hash reduces mod p BEFORE multiplying:
+    // (p−1)·2654435761 < 2⁶³. The unreduced form exceeds Long.MAX past
+    // key ≈ 3.5e9 — under ANSI mode that is a runtime ERROR, so a
+    // regression here breaks every 100 TB split, not just its statistics.
+    // Extremes + random longs, checked against BigInt arithmetic.
+    val p = BigInt(1000000007L)
+    val keys = Seq(0L, 1L, 3500000000L, Long.MaxValue - 1, Long.MaxValue) ++
+      (1 to 20).map(i => math.abs(new scala.util.Random(i).nextLong()))
+    val got = keys.toDF("k")
+      .select(col("k"), expr("k % 1000000007 * 2654435761 % 1000000007").as("h"))
+      .collect()
+    got.foreach { r =>
+      val (k, h) = (r.getLong(0), r.getLong(1))
+      val expected = (BigInt(k) mod p) * BigInt(2654435761L) mod p
+      assert(BigInt(h) === expected, s"k=$k")
+      assert(h >= 0 && h < 1000000007L)
+    }
+  }
 }
