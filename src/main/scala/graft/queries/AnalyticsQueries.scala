@@ -89,6 +89,43 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("month"))
     }),
 
+    // 2-D skyline (Pareto frontier): parts not dominated on (price min,
+    // size max). A part survives iff its size tops its exact-price group
+    // AND beats the max size of every strictly cheaper part. That
+    // prefix-max runs TWO-LEVEL over the price-group frame — equi-depth
+    // price buckets (operators.RangeBuckets), per-bucket maxes with a
+    // small bucket-level running max, and a bucket-local window — the
+    // same decomposition the KS/Spearman prefix-SUMS use, generalized to
+    // MAX, so no single-task global window ever touches a big frame.
+    // The naive form is the n² NOT EXISTS self-join.
+    "q_skyline" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val g = part.groupBy(col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("gmax"))
+      val gb = graft.operators.RangeBuckets.withEquiDepthBucket(
+        g, "price", "bucket")
+      val bucketMax = gb.groupBy(col("bucket"))
+        .agg(max(col("gmax")).as("bmax"))
+        .withColumn("bbelow", max(col("bmax")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        .select(col("bucket"), col("bbelow"))
+      val wLoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("price"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val pm = gb.withColumn("lbelow", max(col("gmax")).over(wLoc))
+        .join(broadcast(bucketMax), Seq("bucket"))
+        .withColumn("below", greatest(
+          coalesce(col("lbelow"), lit(Int.MinValue)),
+          coalesce(col("bbelow"), lit(Int.MinValue))))
+        .select(col("price"), col("gmax"), col("below"))
+      part.join(pm, col("p_retailprice") === col("price"))
+        .filter(col("p_size") === col("gmax") && col("below") < col("p_size"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // A/B two-proportion z-test: deterministic variant split (user_id
     // parity), conversion = user purchased. All counts are exact
     // integers; the z statistic is a scalar formula over them, so the
@@ -269,6 +306,22 @@ object AnalyticsQueries extends QueryPack {
          |  ROUND((revenue - lag(revenue, 1) OVER (ORDER BY month))
          |    / lag(revenue, 1) OVER (ORDER BY month) * 100, 6) AS growth_pct
          |FROM m ORDER BY month""".stripMargin,
+
+    "q_skyline" ->
+      """WITH g AS (
+        |  SELECT p_retailprice AS price, MAX(p_size) AS gmax
+        |  FROM part GROUP BY p_retailprice
+        |), pm AS (
+        |  SELECT price, gmax,
+        |    MAX(gmax) OVER (ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below
+        |  FROM g
+        |)
+        |SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p JOIN pm ON p.p_retailprice = pm.price
+        |WHERE p.p_size = pm.gmax
+        |  AND (pm.below IS NULL OR pm.below < p.p_size)
+        |ORDER BY p.p_partkey""".stripMargin,
 
     "q_ab_test" ->
       """WITH pu AS (
