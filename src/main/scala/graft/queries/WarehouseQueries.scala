@@ -90,6 +90,38 @@ object WarehouseQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Incremental view maintenance: a materialized aggregate updates
+    // from a CDC delta batch (inserts weight +1, deletes −1) by MERGING
+    // partials — the base aggregate is never recomputed and the delta
+    // is the only data scanned twice. Counts and exact-DECIMAL sums are
+    // mergeable, so (base ⊎ delta) is bit-identical to the full
+    // recompute over (base ∖ deletes) ∪ inserts, which is exactly what
+    // the oracle computes. At 100 TB this is the difference between
+    // touching a day's delta and re-scanning the table.
+    "q_incremental_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val baseAgg = o.filter(col("o_orderkey") % 10 =!= 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val delta = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderpriority"), col("o_totalprice"), lit(1L).as("w"))
+        .unionAll(o.filter(col("o_orderkey") % 10 =!= 0 &&
+            col("o_orderkey") % 7 === 0)
+          .select(col("o_orderpriority"), col("o_totalprice"), lit(-1L).as("w")))
+      val deltaAgg = delta.groupBy(col("o_orderpriority"))
+        .agg(sum(col("w")).as("dn"),
+          sum(col("o_totalprice").cast("decimal(18,2)") * col("w")).as("drev"))
+      baseAgg.join(deltaAgg, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("rev"), lit(0).cast("decimal(18,2)")) +
+            coalesce(col("drev"), lit(0).cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+        .filter(col("n") > 0)
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Event-path mining: each user's first five event types in time order
     // become a '>'-joined journey string; journeys are counted and the
     // top 20 reported. The per-user path assembly sorts tiny 5-element
@@ -296,6 +328,19 @@ object WarehouseQueries extends QueryPack {
         |       ELSE 'keep' END AS action
         |FROM target FULL OUTER JOIN source ON target.k = source.k
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_incremental_agg" ->
+      """WITH final AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 0
+        |)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM final GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_event_paths" ->
       """WITH e AS (
