@@ -189,6 +189,38 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // Capstone curation pipeline — the governance stages COMPOSED into
+    // one declared plan: quality gate (length + word-count bounds) →
+    // language filter → exact dedup keep-first (md5 fingerprint groupBy,
+    // shuffles 16-byte hashes, never documents) → mixture rebalance
+    // (per-lang downsample to the smallest post-dedup language by
+    // portable hash order) → whitespace normalization. Every stage is
+    // deterministic, so the five-stage composite still hash-matches the
+    // chained-CTE oracle; at 100 TB this whole pipeline is two shuffles
+    // (fingerprint, lang window) plus map stages.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val quality = t(s, dir, "documents")
+        .filter(col("n_chars") >= 150 && col("n_chars") <= 10000 &&
+          size(split(col("text"), " ")) >= 20)
+        .filter(col("lang").isin("en", "de", "fr", "es"))
+      val deduped = quality
+        .withColumn("fp", md5(col("text")))
+        .withColumn("rn_fp", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn_fp") === 1)
+      val m = deduped.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .agg(min(col("cnt")).as("m"))
+      deduped
+        .withColumn("h", expr("doc_id % 1000000007 * 2654435761 % 1000000007"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        .crossJoin(broadcast(m))
+        .filter(col("rn") <= col("m"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          trim(regexp_replace(col("text"), " +", " ")).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PageRank (3 fixed iterations, d=0.85) over the undirected bipartite
     // customer–supplier graph induced by lineitem⋈orders. Rank mass lives
     // in BIGINT nano-units and the damping step is (17·s) div 20 — pure
@@ -356,6 +388,33 @@ object PipelineQueries extends QueryPack {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_curation_pipeline" ->
+      """WITH quality AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  WHERE n_chars >= 150 AND n_chars <= 10000
+        |    AND len(str_split(text, ' ')) >= 20
+        |    AND lang IN ('en', 'de', 'fr', 'es')
+        |), fp AS (
+        |  SELECT doc_id, lang, source, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn_fp
+        |  FROM quality
+        |), deduped AS (
+        |  SELECT doc_id, lang, source, text FROM fp WHERE rn_fp = 1
+        |), m AS (
+        |  SELECT MIN(cnt) AS m FROM (
+        |    SELECT COUNT(*) AS cnt FROM deduped GROUP BY lang
+        |  )
+        |), r AS (
+        |  SELECT doc_id, lang, source, text,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY doc_id % 1000000007 * 2654435761 % 1000000007, doc_id) AS rn
+        |  FROM deduped
+        |)
+        |SELECT doc_id, lang, source,
+        |  trim(regexp_replace(text, ' +', ' ', 'g')) AS text
+        |FROM r, m WHERE rn <= m.m
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" ->
       """WITH pairs AS (
