@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_rpsig"), FloatRpSig.info,
         FloatRpSig.builder))
     ext.injectFunction(
+      (FunctionIdentifier("graft_rpbands"), FloatRpBands.info,
+        FloatRpBands.builder))
+    ext.injectFunction(
       (FunctionIdentifier("graft_jaccard"), StringSetJaccard.info,
         StringSetJaccard.builder))
     ext.injectFunction(
@@ -59,6 +62,7 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_fdot", FloatDotProduct.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_rpsig", FloatRpSig.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_rpbands", FloatRpBands.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard", StringSetJaccard.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash16", TokenSimHash16.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash60", TokenSimHash60.builder, "built-in")

@@ -17,10 +17,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * bit for bit). The nested-HOF form evaluates ~k·dim interpreted lambda
   * calls per row; this is one fused codegen loop — parity is asserted in
   * JlProjectSpec, so swapping it in changes performance only.
+  *
+  * Null elements: parquet float arrays are element-nullable by default,
+  * and `getFloat` on a null slot would silently read 0 — diverging from
+  * the null-propagating HOF/oracle formulation (where a null element
+  * nulls every component sum). A row whose embedding contains ANY null
+  * element therefore yields a NULL result (the whole-array projection of
+  * the HOF's all-components-null; the output type stays
+  * containsNull = false).
   */
 case class JlProjectExpr(child: Expression, k: Int = 8) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // nullable even over a non-nullable child: a null ELEMENT nulls the row
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -38,6 +49,11 @@ case class JlProjectExpr(child: Expression, k: Int = 8) extends UnaryExpression 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
+    var p = 0
+    while (p < n) {
+      if (a.isNullAt(p)) return null
+      p += 1
+    }
     val out = new Array[Long](k)
     var j = 0
     while (j < k) {
@@ -64,20 +80,29 @@ case class JlProjectExpr(child: Expression, k: Int = 8) extends UnaryExpression 
       val s = ctx.freshName("s")
       val micro = ctx.freshName("micro")
       val h = ctx.freshName("h")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = $a.numElements();
-         |long[] $out = new long[$k];
-         |for (int $j = 0; $j < $k; $j++) {
-         |  long $s = 0L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    long $micro = (long) Math.floor(
-         |      ((double) $a.getFloat($i)) * 1000000 + 0.5);
-         |    long $h = ($j * 256L + $i) % 1000000007L * 2654435761L % 1000000007L;
-         |    $s += (($h % 2 == 0) ? $micro : -$micro);
-         |  }
-         |  $out[$j] = $s;
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $hasNull = true; break; }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$k];
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $s = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $micro = (long) Math.floor(
+         |        ((double) $a.getFloat($i)) * 1000000 + 0.5);
+         |      long $h = ($j * 256L + $i) % 1000000007L * 2654435761L % 1000000007L;
+         |      $s += (($h % 2 == 0) ? $micro : -$micro);
+         |    }
+         |    $out[$j] = $s;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
 

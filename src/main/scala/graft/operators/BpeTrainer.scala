@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair-encoding) vocabulary induction — the
@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
   * lexicographic), and rewrites every word's symbol sequence greedily
   * left-to-right.
   *
-  * Scale notes: the corpus never leaves the cluster — each round is one
-  * explode + one hash aggregation over the (word, count, symbols) table
-  * plus a 1-row argmax to the driver, and the rewrite is a typed map.
-  * At 100 TB the word-frequency table (vocabulary × count) is still
-  * millions of rows, not trillions — aggregating the raw corpus down to
-  * it first (wordCounts) is the step that makes tokenizer training
-  * tractable, exactly as in production BPE trainers. Driver round-trips
-  * = rounds (like the Lloyd build in IvfIndex).
+  * Scale notes: the ONLY distributed work is aggregating the raw corpus
+  * down to the (word, cnt) frequency table (wordCounts — at 100 TB that
+  * is the step that makes tokenizer training tractable, exactly as in
+  * production BPE trainers) and the encode pass that applies the learned
+  * merges back over the corpus. The merge LOOP itself runs on the driver
+  * over the collected vocab-sized table: a vocabulary is millions of
+  * rows at any corpus size, and a real 32k-merge vocab as one Spark job
+  * per round (the round-3 form) would be 32k jobs over a lineage-growing
+  * dataset — O(rounds²) recomputation and unusable. One collect, local
+  * loop, distributed encode: the shape every production BPE trainer
+  * (Sennrich's learn_bpe, SentencePiece) uses.
   */
 object BpeTrainer {
 
@@ -48,43 +51,66 @@ object BpeTrainer {
   }
 
   /** Train `rounds` merges over a (word, cnt) table. Stops early when no
-    * adjacent pair occurs at least `minCount` times. */
+    * adjacent pair occurs at least `minCount` times.
+    *
+    * The (already-aggregated, vocab-sized) table is collected ONCE; every
+    * merge round then runs locally — pair counting, argmax (count desc,
+    * then pair lexicographic — the Sennrich tie-break BpeTrainerSpec pins
+    * against its reference implementation), greedy rewrite. rounds no
+    * longer costs Spark jobs: a 32k-merge vocabulary trains in driver
+    * memory while the corpus-sized work (wordCounts before, encode after)
+    * stays distributed. */
   def train(words: DataFrame, rounds: Int, minCount: Long = 2L): BpeModel = {
-    val spark = words.sparkSession
-    import spark.implicits._
-    // initial symbols: one per character ('(?!^)' splits between chars).
-    // Spark's split keeps the trailing empty match (Java's String.split —
-    // the driver-side twin — drops it), so empties are filtered out.
-    var seqs: Dataset[(String, Long, Seq[String])] = words
-      .select(col("word"), col("cnt").cast("long"),
-        expr("filter(split(word, '(?!^)'), x -> x <> '')").as("syms"))
-      .as[(String, Long, Seq[String])]
+    val vocab: Array[(Long, Array[String])] = words
+      .select(col("cnt").cast("long"), col("word")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("(?!^)")))
+    val seqs: Array[(Long, scala.collection.mutable.ArrayBuffer[String])] =
+      vocab.map { case (c, s) =>
+        (c, scala.collection.mutable.ArrayBuffer.from(s))
+      }
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var round = 0
     var exhausted = false
     while (round < rounds && !exhausted) {
-      val top = seqs.toDF("word", "cnt", "syms")
-        .select(col("cnt"), explode(expr(
-          // guard: sequence(0, -1) DESCENDS in Spark, so a 1-symbol word
-          // must yield an empty pair list explicitly
-          """CASE WHEN size(syms) >= 2 THEN
-            |  transform(sequence(0, size(syms) - 2),
-            |    i -> struct(element_at(syms, i + 1) AS a,
-            |                element_at(syms, i + 2) AS b))
-            |ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"""
-            .stripMargin))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty || top(0).getLong(2) < minCount) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      seqs.foreach { case (c, s) =>
+        var i = 0
+        while (i + 1 < s.length) {
+          val p = (s(i), s(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      counts.foreach { case (p, c) =>
+        if (best == null || c > best._2 ||
+          (c == best._2 && Ordering[(String, String)].lt(p, best._1))) {
+          best = (p, c)
+        }
+      }
+      if (best == null || best._2 < minCount) {
         exhausted = true
       } else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        val (a, b) = best._1
         merges += ((a, b))
-        seqs = seqs.map { case (w, c, s) => (w, c, mergePair(s, a, b)) }
+        var w = 0
+        while (w < seqs.length) {
+          val s = seqs(w)._2
+          // in-place greedy left-to-right rewrite (mergePair's logic
+          // without reallocating the untouched words)
+          var i = 0
+          var out = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+              s(out) = a + b; i += 2
+            } else {
+              s(out) = s(i); i += 1
+            }
+            out += 1
+          }
+          s.dropRightInPlace(s.length - out)
+          w += 1
+        }
         round += 1
       }
     }

@@ -19,13 +19,20 @@ import graft.functions.TextAnalytics._
   * signatures (AND-OR construction): b=4 bands of r sign bits each,
   * candidates = pairs agreeing on ANY full band, then exact cosine on
   * candidates only — never n². The band width r is ADAPTIVE:
-  * r = ceil(log2(n / targetBucketSize)) clamped to [4, 15], computed with
+  * r = ceil(log2(n / targetBucketSize)) clamped to [4, 62], computed with
   * exact integer arithmetic from the corpus count, so the per-band bucket
   * count grows ∝ n and expected bucket occupancy stays ~constant at any
   * scale (a fixed r is a fixed 2^r-bucket space whose intra-bucket pair
   * work grows quadratically with data — the round-2 scale defect).
-  * Hyperplane weights are ±1 derived from a portable integer hash so the
-  * oracle reproduces them bit-for-bit.
+  * Signatures are ARRAY<LONG> — one long per band key (graft_rpbands) —
+  * so r is NOT capped by a single long's bit budget (the round-3 ceiling:
+  * a packed 60-bit signature forces r ≤ 15, and past n ≈ 16·2¹⁵ the
+  * keyspace stops growing and intra-bucket pair work goes quadratic
+  * again; r ≤ 62 saturates at n ≈ 16·2⁶² — never). r itself is computed
+  * INSIDE the plan from a one-row count aggregate cross-joined broadcast
+  * (the RangeBuckets pattern) — no driver-side count() action per query
+  * build. Hyperplane weights are ±1 derived from a portable integer hash
+  * so the oracle reproduces them bit-for-bit.
   */
 object SimilarityQueries extends QueryPack {
 
@@ -39,29 +46,33 @@ object SimilarityQueries extends QueryPack {
   private val targetBucket = 16L
 
   /** Adaptive band width: smallest r with 2^r ≥ n/targetBucket, clamped
-    * to [4, 15] (4·15 = 60 planes keeps the signature in a signed long on
-    * both engines). Integer-exact: r = bit_length(ceil(n/B) − 1) — no
-    * float log whose ulps could disagree with the oracle at powers of 2. */
-  private def bandWidth(n: Long): Int = {
+    * to [4, 62] (each band key is its own long, so 62 is the signed-long
+    * bit budget PER BAND, not across the whole signature). Integer-exact:
+    * r = bit_length(ceil(n/B) − 1) — no float log whose ulps could
+    * disagree with the oracle at powers of 2. Spec-only twin of the
+    * in-plan [[bandParams]] form (RpBandsSpec sweeps it past the old
+    * 2¹⁵ saturation point). */
+  private[queries] def bandWidth(n: Long): Int = {
     val m = math.max((n + targetBucket - 1) / targetBucket - 1, 1L)
     val r = 64 - java.lang.Long.numberOfLeadingZeros(m)
-    math.min(15, math.max(4, r))
+    math.min(62, math.max(4, r))
   }
 
-  /** DuckDB twin of [[bandWidth]] (same integer formulation:
-    * length(bin(x)) = bit_length(x) for x ≥ 1). */
+  /** In-plan band width: one-row (r) frame from a count aggregate over
+    * `base` — cross-joined broadcast into the signature computation so
+    * the whole query stays ONE lazy DAG (no driver count() action).
+    * Same integer formulation as [[bandWidth]]:
+    * length(bin(x)) = bit_length(x) for x ≥ 1. */
+  private def bandParams(base: DataFrame): DataFrame =
+    base.agg(count(lit(1)).as("n"))
+      .select(expr(s"CAST(least(62, greatest(4, length(bin(greatest(" +
+        s"(n + ${targetBucket - 1}) div $targetBucket - 1, 1))))) AS INT)").as("r"))
+
+  /** DuckDB twin of [[bandParams]]. */
   private def bandWidthDuck(src: String): String =
-    s"SELECT CAST(least(15, greatest(4, " +
+    s"SELECT CAST(least(62, greatest(4, " +
       s"length(bin(greatest((count(*) + ${targetBucket - 1}) // $targetBucket - 1, 1))))) AS INT) AS r " +
       s"FROM $src"
-
-  /** Band key struct array for a long signature column: slice `sig` into
-    * [[nBandsRp]] bands of `r` bits. */
-  private def bandStructs(sig: Column, r: Int): Seq[Column] =
-    (0 until nBandsRp).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(sig, b * r).bitwiseAND(lit((1L << r) - 1)).as("bkey"))
-    }
 
   /** ±1 pseudo-weight for (plane j, dim d): parity of a portable LCG mix —
     * the DuckDB twin of graft_rpsig (native side: expressions.FloatRpSig;
@@ -69,13 +80,17 @@ object SimilarityQueries extends QueryPack {
   private def weightDuck(j: String, d: String): String =
     s"CASE WHEN (($j * 131071 + $d * 524287 + 17) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END"
 
-  /** `planes` may reference the params CTE's `r` (e.g. "(4 * r)"). */
-  private def rpSigDuck(emb: String, planes: String): String = {
-    s"CAST(list_sum(list_transform(generate_series(0, $planes - 1), j -> " +
+  /** DuckDB twin of graft_rpbands: LIST of [[nBandsRp]] band keys, band
+    * b's bit i = sign of plane j = b·r + i (`r` references the params
+    * CTE). Each key is its own BIGINT, so r may exceed 15. */
+  private def rpBandsDuck(emb: String): String = {
+    val j = "(b * r + i)"
+    s"list_transform(generate_series(0, ${nBandsRp - 1}), b -> " +
+      s"CAST(list_sum(list_transform(generate_series(0, r - 1), i -> " +
       s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(generate_series(1, len($emb)), d -> " +
-      s"${weightDuck("j", "(d - 1)")} * CAST($emb[d] AS DOUBLE))), (s, v) -> s + v) >= 0 " +
-      s"THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
+      s"${weightDuck(j, "(d - 1)")} * CAST($emb[d] AS DOUBLE))), (s, v) -> s + v) >= 0 " +
+      s"THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT))"
   }
 
   /** DuckDB CTE chain `params, e, bands, pairs`: adaptive-r banded
@@ -85,12 +100,11 @@ object SimilarityQueries extends QueryPack {
     s"""params AS (
        |  ${bandWidthDuck("embeddings")}
        |), e AS (
-       |  SELECT vec_id, embedding, ${rpSigDuck("embedding", "(4 * r)")} AS sig,
+       |  SELECT vec_id, embedding, ${rpBandsDuck("embedding")} AS sig,
        |    ${dotDuck("embedding", "embedding")} AS n2, r
        |  FROM embeddings CROSS JOIN params
        |), bands AS (
-       |  SELECT vec_id, b AS band,
-       |    (sig >> (b * r)) & ((CAST(1 AS BIGINT) << r) - 1) AS bkey
+       |  SELECT vec_id, b AS band, sig[b + 1] AS bkey
        |  FROM e, unnest(generate_series(0, ${nBandsRp - 1})) AS t(b)
        |), pairs AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
@@ -152,13 +166,11 @@ object SimilarityQueries extends QueryPack {
     "q_ann_lsh" -> ((s, dir) => {
       GraftExtensions.register(s)
       val base = t(s, dir, "embeddings")
-      val r = bandWidth(base.count())
-      val e = base
-        .withColumn("sig", expr(s"graft_rpsig(embedding, ${nBandsRp * r})"))
+      val e = base.crossJoin(broadcast(bandParams(base)))
+        .withColumn("sig", expr(s"graft_rpbands(embedding, $nBandsRp, r)"))
         .withColumn("n2", expr("graft_fdot(embedding, embedding)"))
       val bands = e
-        .select(col("vec_id"), explode(array(bandStructs(col("sig"), r): _*)).as("bs"))
-        .select(col("vec_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+        .select(col("vec_id"), posexplode(col("sig")).as(Seq("band", "bkey")))
       val pBands = bands.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("probe_id"), col("band"), col("bkey"))
       val candPairs = bands.as("c")
@@ -191,12 +203,10 @@ object SimilarityQueries extends QueryPack {
     "q_dedup_embedding" -> ((s, dir) => {
       GraftExtensions.register(s)
       val base = t(s, dir, "embeddings")
-      val r = bandWidth(base.count())
-      val sigs = base
-        .select(col("vec_id"), expr(s"graft_rpsig(embedding, ${nBandsRp * r})").as("sig"))
+      val sigs = base.crossJoin(broadcast(bandParams(base)))
+        .select(col("vec_id"), expr(s"graft_rpbands(embedding, $nBandsRp, r)").as("sig"))
       val bands = sigs
-        .select(col("vec_id"), explode(array(bandStructs(col("sig"), r): _*)).as("bs"))
-        .select(col("vec_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+        .select(col("vec_id"), posexplode(col("sig")).as(Seq("band", "bkey")))
       val pairs = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -232,9 +242,8 @@ object SimilarityQueries extends QueryPack {
       val dups = base.filter(col("vec_id") % 40 === 0)
         .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
       val all = base.unionByName(dups)
-      val r = bandWidth(all.count())
-      all
-        .withColumn("sig", expr(s"graft_rpsig(embedding, ${nBandsRp * r})"))
+      all.crossJoin(broadcast(bandParams(all)))
+        .withColumn("sig", expr(s"graft_rpbands(embedding, $nBandsRp, r)"))
         .groupBy(col("sig"))
         .agg(min(col("vec_id")).as("canonical_id"),
           count(lit(1)).as("n_members"))
@@ -408,7 +417,7 @@ object SimilarityQueries extends QueryPack {
          |), params AS (
          |  ${bandWidthDuck("u")}
          |), e AS (
-         |  SELECT vec_id, ${rpSigDuck("embedding", "(4 * r)")} AS sig
+         |  SELECT vec_id, ${rpBandsDuck("embedding")} AS sig
          |  FROM u CROSS JOIN params
          |)
          |SELECT min(vec_id) AS canonical_id, COUNT(*) AS n_members

@@ -79,6 +79,44 @@ object TextQueries extends QueryPack {
     src.select(col("doc_id"),
       expr(s"array_sort(array_distinct(${tokenHashesSpark("text")}))").as("tset"))
 
+  /** Manku block-permutation parameters for the SimHash hamming-≤3 join
+    * (Manku/Jain/Sarma, WWW'07 §3): the 60-bit signature splits into
+    * [[shBlocks]] 10-bit blocks; each of the C(6,3) = 20 tables keys on a
+    * distinct 3-block subset (30-bit key). EXACT by pigeonhole: ≤3
+    * differing bits dirty ≤3 blocks, leaving ≥3 clean — every 3-subset of
+    * the clean blocks is some table's key, so at least one table matches.
+    * vs the round-3 4×15-bit single-block tables: 2³⁰ buckets per table
+    * instead of 2¹⁵ (saturation moves from n ≈ 0.5M to n ≈ 17B docs) at
+    * the cost of 20 band rows per doc instead of 4 — the standard
+    * capacity/table-count trade, tuned toward the 100 TB corpus. */
+  private val shBlocks = 6
+  private val shBlockBits = 10
+  private val shCombos: Seq[(Int, Seq[Int])] =
+    (0 until shBlocks).combinations(3).toSeq.map(_.toSeq).zipWithIndex
+      .map { case (cs, t) => (t, cs) }
+
+  /** Spark band structs: one (band, bkey) per Manku table for `sh`. */
+  private def mankuBandCols(sh: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    shCombos.map { case (tId, cs) =>
+      val mask = (1L << shBlockBits) - 1
+      val key = cs.zipWithIndex.map { case (c, pos) =>
+        shiftright(sh, c * shBlockBits).bitwiseAND(lit(mask)) *
+          lit(1L << ((cs.length - 1 - pos) * shBlockBits))
+      }.reduce(_ + _)
+      struct(lit(tId).as("band"), key.as("bkey"))
+    }
+
+  /** DuckDB twin of [[mankuBandCols]]: a `combos(t, c0, c1, c2)` VALUES
+    * CTE plus the 3-block key expression. */
+  private def mankuCombosDuck: String =
+    shCombos.map { case (t, cs) => s"($t, ${cs.mkString(", ")})" }.mkString(", ")
+  private def mankuKeyDuck(sh: String): String = {
+    val m = (1L << shBlockBits) - 1
+    Seq("c0", "c1", "c2").zipWithIndex.map { case (c, pos) =>
+      s"((($sh >> ($c * $shBlockBits)) & $m) << ${(2 - pos) * shBlockBits})"
+    }.mkString(" | ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokens + distinct tokens + chars.
@@ -264,11 +302,6 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // Exact vocabulary top-k: explode tokens → count → top 20. The exact
-    // anchor for the SpaceSaving sketch (graft_heavy_hitters), which at
-    // 100 TB replaces this full token shuffle with one capacity-bounded
-    // summary per partition — HeavyHittersSpec pins sketch == exact when
-    // capacity covers the distinct vocabulary.
     // BPE vocabulary induction exposed through the driver contract: the
     // learned merge table (rank, a, b, merged) for 8 rounds over the
     // corpus word-frequency table. No SQL oracle — the training loop is
@@ -286,6 +319,11 @@ object TextQueries extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // Exact vocabulary top-k: explode tokens → count → top 20. The exact
+    // anchor for the SpaceSaving sketch (graft_heavy_hitters), which at
+    // 100 TB replaces this full token shuffle with one capacity-bounded
+    // summary per partition — HeavyHittersSpec pins sketch == exact when
+    // capacity covers the distinct vocabulary.
     "q_token_topk" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(expr(tokensSpark("text"))).as("token"))
@@ -394,16 +432,18 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash near-dup pairs — 60-bit signatures (graft_simhash60), 4
-    // band tables of 15 bits each: candidates agree on ≥1 FULL band, then
-    // hamming ≤ 3 over the whole signature verifies (XOR + popcount, both
-    // engine-portable). The banding is EXACT for this threshold: ≤3
-    // differing bits touch ≤3 of the 4 bands (pigeonhole), so one band
-    // always survives intact — recall 1.0 vs a full n² scan, pinned by
-    // SimHashBandingSpec. Bucket space is 2^15 per band (vs the round-2
-    // fixed 256-bucket high byte whose pair work grew n²/256); near-dup
-    // docs are injected (1-token tail on every 40th doc) since the
-    // synthetic corpus has none at this strictness.
+    // SimHash near-dup pairs — 60-bit signatures (graft_simhash60),
+    // Manku block-permutation tables (see mankuBandCols): 6 blocks of 10
+    // bits, C(6,3) = 20 tables each keyed on a 3-block 30-bit subset;
+    // candidates agree on ≥1 FULL table key, then hamming ≤ 3 over the
+    // whole signature verifies (XOR + popcount, both engine-portable).
+    // EXACT for this threshold: ≤3 differing bits dirty ≤3 blocks, so
+    // some 3-block table stays clean — recall 1.0 vs a full n² scan,
+    // pinned by SimHashBandingSpec. Bucket space is 2^30 per table (the
+    // round-3 single-block 4×15 form saturated at n ≈ 16·2¹⁵ ≈ 0.5M docs;
+    // this moves saturation to ~17B). Near-dup docs are injected (1-token
+    // tail on every 40th doc) since the synthetic corpus has none at this
+    // strictness.
     "q_simhash_pairs" -> ((s, dir) => {
       GraftExtensions.register(s)
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -412,12 +452,9 @@ object TextQueries extends QueryPack {
           concat(col("text"), lit(" extra")).as("text"))
       val sig = d.unionByName(dups)
         .select(col("doc_id"), expr("graft_simhash60(text)").as("sh"))
-      val bandCols = (0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 15).bitwiseAND(lit(32767L)).as("bkey"))
-      }
       val bands = sig
-        .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("sh"),
+          explode(array(mankuBandCols(col("sh")): _*)).as("bs"))
         .select(col("doc_id"), col("sh"),
           col("bs.band").as("band"), col("bs.bkey").as("bkey"))
       bands.as("x")
@@ -890,9 +927,11 @@ object TextQueries extends QueryPack {
          |  SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM u
          |), sig AS (
          |  SELECT doc_id, ${simhash60Duck("th")} AS sh FROM th
+         |), combos(tid, c0, c1, c2) AS (
+         |  VALUES $mankuCombosDuck
          |), bands AS (
-         |  SELECT doc_id, sh, b AS band, (sh >> (b * 15)) & 32767 AS bkey
-         |  FROM sig, unnest(generate_series(0, 3)) AS t(b)
+         |  SELECT doc_id, sh, tid AS band, ${mankuKeyDuck("sh")} AS bkey
+         |  FROM sig CROSS JOIN combos
          |), cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |    x.sh AS sa, y.sh AS sb

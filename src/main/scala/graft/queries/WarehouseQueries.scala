@@ -363,8 +363,12 @@ object WarehouseQueries extends QueryPack {
         |  FROM part
         |) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
 
+    // least/greatest mirror width_bucket's domain clamp (below 0 → 0,
+    // ≥ 700000 → overflow bucket 36) so both engines share ONE formula
+    // even if a larger SF ever produces an out-of-range total
     "q_histogram" ->
-      s"""SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) + 1 AS bucket,
+      s"""SELECT least(36, greatest(0,
+         |    CAST(floor(o_totalprice / 20000) AS BIGINT) + 1)) AS bucket,
          |  COUNT(*) AS n,
          |  ${sql.dsum("o_totalprice")} AS revenue
          |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,

@@ -42,4 +42,17 @@ class JlProjectSpec extends SparkSpec {
       .filter(col("p").isNotNull).count()
     assert(nulls === 0)
   }
+
+  test("graft_jlproj: a null ELEMENT nulls the whole projection (HOF twin semantics)") {
+    GraftExtensions.register(spark)
+    // the HOF fold turns one null element into all-null component sums;
+    // the kernel must not silently read 0 for the null slot
+    val withNullElem = spark.sql(
+      "SELECT graft_jlproj(CAST(array(1.0, NULL, 2.0) AS ARRAY<FLOAT>), 8) AS p")
+    assert(withNullElem.filter(col("p").isNotNull).count() === 0)
+    // and an all-present literal array still projects
+    val ok = spark.sql(
+      "SELECT graft_jlproj(CAST(array(1.0, -1.0, 2.0) AS ARRAY<FLOAT>), 8) AS p")
+    assert(ok.filter(col("p").isNull).count() === 0)
+  }
 }

@@ -8,9 +8,12 @@ import graft.{SparkSpec, Tables}
   *
   *  - `graft_rpsig(emb, n)` parametrized planes match the HOF fold
   *    (so the adaptive-r banded queries stay oracle-reproducible);
-  *  - the 4×15-bit SimHash band join has EXACT recall for hamming ≤ 3
-  *    (pigeonhole: ≤3 bit errors touch ≤3 of 4 bands) — the property that
-  *    lets q_simhash_pairs replace an n² scan without missing a pair.
+  *  - the Manku block-permutation SimHash join (6 blocks × 10 bits,
+  *    C(6,3) = 20 tables keyed on 3-block 30-bit subsets) has EXACT
+  *    recall for hamming ≤ 3 (pigeonhole: ≤3 bit errors dirty ≤3 blocks,
+  *    leaving some 3-block table clean) — the property that lets
+  *    q_simhash_pairs replace an n² scan without missing a pair, now
+  *    with 2³⁰ buckets per table instead of the round-3 2¹⁵.
   */
 class SimHashBandingSpec extends SparkSpec {
 
@@ -40,7 +43,7 @@ class SimHashBandingSpec extends SparkSpec {
     assert(refine.filter(col("s8") =!= col("s32").bitwiseAND(lit(255L))).count() === 0)
   }
 
-  test("4x15-bit simhash band join recalls every hamming<=3 pair exactly") {
+  test("manku 20-table simhash join recalls every hamming<=3 pair exactly") {
     GraftExtensions.register(spark)
     val sig = Tables(spark, sf("sf0.001"), "documents")
       .select(col("doc_id"), expr("graft_simhash60(text)").as("sh"))
@@ -50,10 +53,15 @@ class SimHashBandingSpec extends SparkSpec {
     val truth = a.crossJoin(b).filter(col("ida") < col("idb"))
       .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
       .select(col("ida"), col("idb"))
-    // banded candidates (the q_simhash_pairs shape)
-    val bandCols = (0 until 4).map { k =>
-      struct(lit(k).as("band"),
-        shiftright(col("sh"), k * 15).bitwiseAND(lit(32767L)).as("bkey"))
+    // banded candidates (the q_simhash_pairs shape): 6 blocks of 10 bits,
+    // one table per 3-block subset, 30-bit keys
+    val combos = (0 until 6).combinations(3).toSeq.map(_.toSeq).zipWithIndex
+    val bandCols = combos.map { case (cs, tId) =>
+      val key = cs.zipWithIndex.map { case (c, pos) =>
+        shiftright(col("sh"), c * 10).bitwiseAND(lit(1023L)) *
+          lit(1L << ((2 - pos) * 10))
+      }.reduce(_ + _)
+      struct(lit(tId).as("band"), key.as("bkey"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
@@ -65,6 +73,9 @@ class SimHashBandingSpec extends SparkSpec {
       .distinct()
     // every truth pair must appear among the candidates (recall == 1.0)
     assert(truth.join(cands, Seq("ida", "idb"), "left_anti").count() === 0)
+    // and the 30-bit keys must be live past the old 15-bit range
+    val maxKey = bands.select(max(col("bkey"))).head().getLong(0)
+    assert(maxKey >= (1L << 15), s"max table key $maxKey never left 15 bits")
   }
 
   test("simhash60 uses the full 60-bit range (no dead high bits)") {

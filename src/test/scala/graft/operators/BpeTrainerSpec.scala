@@ -57,6 +57,21 @@ class BpeTrainerSpec extends SparkSpec {
       s"8 merges should shrink total symbols: $before -> $after")
   }
 
+  test("vocab-local loop makes deep training cheap: rounds=64 matches reference") {
+    // round 3 ran one Spark job per merge round (64 rounds = 64 jobs on a
+    // lineage-growing dataset); the vocab-local loop pays ONE collect and
+    // the rest is driver arithmetic — this test's wall time is the guard
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val wc = BpeTrainer.wordCounts(docs, "text")
+    val local = wc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t0 = System.nanoTime()
+    val model = BpeTrainer.train(wc, rounds = 64)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(model.merges === referenceMerges(local, rounds = 64))
+    assert(model.merges.size === 64)
+    assert(secs < 30.0, s"rounds=64 took ${secs}s — the per-round-job regression is back")
+  }
+
   test("mergePair is greedy left-to-right and skips after a merge") {
     assert(BpeTrainer.mergePair(Seq("a", "a", "a"), "a", "a") ===
       Seq("aa", "a"))
