@@ -54,7 +54,17 @@ object IvfIndex {
     * pass: broadcast k centroids, squared-distance argmin) and update
     * (posexplode → per-(cluster, dim) mean → k·dim-row collect — the only
     * driver data is the centroid table itself). Empty cells keep their
-    * previous centroid. */
+    * previous centroid.
+    *
+    * The centroid mean is computed EXACTLY — elements quantized to
+    * integer micros (floor(x·10⁶ + 0.5)), summed as LONG
+    * (order-invariant), one double division at the end,
+    * cast to float — so the trained centroids are bit-identical at any
+    * partitioning AND reproducible by an engine-portable SQL twin (a
+    * plain float `avg` differs in final ulps run to run; the rounding
+    * loses ~1e-6 of centroid precision, irrelevant to a coarse
+    * quantizer, and buys a hash-checkable assignment — q_ivf_probe_stats'
+    * DuckDB oracle replays the whole Lloyd iteration). */
   def buildLloyd(embeddings: DataFrame, k: Int, iters: Int = 5): Index = {
     val spark = embeddings.sparkSession
     GraftExtensions.register(spark)
@@ -71,14 +81,24 @@ object IvfIndex {
       val means = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"))
+        .agg(
+          // floor(x·10⁶ + 0.5): the JL kernel's half-up micro quantizer —
+          // exact LONG sums, no decimal overhead, tie rule identical on
+          // both engines (round() would be half-even here, half-away in
+          // DuckDB)
+          sum(floor(col("v").cast("double") * 1000000 + 0.5).cast("long"))
+            .as("micro"),
+          count(lit(1)).as("n"))
         .collect()
       val byCluster = means.groupBy(_.getInt(0))
       centers = centers.map { case (c, old) =>
         byCluster.get(c) match {
           case Some(rows) =>
             val arr = new Array[Float](old.length)
-            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+            rows.foreach { r =>
+              arr(r.getInt(1)) =
+                (r.getLong(2).toDouble / 1000000.0 / r.getLong(3).toDouble).toFloat
+            }
             (c, arr)
           case None => (c, old) // empty cell: keep previous centroid
         }
@@ -115,16 +135,34 @@ object IvfIndex {
   }
 
   /** Nearest `nProbe` cells per probe vector (tiny centroid table —
-    * computed via a broadcast cross join). */
+    * computed via a broadcast cross join). Keeps the cell rank
+    * (`cell_rnk`) for consumers that report the probe funnel. */
   private def probeCells(spark: SparkSession, index: Index, probes: DataFrame,
       nProbe: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("cluster"))
     probes.crossJoin(broadcast(centersDf(spark, index.centers)))
       .withColumn("dist",
         -expr("graft_fdot(pe, centroid)")) // cosine-normalized corpus → max dot
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= nProbe)
-      .select(col("probe_id"), col("cluster"))
+      .withColumn("cell_rnk", row_number().over(w))
+      .filter(col("cell_rnk") <= nProbe)
+      .select(col("probe_id"), col("cluster"), col("cell_rnk"))
+  }
+
+  /** Auxiliary oracle-checkable projection of the search funnel: for each
+    * probe, the probed cells in rank order plus each cell's member count.
+    * Every input is deterministic (seeded init, exact centroid means, the
+    * portable graft_fdot fold), so a SQL twin replaying the Lloyd rounds
+    * reproduces it bit for bit — the hash anchor for the otherwise
+    * rows-only k-means family. */
+  def probeStats(index: Index, probes: DataFrame, nProbe: Int): DataFrame = {
+    val spark = probes.sparkSession
+    GraftExtensions.register(spark)
+    val hist = index.assignments.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    probeCells(spark, index, probes, nProbe)
+      .join(broadcast(hist), Seq("cluster"), "left")
+      .select(col("probe_id"), col("cell_rnk"), col("cluster"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
   }
 
   /** Exact top-k within the probed cells. Norms are computed once per row
@@ -134,6 +172,7 @@ object IvfIndex {
     val spark = probes.sparkSession
     GraftExtensions.register(spark)
     val cells = probeCells(spark, index, probes, nProbe)
+      .select(col("probe_id"), col("cluster"))
     val probesN = probes.withColumn("pnorm", sqrt(expr("graft_fdot(pe, pe)")))
     val cands = index.assignments.select(
       col("vec_id").as("cand_id"), col("embedding").as("ce"), col("cluster"))

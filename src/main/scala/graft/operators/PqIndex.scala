@@ -32,17 +32,28 @@ object PqIndex {
       books: Seq[(Int, Seq[(Int, Array[Float])])])
 
   /** Train one codebook per subspace with the DataFrame-native Lloyd
-    * build (deterministic init — see IvfIndex.buildLloyd). */
+    * build (deterministic init — see IvfIndex.buildLloyd). The m
+    * subproblems are INDEPENDENT, so they submit concurrently — Spark's
+    * scheduler interleaves the per-round jobs across the executor pool
+    * instead of running m Lloyd loops back to back (the driver loop, not
+    * the cluster, was the bottleneck: each round is a small job plus a
+    * k·dim collect). Results assemble in subspace order, so the
+    * codebooks are identical to the sequential build's. */
   def train(embeddings: DataFrame, m: Int = 4, k: Int = 16,
       iters: Int = 3): Codebooks = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val dim = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val books = (0 until m).map { s =>
-      val subv = embeddings.select(col("vec_id"),
-        expr(s"slice(embedding, ${s * sub + 1}, $sub)").as("embedding"))
-      (s, IvfIndex.buildLloyd(subv, k, iters).centers)
-    }
+    val books = Await.result(Future.sequence((0 until m).map { s =>
+      Future {
+        val subv = embeddings.select(col("vec_id"),
+          expr(s"slice(embedding, ${s * sub + 1}, $sub)").as("embedding"))
+        (s, IvfIndex.buildLloyd(subv, k, iters).centers)
+      }
+    }), Duration.Inf).toSeq
     Codebooks(m, sub, books)
   }
 

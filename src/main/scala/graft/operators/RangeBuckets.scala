@@ -33,9 +33,20 @@ object RangeBuckets {
   /** `df` plus a `bucketCol` LONG column: ~`nb` equi-depth buckets of
     * `valueCol`, boundaries sampled at `frac` with a fixed seed. */
   def withEquiDepthBucket(df: DataFrame, valueCol: String, bucketCol: String,
+      nb: Int = 64, frac: Double = 0.05): DataFrame =
+    withEquiDepthBucketFrom(df, df, valueCol, bucketCol, nb, frac)
+
+  /** [[withEquiDepthBucket]] with an explicit boundary SOURCE frame: when
+    * `df` is itself derived (e.g. an aggregation), sketching boundaries
+    * from the cheaper upstream frame (a raw single-column scan) avoids
+    * recomputing the derivation inside the sketch branch. Correctness is
+    * boundary-independent (object doc), so any distribution-representative
+    * source yields the same final answers — only bucket balance shifts. */
+  def withEquiDepthBucketFrom(boundSrc: DataFrame, df: DataFrame,
+      valueCol: String, bucketCol: String,
       nb: Int = 64, frac: Double = 0.05): DataFrame = {
     val probs = array((1 until nb).map(i => lit(i.toDouble / nb)): _*)
-    val bs = df.sample(frac, 42L)
+    val bs = boundSrc.sample(frac, 42L)
       .agg(percentile_approx(col(valueCol), probs, lit(100)).as("bs"))
     val bounds = bs.select(explode(expr(
       "transform(sequence(0, size(bs)), i -> struct(CAST(i AS BIGINT) AS bucket, " +

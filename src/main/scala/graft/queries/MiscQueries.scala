@@ -101,33 +101,44 @@ object MiscQueries extends QueryPack {
     // offset. Bucket boundaries come from a sampled equi-depth sketch
     // (operators.RangeBuckets) so per-bucket work stays ~n/nb under ANY
     // value skew; boundaries are monotone, so the answer is unchanged.
+    //
+    // One-scan shape (round 4): boundaries sketch from the RAW price
+    // column (withEquiDepthBucketFrom — correctness is boundary-
+    // independent, and the round-3 form recomputed the (price, is_f)
+    // aggregation inside the sketch branch); the explicit
+    // repartition(bucket) is the SHARED exchange both consumers (bucket
+    // totals, bucket-local window) read, so AQE's ReuseExchange computes
+    // scan + agg + bucket join ONCE; per-group totals n_f/n_o fall out of
+    // the same 65-row offsets window (full-frame sum) instead of a third
+    // scan of orders.
     "q_ks_test" -> ((s, dir) => {
       val o = t(s, dir, "orders").filter(col("o_orderstatus").isin("F", "O"))
         .select(col("o_totalprice"),
           (col("o_orderstatus") === "F").cast("int").as("is_f"))
-      val r = graft.operators.RangeBuckets.withEquiDepthBucket(
-        o.groupBy(col("o_totalprice"), col("is_f"))
+      val r = graft.operators.RangeBuckets.withEquiDepthBucketFrom(
+        o, o.groupBy(col("o_totalprice"), col("is_f"))
           .agg(count(lit(1)).as("cnt")),
         "o_totalprice", "bucket")
+        .repartition(col("bucket"))
       val btot = r.groupBy(col("bucket"))
         .agg(sum(col("is_f") * col("cnt")).as("bf"),
           sum((lit(1) - col("is_f")) * col("cnt")).as("bo"))
       val wOff = Window.orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val off = btot
         .withColumn("off_f", coalesce(sum(col("bf")).over(wOff), lit(0L)))
         .withColumn("off_o", coalesce(sum(col("bo")).over(wOff), lit(0L)))
-        .select(col("bucket"), col("off_f"), col("off_o"))
-      val n = o.groupBy().agg(
-        sum(col("is_f")).as("n_f"),
-        sum(lit(1) - col("is_f")).as("n_o"))
+        .withColumn("n_f", sum(col("bf")).over(wAll))
+        .withColumn("n_o", sum(col("bo")).over(wAll))
+        .select(col("bucket"), col("off_f"), col("off_o"), col("n_f"), col("n_o"))
       val wLoc = Window.partitionBy(col("bucket"))
         .orderBy(col("o_totalprice"), col("is_f"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       r.join(broadcast(off), Seq("bucket"))
         .withColumn("cum_f", sum(col("is_f") * col("cnt")).over(wLoc) + col("off_f"))
         .withColumn("cum_o", sum((lit(1) - col("is_f")) * col("cnt")).over(wLoc) + col("off_o"))
-        .crossJoin(broadcast(n))
         .groupBy()
         .agg(r6(max(abs(col("cum_f") / col("n_f") - col("cum_o") / col("n_o")))).as("ks_d"),
           max(col("n_f")).as("n_f"), max(col("n_o")).as("n_o"))
@@ -204,44 +215,51 @@ object MiscQueries extends QueryPack {
     // (operators.RangeBuckets) stands in for the tie group and keeps
     // per-bucket work ~n/nb under any skew), the second from a window
     // partitioned by the high-cardinality (flag, value-bucket) key.
-    // BOTH offset tables come from ONE grouping-sets aggregation (one
-    // scan + one shuffle instead of two independent branches — the fused
-    // form benches ~0.6s faster at sf0.1); offsets broadcast back.
+    // BOTH offset tables come from ONE shared (flag, pbucket, quantity)
+    // micro-cube aggregation (~flags × 64 buckets × 50 quantities rows),
+    // referenced exactly ONCE: the four offset/count sums are window
+    // functions over the tiny cube (range frames include the full peer
+    // group, so cum − group = the exclusive prefix with no tie-spacing
+    // assumption), and the single enriched cube broadcasts back in ONE
+    // hash join. The round-3 grouping-sets form pushed every input row
+    // through the shuffle TWICE (Expand) and joined two broadcasts; a
+    // two-aggregation variant rebuilt the cube per branch (broadcast
+    // subtrees don't share stages). One big exchange, 1× rows, one
+    // broadcast.
     "q_spearman" -> ((s, dir) => {
       val base = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
       val li = graft.operators.RangeBuckets.withEquiDepthBucket(
         base, "l_extendedprice", "pbucket")
-      // gid bit 0 = last grouping column (pbucket) missing → gid 1 is the
-      // (flag, quantity) set, gid 2 the (flag, pbucket) set
-      val sets = li.groupingSets(
-          Seq(Seq(col("l_returnflag"), col("l_quantity")),
-            Seq(col("l_returnflag"), col("pbucket"))),
-          col("l_returnflag"), col("l_quantity"), col("pbucket"))
-        .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      val cube = li
+        .groupBy(col("l_returnflag"), col("pbucket"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
       // Quantity is DISCRETE (~50 values): ties take their AVERAGE rank
       // (the textbook Spearman treatment), which is a pure function of
-      // the (flag, quantity) offset table — rank = prefix + (cnt+1)/2 —
-      // so the per-row rank needs NO window at all, just a broadcast
-      // join. Price is near-continuous: ties are broken by (orderkey,
-      // linenumber) and its rank keeps the bucket-local window. One
-      // full-frame window instead of two.
-      val wqOff = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val qAvg = sets.filter(col("gid") === 1)
-        .withColumn("qoff", coalesce(sum(col("cnt")).over(wqOff), lit(0L)))
-        .select(col("l_returnflag"), col("l_quantity"),
-          (col("qoff") + (col("cnt") + 1) / 2.0).as("rq"))
-      val wpOff = Window.partitionBy(col("l_returnflag")).orderBy(col("pbucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val pOff = sets.filter(col("gid") === 2)
-        .withColumn("poff", coalesce(sum(col("cnt")).over(wpOff), lit(0L)))
-        .select(col("l_returnflag"), col("pbucket"), col("poff"))
+      // the (flag, quantity) totals — rank = prefix + (cnt+1)/2 — so the
+      // per-row rank needs NO window over the big frame at all, just the
+      // broadcast join. Price is near-continuous: ties are broken by
+      // (orderkey, linenumber) and its rank keeps the bucket-local
+      // window. One full-frame window total.
+      val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wqg = Window.partitionBy(col("l_returnflag"), col("l_quantity"))
+      val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("pbucket"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wpg = Window.partitionBy(col("l_returnflag"), col("pbucket"))
+      val enriched = cube
+        .withColumn("qcnt", sum(col("cnt")).over(wqg))
+        .withColumn("qcum", sum(col("cnt")).over(wq))
+        .withColumn("pcnt", sum(col("cnt")).over(wpg))
+        .withColumn("pcum", sum(col("cnt")).over(wp))
+        .select(col("l_returnflag"), col("pbucket"), col("l_quantity"),
+          (col("qcum") - col("qcnt") + (col("qcnt") + 1) / 2.0).as("rq"),
+          (col("pcum") - col("pcnt")).as("poff"))
       val wpLoc = Window.partitionBy(col("l_returnflag"), col("pbucket"))
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      li.join(broadcast(qAvg), Seq("l_returnflag", "l_quantity"))
-        .join(broadcast(pOff), Seq("l_returnflag", "pbucket"))
+      li.join(broadcast(enriched),
+          Seq("l_returnflag", "pbucket", "l_quantity"))
         .withColumn("rp", (col("poff") + row_number().over(wpLoc)).cast("double"))
         .groupBy(col("l_returnflag"))
         .agg(r6(corr(col("rq"), col("rp"))).as("spearman"), count(lit(1)).as("n"))

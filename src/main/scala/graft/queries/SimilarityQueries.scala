@@ -112,6 +112,52 @@ object SimilarityQueries extends QueryPack {
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
        |)""".stripMargin
 
+  /** DuckDB CTE chain replaying IvfIndex.buildLloyd(k, iters) EXACTLY:
+    * `c0` = the k lowest-vec_id embeddings; each round r, `a{r}` assigns
+    * every vector to its nearest centroid (same ‖c‖² − 2c·x argmin and
+    * (dist, cluster) tie-break as IvfIndex.assign) and `c{r+1}` takes
+    * the integer-exact per-(cluster, dim) mean (6-dp rounding → DECIMAL
+    * sum → one double division → FLOAT cast — the identical arithmetic
+    * of the Spark side, so the float centroids agree bit for bit), with
+    * empty cells keeping the previous centroid via the LEFT JOIN
+    * COALESCE. `afin` is the final assignment against c{iters}. */
+  private def lloydDuck(k: Int, iters: Int): String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dotDuck("c.cent", "c.cent")} - 2 * ${dotDuck("e.embedding", "c.cent")},
+         |        c.cluster) AS rn
+         |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1
+         |)""".stripMargin
+    def updateCte(name: String, prev: String, assigned: String): String =
+      s"""$name AS (
+         |  SELECT p.cluster, COALESCE(m.cent, p.cent) AS cent
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cluster,
+         |      list(CAST(CAST(micro AS DOUBLE) / 1000000 / n AS FLOAT) ORDER BY pos) AS cent
+         |    FROM (
+         |      SELECT cluster, i - 1 AS pos,
+         |        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+         |          AS BIGINT)) AS BIGINT) AS micro,
+         |        COUNT(*) AS n
+         |      FROM $assigned, unnest(generate_series(1, len(embedding))) AS t(i)
+         |      GROUP BY cluster, i)
+         |    GROUP BY cluster) m ON p.cluster = m.cluster
+         |)""".stripMargin
+    val rounds = (0 until iters).map { r =>
+      assignCte(s"a$r", s"c$r") + ",\n" + updateCte(s"c${r + 1}", s"c$r", s"a$r")
+    }.mkString(",\n")
+    s"""c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+       |    embedding AS cent
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)
+       |),
+       |$rounds,
+       |${assignCte("afin", s"c$iters")}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-label vector centroids — the cluster/profile aggregation of the
@@ -275,6 +321,54 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // PQ (product-quantization) ANN — the compression path of the ANN
+    // trio (hyperplane LSH / IVF coarse quantizer / PQ codes): vectors
+    // compress to m=4 byte codes, search is ADC table lookups — the
+    // corpus float vectors are never read at query time (the property
+    // that matters at 100 TB: 64× smaller scan). No SQL oracle (k-means
+    // codebooks are not SQL-expressible per subspace) → rows-only;
+    // quality is gated by PqIndexSpec (ADC ordering beats random 2×+,
+    // recall@10 floor vs brute force). Self-matches excluded and
+    // re-ranked after the ADC top-(k+1), mirroring q_ann_ivf semantics.
+    "q_ann_pq" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = t(s, dir, "embeddings")
+      val cb = graft.operators.PqIndex.train(e, m = 4, k = 16, iters = 3)
+      val enc = graft.operators.PqIndex.encode(e, cb)
+      val probes = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adist"), col("cand_id"))
+      graft.operators.PqIndex.search(cb, enc, probes, topK = 4)
+        .filter(col("probe_id") =!= col("cand_id"))
+        .withColumn("rnk2", row_number().over(w))
+        .filter(col("rnk2") <= 3)
+        .select(col("probe_id"), col("cand_id"), r6(col("adist")).as("adist"),
+          col("rnk2").as("rnk"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // The k-means family's HASH ANCHOR: per-probe probed cells (rank
+    // order) + each cell's member count, from the DataFrame-native Lloyd
+    // build. Every input is deterministic — seeded lowest-vec_id init,
+    // EXACT integer-decimal centroid means (order-invariant at any
+    // partitioning), the portable graft_fdot fold — so the DuckDB oracle
+    // replays all three Lloyd rounds in chained CTEs and hash-matches
+    // bit for bit. This upgrades the k-means path from "rows-only +
+    // recall spec" to an oracle-checked projection (q_ann_ivf itself
+    // stays rows-only: its top-k cosine output needs the same centroids
+    // but emitting it via SQL would duplicate the whole search; the
+    // funnel shape is the load-bearing part).
+    "q_ivf_probe_stats" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = t(s, dir, "embeddings")
+      val index = graft.operators.IvfIndex.buildLloyd(e, k = 8, iters = 3)
+      val probes = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      graft.operators.IvfIndex.probeStats(index, probes, nProbe = 2)
+        .orderBy(col("probe_id"), col("cell_rnk"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata columns.
     // The real decode (image/audio libs) is stubbed behind a deterministic
     // byte-level "feature extractor" (see graft.operators.MultimodalStub
@@ -423,6 +517,25 @@ object SimilarityQueries extends QueryPack {
          |SELECT min(vec_id) AS canonical_id, COUNT(*) AS n_members
          |FROM e GROUP BY sig HAVING COUNT(*) > 1
          |ORDER BY canonical_id""".stripMargin,
+
+    "q_ivf_probe_stats" ->
+      s"""WITH ${lloydDuck(8, 3)},
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe
+         |  FROM embeddings WHERE vec_id % 20 = 0
+         |), cells AS (
+         |  SELECT probe_id, cluster, CAST(rn AS INT) AS cell_rnk FROM (
+         |    SELECT p.probe_id, c.cluster,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        -${dotDuck("p.pe", "c.cent")}, c.cluster) AS rn
+         |    FROM probes p CROSS JOIN c3 c) WHERE rn <= 2
+         |), hist AS (
+         |  SELECT cluster, COUNT(*) AS n_members FROM afin GROUP BY cluster
+         |)
+         |SELECT probe_id, cell_rnk, cluster,
+         |  CAST(COALESCE(n_members, 0) AS BIGINT) AS n_members
+         |FROM cells LEFT JOIN hist USING (cluster)
+         |ORDER BY probe_id, cell_rnk""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
