@@ -57,6 +57,52 @@ object AggregateQueries extends QueryPack {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // The EXACT-quantile SCALE path — classic two-pass selection, closing
+    // the one structural note on the exact family (q_grouped_quantiles /
+    // q_mad_outlier build whole-group percentile buffers, memory-bound
+    // when one group holds billions of rows). Pass 1: sampled equi-depth
+    // buckets → per-(group, bucket) counts → each group's median
+    // positions k1/k2 = floor/ceil((n+1)/2) and WHICH bucket straddles
+    // them (a 65-row frame). Pass 2: only the 1–2 straddling buckets per
+    // group survive the broadcast join (the other ~62/64ths of the data
+    // never reach the window), rows rank bucket-locally (offset +
+    // row_number), and the rows AT k1/k2 average into the median. Peak
+    // task state is one bucket's rows (~n/64 WHATEVER the group size) —
+    // the shape that survives a billion-row group; one shared exchange
+    // (the explicit repartition) feeds both the count pass and the
+    // window, as in q_ks_test.
+    "q_median_scalable" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val li = graft.operators.RangeBuckets.withEquiDepthBucket(
+        base, "l_extendedprice", "bucket")
+        .repartition(col("l_returnflag"), col("bucket"))
+      import org.apache.spark.sql.expressions.Window
+      val bc = li.groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val off = bc
+        .withColumn("boff", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("k1", expr("(n + 1) DIV 2"))
+        .withColumn("k2", expr("(n + 2) DIV 2"))
+        .filter((col("k1") > col("boff") && col("k1") <= col("boff") + col("cnt")) ||
+          (col("k2") > col("boff") && col("k2") <= col("boff") + col("cnt")))
+        .select(col("l_returnflag"), col("bucket"), col("boff"),
+          col("k1"), col("k2"), col("n"))
+      val wLoc = Window.partitionBy(col("l_returnflag"), col("bucket"))
+        .orderBy(col("l_extendedprice"))
+      li.join(broadcast(off), Seq("l_returnflag", "bucket"))
+        .withColumn("rnk", col("boff") + row_number().over(wLoc))
+        .filter(col("rnk") === col("k1") || col("rnk") === col("k2"))
+        .groupBy(col("l_returnflag"))
+        .agg(r6(avg(col("l_extendedprice"))).as("median_price"),
+          max(col("n")).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Ordered grouped concatenation (beyond-reference — the pandas
     // groupby.apply(list) staple): per-user event-type sequence in strict
     // (time, id) order. collect_list is unordered by contract, so the
@@ -271,6 +317,14 @@ object AggregateQueries extends QueryPack {
         |  ROUND(quantile_cont(c_acctbal, 0.5), 4) AS q50,
         |  ROUND(quantile_cont(c_acctbal, 0.75), 4) AS q75
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // quantile_cont interpolates the two middle values; the two-pass
+    // selection averages them — identical up to an ulp, absorbed by r6
+    "q_median_scalable" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_group_concat" ->
       """WITH e AS (
