@@ -96,8 +96,13 @@ object PqIndex {
     * Probe-side distance tables (probes × m × k rows) broadcast; each
     * candidate contributes m lookup rows; the sum per (probe, candidate)
     * ranks. Distances omit the constant ‖probe_sub‖² terms (rank-
-    * invariant per probe). Self-matches are not filtered — callers
-    * exclude probe_id == cand_id if unwanted. */
+    * invariant per probe). The m partial distances are quantized to
+    * integer micros BEFORE the sum (floor(x·10⁶ + 0.5), the engine-
+    * portable half-up rule), so the aggregated distance — and therefore
+    * the ranking and its ties — is bit-identical at any partitioning
+    * (a float sum of the m partials would drift with shuffle order);
+    * `adist` is the exact micro sum divided back once. Self-matches are
+    * not filtered — callers exclude probe_id == cand_id if unwanted. */
   def search(cb: Codebooks, encoded: DataFrame, probes: DataFrame,
       topK: Int): DataFrame = {
     val spark = probes.sparkSession
@@ -110,17 +115,19 @@ object PqIndex {
         .as(Seq("s", "psv")))
       .join(broadcast(entries), Seq("s"))
       .select(col("probe_id"), col("s"), col("code"),
-        (expr("graft_fdot(centroid, centroid)") -
-          lit(2.0) * expr("graft_fdot(psv, centroid)")).as("pdist"))
+        floor((expr("graft_fdot(centroid, centroid)") -
+          lit(2.0) * expr("graft_fdot(psv, centroid)")) * 1000000 + 0.5)
+          .cast("long").as("pdist_micro"))
     val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("adist"), col("cand_id"))
+      .orderBy(col("adist_micro"), col("cand_id"))
     encoded.select(col("vec_id").as("cand_id"),
         posexplode(col("codes")).as(Seq("s", "code")))
       .join(broadcast(tab), Seq("s", "code"))
       .groupBy(col("probe_id"), col("cand_id"))
-      .agg(sum(col("pdist")).as("adist"))
+      .agg(sum(col("pdist_micro")).as("adist_micro"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
-      .select(col("probe_id"), col("cand_id"), col("adist"), col("rnk"))
+      .select(col("probe_id"), col("cand_id"),
+        (col("adist_micro").cast("double") / 1000000.0).as("adist"), col("rnk"))
   }
 }

@@ -303,15 +303,18 @@ object TextQueries extends QueryPack {
     }),
 
     // BPE vocabulary induction exposed through the driver contract: the
-    // learned merge table (rank, a, b, merged) for 8 rounds over the
-    // corpus word-frequency table. No SQL oracle — the training loop is
-    // iterative (argmax + rewrite per round), not SQL-expressible — so
-    // the driver records rows-only; BpeTrainerSpec proves the merge
-    // sequence identical to the single-machine Sennrich reference.
+    // learned merge table (rank, a, b, merged) for 64 rounds over the
+    // corpus word-frequency table (rounds moved 8 → 64 once training
+    // went vocab-local — merge depth no longer costs Spark jobs, only
+    // driver arithmetic over the collected word table). No SQL oracle —
+    // the training loop is iterative (argmax + rewrite per round), not
+    // SQL-expressible — so the driver records rows-only; BpeTrainerSpec
+    // proves the merge sequence identical to the single-machine Sennrich
+    // reference at both depths.
     "q_bpe_merges" -> ((s, dir) => {
       val wc = graft.operators.BpeTrainer.wordCounts(
         t(s, dir, "documents"), "text")
-      val model = graft.operators.BpeTrainer.train(wc, rounds = 8)
+      val model = graft.operators.BpeTrainer.train(wc, rounds = 64)
       import s.implicits._
       model.merges.zipWithIndex
         .map { case ((a, b), i) => (i.toLong, a, b, a + b) }

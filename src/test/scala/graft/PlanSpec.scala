@@ -148,6 +148,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("percentile_approx"), s"expected sampled boundaries:\n$p")
   }
 
+  test("two-pass exact median: sampled boundaries, no unpartitioned big window") {
+    val p = plan("q_median_scalable")
+    assert(p.contains("percentile_approx"), s"expected sampled boundaries:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plans a cartesian:\n$p")
+    // the raw-row rank window must keep its partition keys — a global
+    // (empty-partition) window over the bucketed frame would be the
+    // single-task regression (the offset windows over the ~65-row bucket
+    // frame are single-partition by design)
+    assert(p.contains("windowspecdefinition(l_returnflag"),
+      s"bucket-local rank window lost its partition keys:\n$p")
+  }
+
+  test("ivf probe stats: centroid work broadcasts, histogram join broadcasts") {
+    val p = plan("q_ivf_probe_stats")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast centroid/histogram joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"k-sized frames must never sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plans a cartesian:\n$p")
+  }
+
   test("bucketed fact-fact join is shuffle-free") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     Bucketing.writeBucketed(

@@ -25,6 +25,20 @@ class PqIndexSpec extends SparkSpec {
     assert(enc.exceptAll(enc2).count() === 0)
   }
 
+  test("ADC distances are partitioning-invariant (integer-micro sums)") {
+    GraftExtensions.register(spark)
+    // a float sum of the m partial distances would drift with shuffle
+    // order; the micro-quantized sum must make search output (values AND
+    // tie-breaks) identical under any repartitioning
+    val cb = PqIndex.train(emb, m = 4, k = 8, iters = 2)
+    val enc = PqIndex.encode(emb, cb)
+    val probes = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val a = PqIndex.search(cb, enc, probes, 5)
+    val b = PqIndex.search(cb, enc.repartition(13), probes.repartition(7), 5)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   // The synthetic embeddings are near-uniform in 64 dims, so the exact
   // NN is barely closer than the bulk (curse of dimensionality) — top-1
   // recall is the wrong bar for this data. The ADC ordering's QUALITY is
