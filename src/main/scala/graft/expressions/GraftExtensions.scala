@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_jlproj"), JlProjectExpr.info,
         JlProjectExpr.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_winhash"), WindowHash.info,
+        WindowHash.builder))
     ext.injectOptimizerRule(_ => JaccardFusionRule)
   }
 }
@@ -73,6 +76,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_jaccard_sorted", SortedLongJaccard.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_heavy_hitters", HeavyHitters.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_jlproj", JlProjectExpr.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_winhash", WindowHash.builder, "built-in")
     // install the fusion rule too, so both registration paths behave alike
     if (!spark.experimental.extraOptimizations.contains(JaccardFusionRule)) {
       spark.experimental.extraOptimizations =

@@ -1,0 +1,93 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native windowed rolling-hash fingerprints — one pass per row:
+  * `graft_winhash(text, win, stride)` returns the polynomial rolling
+  * hash (mod 1e9+7, base 31 — the exact charHash family of
+  * TextAnalytics) of every `win`-char window at offsets 0, stride,
+  * 2·stride, …; empty array when the text is shorter than one window.
+  *
+  * This is the substring-duplication screen's kernel (q_substring_dup):
+  * the HOF twin — `transform(sequence(...), i -> aggregate(split(
+  * substring(text, i·stride+1, win), ''), ...))` — evaluates ~win
+  * interpreted lambda calls per window; this is one fused codegen loop.
+  * WindowHashSpec pins bit-parity against the HOF form (which is also
+  * the DuckDB oracle's formulation), so swapping it in changes
+  * performance only.
+  */
+case class WindowHash(child: Expression, win: Int, stride: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if win >= 1 && stride >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_winhash window/stride must be >= 1, got ($win, $stride)")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_winhash expects string, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WindowHash.compute(input.asInstanceOf[UTF8String], win, stride))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.expressions.WindowHash.compute($c, $win, $stride))")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_winhash"
+}
+
+object WindowHash {
+  private val P = 1000000007L
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[WindowHash].getCanonicalName, "graft_winhash")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(e,
+        Literal(w: Int, IntegerType), Literal(s: Int, IntegerType)) =>
+      WindowHash(e, w, s)
+    case _ =>
+      throw new IllegalArgumentException(
+        "graft_winhash takes (string, <int literal win>, <int literal stride>)")
+  }
+
+  /** Static kernel (called from generated code). Matches the HOF fold:
+    * h = (h·31 + codepoint) mod 1e9+7 over the window's characters. */
+  def compute(s: UTF8String, win: Int, stride: Int): Array[Long] = {
+    val str = s.toString
+    val n = str.length
+    if (n < win) return Array.emptyLongArray
+    val nw = (n - win) / stride + 1
+    val out = new Array[Long](nw)
+    var w = 0
+    while (w < nw) {
+      var h = 0L
+      var i = w * stride
+      val end = i + win
+      while (i < end) {
+        h = (h * 31 + str.charAt(i)) % P
+        i += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    out
+  }
+}

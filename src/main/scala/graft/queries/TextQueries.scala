@@ -179,6 +179,45 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SUBSTRING-level duplication screen (the Lee et al. "Deduplicating
+    // Training Data" family — exact duplicated SPANS across documents,
+    // which doc/chunk-level dedup cannot see): every 64-char window at
+    // stride 16 fingerprints with the portable rolling hash; a window
+    // hash held by ≥2 distinct docs is cross-doc duplicated; each doc
+    // reports its duplicated-window fraction (the curation filter's
+    // signal). Stride-16 is the scale screen — windows per doc ≈ len/16,
+    // the hash table is linear in the corpus, and the group-by shuffles
+    // 8-byte hashes, never text. A true suffix-array form (stride 1 +
+    // winnowing) only changes the sampling density, not the shape.
+    // Aligned boilerplate tails are injected on every 20th doc (stride
+    // sampling only catches equal-residue offsets — the classic
+    // stride-vs-recall trade, so the injection appends a fixed LONG tail
+    // giving many shared windows across equal-residue docs; the
+    // synthetic corpus has no natural cross-doc spans).
+    "q_substring_dup" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val win = 64
+      val stride = 16
+      val tail = " standard legal disclaimer appended to every syndicated document" * 6
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(col("doc_id") % 20 === 0, concat(col("text"), lit(tail)))
+            .otherwise(col("text")))
+      val wins = d.select(col("doc_id"),
+        explode(expr(s"graft_winhash(text, $win, $stride)")).as("whash"))
+      val dupHashes = wins.distinct()
+        .groupBy(col("whash")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("whash"), lit(1L).as("dup"))
+      wins.join(dupHashes, Seq("whash"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_win"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+        .select(col("doc_id"), col("n_win"), col("n_dup"),
+          r6(col("n_dup").cast("double") / col("n_win").cast("double")).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stopword removal (ref: StopWordsRemover, modelling_1 cell 23).
     "q_stopword_filter" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -763,6 +802,32 @@ object TextQueries extends QueryPack {
       s"""SELECT doc_id, ${charHashDuck("text")} AS fp,
          |  ${charHashDuck("text")} % 1024 AS fp_bucket
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_substring_dup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 20 = 0 THEN text ||
+         |      repeat(' standard legal disclaimer appended to every syndicated document', 6)
+         |    ELSE text END AS text
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(text) >= 64 THEN
+         |    list_transform(generate_series(0, (length(text) - 64) // 16), i ->
+         |      ${charHashDuck("substr(text, i * 16 + 1, 64)")})
+         |    ELSE CAST([] AS BIGINT[]) END) AS whash
+         |  FROM d
+         |), dup AS (
+         |  SELECT whash, 1 AS dup FROM (
+         |    SELECT whash, COUNT(*) AS nd
+         |    FROM (SELECT DISTINCT doc_id, whash FROM w) GROUP BY whash
+         |  ) WHERE nd > 1
+         |)
+         |SELECT w.doc_id, COUNT(*) AS n_win,
+         |  CAST(SUM(CASE WHEN dup.dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  ROUND(CAST(SUM(CASE WHEN dup.dup IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS dup_frac
+         |FROM w LEFT JOIN dup ON w.whash = dup.whash
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
 
     "q_stopword_filter" ->
       s"""WITH d AS (
