@@ -56,6 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_winhash"), WindowHash.info,
         WindowHash.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_winnow"), WinnowFingerprints.info,
+        WinnowFingerprints.builder))
     ext.injectOptimizerRule(_ => JaccardFusionRule)
   }
 }
@@ -77,6 +80,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_heavy_hitters", HeavyHitters.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_jlproj", JlProjectExpr.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_winhash", WindowHash.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow", WinnowFingerprints.builder, "built-in")
     // install the fusion rule too, so both registration paths behave alike
     if (!spark.experimental.extraOptimizations.contains(JaccardFusionRule)) {
       spark.experimental.extraOptimizations =

@@ -90,4 +90,30 @@ object WindowHash {
     }
     out
   }
+
+  /** Stride-1 window hashes in O(n) via the rolling recurrence
+    * h' = (h − c_out·31^(win−1))·31 + c_in (mod p) — identical values to
+    * [[compute]](s, win, 1), which re-folds each window in O(win). */
+  def computeRolling(str: String, win: Int): Array[Long] = {
+    val n = str.length
+    if (n < win) return Array.emptyLongArray
+    // 31^(win-1) mod p
+    var pow = 1L
+    var e = 0
+    while (e < win - 1) { pow = pow * 31 % P; e += 1 }
+    val out = new Array[Long](n - win + 1)
+    var h = 0L
+    var i = 0
+    while (i < win) { h = (h * 31 + str.charAt(i)) % P; i += 1 }
+    out(0) = h
+    var w = 1
+    while (w <= n - win) {
+      val cOut = str.charAt(w - 1).toLong
+      val cIn = str.charAt(w + win - 1).toLong
+      h = ((h - cOut * pow % P + P) % P * 31 + cIn) % P
+      out(w) = h
+      w += 1
+    }
+    out
+  }
 }

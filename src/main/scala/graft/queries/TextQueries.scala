@@ -218,6 +218,42 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // WINNOWED substring duplication — the guaranteed-recall form of
+    // q_substring_dup (Schleimer et al. winnowing, SIGMOD'03): stride-1
+    // rolling hashes (O(n) recurrence, graft_winnow kernel) winnowed to
+    // the min of every k=16-hash run. ANY shared span of ≥ win + k − 1 =
+    // 79 chars yields a shared fingerprint at ANY alignment — the
+    // property stride sampling lacks (it only catches equal-residue
+    // offsets). Density ~2/(k+1) per position keeps the corpus-wide
+    // fingerprint table in the same linear cost class. The injection
+    // makes the point: every 20th doc gets the SAME boilerplate at a
+    // doc-dependent misalignment ('x' padding of doc_id % 16 chars);
+    // winnow still flags every one of them. The oracle reproduces the
+    // winnow exactly: a run's rightmost-min VALUE is just the run min,
+    // and fingerprints are the distinct min set.
+    "q_substring_winnow" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val boiler = " standard legal disclaimer appended to every syndicated document" * 4
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(col("doc_id") % 20 === 0,
+            concat(col("text"),
+              expr("repeat('x', CAST(doc_id % 16 AS INT))"), lit(boiler)))
+            .otherwise(col("text")))
+      val fps = d.select(col("doc_id"),
+        explode(expr("graft_winnow(text, 64, 16)")).as("fp"))
+      val dup = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("fp"), lit(1L).as("dup"))
+      fps.join(dup, Seq("fp"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+        .select(col("doc_id"), col("n_fp"), col("n_dup"),
+          r6(col("n_dup").cast("double") / col("n_fp").cast("double")).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stopword removal (ref: StopWordsRemover, modelling_1 cell 23).
     "q_stopword_filter" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -828,6 +864,40 @@ object TextQueries extends QueryPack {
          |    / COUNT(*), 6) AS dup_frac
          |FROM w LEFT JOIN dup ON w.whash = dup.whash
          |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    "q_substring_winnow" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 20 = 0 THEN text
+         |      || repeat('x', CAST(doc_id % 16 AS INT))
+         |      || repeat(' standard legal disclaimer appended to every syndicated document', 4)
+         |    ELSE text END AS text
+         |  FROM documents
+         |), hs AS (
+         |  SELECT doc_id, CASE WHEN length(text) >= 64 THEN
+         |    list_transform(generate_series(0, length(text) - 64), i ->
+         |      ${charHashDuck("substr(text, i + 1, 64)")})
+         |    ELSE CAST([] AS BIGINT[]) END AS hs
+         |  FROM d
+         |), fp AS (
+         |  SELECT doc_id, unnest(CASE
+         |    WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+         |    WHEN len(hs) <= 16 THEN [list_min(hs)]
+         |    ELSE list_distinct(list_transform(generate_series(0, len(hs) - 16),
+         |      s -> list_min(hs[s + 1:s + 16])))
+         |  END) AS fp
+         |  FROM hs
+         |), dup AS (
+         |  SELECT fp, 1 AS dup FROM (
+         |    SELECT fp, COUNT(*) AS nd FROM fp GROUP BY fp
+         |  ) WHERE nd > 1
+         |)
+         |SELECT f.doc_id, COUNT(*) AS n_fp,
+         |  CAST(SUM(CASE WHEN dup.dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  ROUND(CAST(SUM(CASE WHEN dup.dup IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS dup_frac
+         |FROM fp f LEFT JOIN dup ON f.fp = dup.fp
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     "q_stopword_filter" ->
       s"""WITH d AS (
