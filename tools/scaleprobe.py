@@ -40,7 +40,8 @@ QUERIES = os.environ.get("SPROBE_QUERIES",
            "q_dedup_minhash_lsh,q_ngram_jaccard,q_cosine_topk,"
            "q_jaccard_topk_lsh,"
            # k-means family (round 4: deterministic Lloyd + PQ/probe-stats)
-           "q_ann_ivf,q_ann_pq,q_ivf_probe_stats,q_embed_dedup_canon")
+           "q_ann_ivf,q_ann_pq,q_ivf_probe_stats,q_embed_dedup_canon,"
+           "q_substring_dup,q_substring_winnow")
 
 
 def replica_select(table, i, src):
