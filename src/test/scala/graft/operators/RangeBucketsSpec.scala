@@ -66,4 +66,27 @@ class RangeBucketsSpec extends SparkSpec {
     assert(b.groupBy(col("id")).agg(count(lit(1)).as("c"))
       .filter(col("c") =!= 1).count() === 0)
   }
+
+  test("explicit boundary source: still a total partition, buckets monotone in value") {
+    // q_ks_test's shape: boundaries sketched from a RAW frame, buckets
+    // assigned to a DERIVED frame — the intervals must still cover every
+    // derived row exactly once, and bucket ids must be monotone in the
+    // value so (bucket, in-bucket order) reproduces the global order
+    val raw = skewed
+    val derived = skewed.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+    val b = RangeBuckets.withEquiDepthBucketFrom(raw, derived, "x", "bucket")
+    assert(b.count() === derived.count())
+    assert(b.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 1).count() === 0)
+    // monotone: max value of bucket i < min value of bucket j for i < j
+    val stats = b.groupBy(col("bucket"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("bucket")).collect()
+    stats.sliding(2).foreach {
+      case Array(a, c) =>
+        assert(a.getDouble(2) <= c.getDouble(1),
+          s"bucket ${a.getLong(0)} overlaps ${c.getLong(0)}")
+      case _ =>
+    }
+  }
 }
