@@ -37,6 +37,12 @@ case class FloatRpBands(emb: Expression, bands: Expression, width: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // nullable even over non-nullable children: a null ELEMENT nulls the row
+  // (parquet float arrays are element-nullable; getFloat on a null slot would
+  // silently read 0 and flip sign bits differently from the null-propagating
+  // HOF/DuckDB formulation — same contract as JlProjectExpr/FloatDotProduct)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (emb.dataType, bands.dataType, width.dataType) match {
@@ -52,13 +58,21 @@ case class FloatRpBands(emb: Expression, bands: Expression, width: Expression)
     val a = embV.asInstanceOf[ArrayData]
     val nb = bandsV.asInstanceOf[Int]
     val r = widthV.asInstanceOf[Int]
-    new GenericArrayData(FloatRpBands.compute(a, nb, r))
+    val out = FloatRpBands.compute(a, nb, r)
+    if (out == null) null else new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, nb, r) => {
-      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.expressions.FloatRpBands.compute($a, $nb, $r));"
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $out = graft.expressions.FloatRpBands.compute($a, $nb, $r);
+         |if ($out == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
@@ -81,13 +95,19 @@ object FloatRpBands {
 
   /** Static kernel (shared by eval and generated code). Band b's key: bit
     * i set iff Σ_d w(b·r+i, d)·emb[d] ≥ 0 — the identical plane/weight
-    * stream `FloatRpSig` packs into one long, re-chunked per band. */
+    * stream `FloatRpSig` packs into one long, re-chunked per band.
+    * Returns null (→ NULL row) if any embedding element is null. */
   def compute(a: ArrayData, nBands: Int, r: Int): Array[Long] = {
     require(nBands >= 1 && nBands <= 64,
       s"graft_rpbands band count must be in [1, 64], got $nBands")
     require(r >= 1 && r <= 62,
       s"graft_rpbands band width must be in [1, 62], got $r")
     val n = a.numElements()
+    var p = 0
+    while (p < n) {
+      if (a.isNullAt(p)) return null
+      p += 1
+    }
     val out = new Array[Long](nBands)
     var b = 0
     while (b < nBands) {

@@ -81,10 +81,16 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_jlproj", JlProjectExpr.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_winhash", WindowHash.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_winnow", WinnowFingerprints.builder, "built-in")
-    // install the fusion rule too, so both registration paths behave alike
-    if (!spark.experimental.extraOptimizations.contains(JaccardFusionRule)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ JaccardFusionRule
+    // install the fusion rule too, so both registration paths behave alike.
+    // Synchronized: register() is called from concurrent query builds (e.g.
+    // PqIndex.train runs per-subspace Lloyd builds in parallel Futures), and
+    // an unsynchronized check-then-append can double-install the rule and
+    // mutate the non-volatile var under sibling optimizer threads.
+    JaccardFusionRule.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(JaccardFusionRule)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ JaccardFusionRule
+      }
     }
   }
 }

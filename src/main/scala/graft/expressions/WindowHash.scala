@@ -68,11 +68,30 @@ object WindowHash {
         "graft_winhash takes (string, <int literal win>, <int literal stride>)")
   }
 
+  /** Decode to an Array[Int] of Unicode codepoints. The HOF twin
+    * (split('')/ascii) and the DuckDB oracle (string_split/ascii) both
+    * fold CODEPOINT values with codepoint-counted windows — UTF-16
+    * code-unit iteration would diverge on any supplementary-plane
+    * character (emoji, CJK ext-B), so windows and hash terms are
+    * codepoint-based throughout. Identical to charAt for ASCII/BMP. */
+  private[expressions] def codepoints(str: String): Array[Int] = {
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var ci = 0
+    var i = 0
+    while (ci < str.length) {
+      val cp = str.codePointAt(ci)
+      out(i) = cp
+      i += 1
+      ci += Character.charCount(cp)
+    }
+    out
+  }
+
   /** Static kernel (called from generated code). Matches the HOF fold:
-    * h = (h·31 + codepoint) mod 1e9+7 over the window's characters. */
+    * h = (h·31 + codepoint) mod 1e9+7 over the window's codepoints. */
   def compute(s: UTF8String, win: Int, stride: Int): Array[Long] = {
-    val str = s.toString
-    val n = str.length
+    val cps = codepoints(s.toString)
+    val n = cps.length
     if (n < win) return Array.emptyLongArray
     val nw = (n - win) / stride + 1
     val out = new Array[Long](nw)
@@ -82,7 +101,7 @@ object WindowHash {
       var i = w * stride
       val end = i + win
       while (i < end) {
-        h = (h * 31 + str.charAt(i)) % P
+        h = (h * 31 + cps(i)) % P
         i += 1
       }
       out(w) = h
@@ -95,7 +114,8 @@ object WindowHash {
     * h' = (h − c_out·31^(win−1))·31 + c_in (mod p) — identical values to
     * [[compute]](s, win, 1), which re-folds each window in O(win). */
   def computeRolling(str: String, win: Int): Array[Long] = {
-    val n = str.length
+    val cps = codepoints(str)
+    val n = cps.length
     if (n < win) return Array.emptyLongArray
     // 31^(win-1) mod p
     var pow = 1L
@@ -104,12 +124,12 @@ object WindowHash {
     val out = new Array[Long](n - win + 1)
     var h = 0L
     var i = 0
-    while (i < win) { h = (h * 31 + str.charAt(i)) % P; i += 1 }
+    while (i < win) { h = (h * 31 + cps(i)) % P; i += 1 }
     out(0) = h
     var w = 1
     while (w <= n - win) {
-      val cOut = str.charAt(w - 1).toLong
-      val cIn = str.charAt(w + win - 1).toLong
+      val cOut = cps(w - 1).toLong
+      val cIn = cps(w + win - 1).toLong
       h = ((h - cOut * pow % P + P) % P * 31 + cIn) % P
       out(w) = h
       w += 1

@@ -31,4 +31,25 @@ class WindowHashSpec extends SparkSpec {
     val edge = spark.sql("SELECT graft_winhash('tiny', 64, 16) AS h")
     assert(edge.head().getSeq[Long](0).isEmpty)
   }
+
+  test("graft_winhash iterates CODEPOINTS — parity with the HOF on non-BMP text") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // emoji (U+1F600, supplementary plane) + CJK + ASCII mix: UTF-16
+    // code-unit iteration would see 2 units per emoji and diverge from
+    // the HOF/DuckDB codepoint windows
+    val texts = Seq(
+      "a😀b😁cdef😂ghij",
+      "😀😁😂😃😄😅",
+      "汉字emoji😀混合text")
+    val d = texts.toDF("text")
+    Seq((4, 2), (3, 1)).foreach { case (w, s) =>
+      val mism = d
+        .select(expr(s"graft_winhash(text, $w, $s)").as("native"),
+          expr(hof(w, s)).as("hof"))
+        .filter(col("native") =!= col("hof"))
+        .count()
+      assert(mism === 0, s"non-BMP win=$w stride=$s")
+    }
+  }
 }

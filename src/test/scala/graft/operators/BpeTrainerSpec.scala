@@ -60,16 +60,68 @@ class BpeTrainerSpec extends SparkSpec {
   test("vocab-local loop makes deep training cheap: rounds=64 matches reference") {
     // round 3 ran one Spark job per merge round (64 rounds = 64 jobs on a
     // lineage-growing dataset); the vocab-local loop pays ONE collect and
-    // the rest is driver arithmetic — this test's wall time is the guard
+    // the rest is driver arithmetic — a Spark JOB COUNT listener is the
+    // guard (wall-clock assertions flake under CI contention)
     val docs = Tables(spark, sf("sf0.001"), "documents")
     val wc = BpeTrainer.wordCounts(docs, "text")
     val local = wc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val t0 = System.nanoTime()
-    val model = BpeTrainer.train(wc, rounds = 64)
-    val secs = (System.nanoTime() - t0) / 1e9
-    assert(model.merges === referenceMerges(local, rounds = 64))
-    assert(model.merges.size === 64)
-    assert(secs < 30.0, s"rounds=64 took ${secs}s — the per-round-job regression is back")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val model = BpeTrainer.train(wc, rounds = 64)
+      assert(model.merges === referenceMerges(local, rounds = 64))
+      assert(model.merges.size === 64)
+    } finally {
+      spark.sparkContext.removeSparkListener(counter)
+    }
+    // the one capped top-k collect is a handful of jobs (AQE may split);
+    // the per-round-job regression would be >= 64
+    assert(jobs.get() <= 8,
+      s"rounds=64 launched ${jobs.get()} Spark jobs — the per-round-job regression is back")
+  }
+
+  test("maxVocab cap: non-binding cap leaves the merge sequence identical") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val wc = BpeTrainer.wordCounts(docs, "text")
+    val n = wc.count().toInt
+    val uncapped = BpeTrainer.train(wc, rounds = 8)
+    val exact = BpeTrainer.train(wc, rounds = 8, maxVocab = n)
+    assert(exact.merges === uncapped.merges,
+      "a cap equal to the vocabulary size must not change training")
+  }
+
+  test("maxVocab cap: binding cap = exact BPE over the count-truncated vocabulary") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val wc = BpeTrainer.wordCounts(docs, "text")
+    val local = wc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keep = local.size / 2
+    assert(keep > 10)
+    // the cap's contract: keep the `keep` highest-count words, ties by
+    // word ascending (UTF8 binary order — ASCII here, so String order)
+    val kept = local.toSeq.sortBy { case (w, c) => (-c, w) }.take(keep).toMap
+    val model = BpeTrainer.train(wc, rounds = 8, maxVocab = keep)
+    assert(model.merges === referenceMerges(kept, rounds = 8),
+      "a binding cap must train exact BPE over the truncated vocabulary")
+  }
+
+  test("argmax tie-break is UTF-8 byte order (codepoint order), not UTF-16") {
+    // U+FF61 sorts BEFORE U+10000 by codepoint/UTF-8 bytes, but AFTER it
+    // by Java's UTF-16 code-unit order (0xFF61 > 0xD800 surrogate lead)
+    assert(BpeTrainer.utf8Compare("｡", new String(Character.toChars(0x10000))) < 0)
+    assert("｡".compareTo(new String(Character.toChars(0x10000))) > 0)
+    val sup = new String(Character.toChars(0x10000)) // U+10000
+    val hw = "｡"                                // U+FF61
+    import spark.implicits._
+    val wc = Seq((sup + sup, 2L), (hw + hw, 2L)).toDF("word", "cnt")
+    val model = BpeTrainer.train(wc, rounds = 1)
+    // both pairs tie at count 2; codepoint order must pick (U+FF61, U+FF61)
+    assert(model.merges === Seq((hw, hw)))
   }
 
   test("mergePair is greedy left-to-right and skips after a merge") {

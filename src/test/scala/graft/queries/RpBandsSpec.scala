@@ -61,6 +61,22 @@ class RpBandsSpec extends SparkSpec {
     assert(maxKey >= (1L << 15), s"max band key $maxKey never left the old 15-bit range")
   }
 
+  test("rpbands null-propagates a null embedding ELEMENT (parity with the HOF fold)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1.0f, -2.0f, 0.5f)),
+      (2L, Seq[java.lang.Float](1.0f, null, 0.5f))
+    ).toDF("id", "embedding")
+      .select(col("id"), col("embedding").cast("array<float>").as("embedding"))
+      .withColumn("bands", expr("graft_rpbands(embedding, 4, 18)"))
+    val rows = df.select(col("id"), col("bands").isNull.as("n"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows(1L) === false)
+    assert(rows(2L) === true,
+      "a null element must null the whole signature, not read as 0")
+  }
+
   test("adaptive width keeps bucket occupancy ~constant past the 2^15 saturation point") {
     val B = 16L // targetBucket
     // sweep n across 2^10 .. 2^40 — far past 16*2^15 (~0.5M), where the
