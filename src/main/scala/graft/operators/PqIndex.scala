@@ -92,6 +92,43 @@ object PqIndex {
         expr("transform(sc, x -> x.code)").as("codes"))
   }
 
+  /** Auxiliary oracle-checkable projection of the PQ machinery — the
+    * hash anchor symmetric with IvfIndex.probeStats: one row per
+    * (subspace, code) carrying the code's corpus membership (from the
+    * encode path) and the BIGINT sum over all probes of the exact
+    * integer-micro ADC table entry (from the search path). Every input
+    * is deterministic — each subspace codebook is the same seeded,
+    * integer-exact Lloyd build the DuckDB oracle replays per subspace,
+    * encode's argmin tie-break is (dist, code), and the micro
+    * quantization happens BEFORE any sum — so a SQL twin reproduces all
+    * m·k rows bit for bit, upgrading the PQ path from rows-only to
+    * oracle-checked. */
+  def codeStats(cb: Codebooks, encoded: DataFrame, probes: DataFrame): DataFrame = {
+    val spark = probes.sparkSession
+    GraftExtensions.register(spark)
+    val entries = entriesDf(spark, cb)
+    val members = encoded
+      .select(posexplode(col("codes")).as(Seq("s", "code")))
+      .groupBy(col("s"), col("code"))
+      .agg(count(lit(1)).as("n_members"))
+    probes
+      .select(col("probe_id"), posexplode(
+        expr(s"transform(sequence(0, ${cb.m - 1}), s -> " +
+          s"slice(pe, s * ${cb.sub} + 1, ${cb.sub}))"))
+        .as(Seq("s", "psv")))
+      .join(broadcast(entries), Seq("s"))
+      .select(col("s"), col("code"),
+        floor((expr("graft_fdot(centroid, centroid)") -
+          lit(2.0) * expr("graft_fdot(psv, centroid)")) * 1000000 + 0.5)
+          .cast("long").as("pdist_micro"))
+      .groupBy(col("s"), col("code"))
+      .agg(sum(col("pdist_micro")).as("adc_micro_sum"))
+      .join(broadcast(members), Seq("s", "code"), "left")
+      .select(col("s"), col("code"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("adc_micro_sum"))
+  }
+
   /** ADC top-k: probes (probe_id, pe) against the encoded corpus.
     * Probe-side distance tables (probes × m × k rows) broadcast; each
     * candidate contributes m lookup rows; the sum per (probe, candidate)

@@ -46,8 +46,12 @@ object RangeBuckets {
       valueCol: String, bucketCol: String,
       nb: Int = 64, frac: Double = 0.05): DataFrame = {
     val probs = array((1 until nb).map(i => lit(i.toDouble / nb)): _*)
+    // coalesce: an empty/too-small sample makes percentile_approx NULL,
+    // which would null the sequence and silently drop EVERY row — the
+    // empty boundary set instead degrades to one (−∞, ∞) bucket
     val bs = boundSrc.sample(frac, 42L)
-      .agg(percentile_approx(col(valueCol), probs, lit(100)).as("bs"))
+      .agg(coalesce(percentile_approx(col(valueCol), probs, lit(100)),
+        expr("CAST(array() AS ARRAY<DOUBLE>)")).as("bs"))
     val bounds = bs.select(explode(expr(
       "transform(sequence(0, size(bs)), i -> struct(CAST(i AS BIGINT) AS bucket, " +
         "IF(i = 0, CAST('-Infinity' AS DOUBLE), element_at(bs, i)) AS lo, " +

@@ -103,6 +103,29 @@ object AggregateQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The grouped-quantile SCALE path — GroupQuantiles generalizes
+    // q_median_scalable's two-pass bucketed selection to arbitrary
+    // quantile SETS per group: all three quartiles come out of ONE
+    // shared (group, bucket) exchange, with only the ≤ 2·|ps| straddling
+    // buckets per group ever ranking locally (~n/64 peak task state —
+    // the shape that survives a billion-row group, vs the whole-group
+    // buffer Spark's `percentile` builds). Integer cents make the
+    // p·(n−1) interpolation (frac ∈ {0, ¼, ½, ¾}) exact in doubles, so
+    // the result is bit-identical to DuckDB's quantile_cont.
+    "q_quantiles_scalable" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      graft.operators.GroupQuantiles
+        .exact(li, "l_returnflag", "cents",
+          Seq(("c25", 0.25), ("c50", 0.5), ("c75", 0.75)))
+        .select(col("l_returnflag"), col("n"),
+          r6(col("c25") / 100).as("q25"),
+          r6(col("c50") / 100).as("q50"),
+          r6(col("c75") / 100).as("q75"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Ordered grouped concatenation (beyond-reference — the pandas
     // groupby.apply(list) staple): per-user event-type sequence in strict
     // (time, id) order. collect_list is unordered by contract, so the
@@ -325,6 +348,18 @@ object AggregateQueries extends QueryPack {
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_quantiles_scalable" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(quantile_cont(cents, 0.25) / 100, 6) AS q25,
+        |  ROUND(quantile_cont(cents, 0.5) / 100, 6) AS q50,
+        |  ROUND(quantile_cont(cents, 0.75) / 100, 6) AS q75
+        |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_group_concat" ->
       """WITH e AS (

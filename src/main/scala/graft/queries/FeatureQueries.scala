@@ -43,14 +43,19 @@ object FeatureQueries extends QueryPack {
     }),
 
     // Winsorization: clip per-segment outliers at the exact p05/p95
-    // quantiles (data-cleaning staple). Quantile frame is dim-sized →
-    // broadcast back; thresholds rounded to 4 dp so the clip boundary is
-    // engine-portable (same mechanism as q_grouped_quantiles).
+    // quantiles (data-cleaning staple). Quantiles come from
+    // GroupQuantiles' two-pass bucketed selection (no whole-group
+    // percentile buffer — identical quantile_cont interpolation, ~n/64
+    // peak task state); the dim-sized quantile frame broadcasts back;
+    // thresholds rounded to 4 dp so the clip boundary is engine-portable
+    // (same mechanism as q_grouped_quantiles).
     "q_winsorize" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val qs = c.groupBy(col("c_mktsegment")).agg(
-        r4(percentile(col("c_acctbal"), lit(0.05))).as("p05"),
-        r4(percentile(col("c_acctbal"), lit(0.95))).as("p95"))
+      val qs = graft.operators.GroupQuantiles
+        .exact(c, "c_mktsegment", "c_acctbal",
+          Seq(("p05r", 0.05), ("p95r", 0.95)))
+        .select(col("c_mktsegment"),
+          r4(col("p05r")).as("p05"), r4(col("p95r")).as("p95"))
       c.join(broadcast(qs), Seq("c_mktsegment"))
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
           greatest(col("p05"), least(col("p95"), col("c_acctbal"))).as("clipped"),

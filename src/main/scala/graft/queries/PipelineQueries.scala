@@ -152,20 +152,26 @@ object PipelineQueries extends QueryPack {
 
     // Robust outlier stats via median absolute deviation — the outlier
     // gate that survives heavy tails where z-scores don't. Prices move
-    // through integer cents so the exact-percentile interpolation (only
-    // ever integer midpoints) and the 3×MAD threshold comparison are
-    // bit-identical across engines; both quantile frames are group-sized
-    // broadcasts, so the fact table is scanned twice but never shuffled.
+    // through integer cents so the interpolation (only ever integer
+    // midpoints) and the 3×MAD threshold comparison are bit-identical
+    // across engines. Both medians run through GroupQuantiles' two-pass
+    // bucketed selection — NO whole-group percentile buffer anywhere in
+    // the plan (peak task state ~n/64 whatever the group size; PlanSpec
+    // guards the Percentile expression out), and the group-sized quantile
+    // frames broadcast back so the fact table is never shuffled on the
+    // group key.
     "q_mad_outlier" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
-      val med = li.groupBy(col("l_returnflag"))
-        .agg(percentile(col("cents"), lit(0.5)).as("med"))
+      val med = graft.operators.GroupQuantiles
+        .exact(li, "l_returnflag", "cents", Seq(("med", 0.5)))
+        .select(col("l_returnflag"), col("med"))
       val dev = li.join(broadcast(med), Seq("l_returnflag"))
         .withColumn("dev", abs(col("cents") - col("med")))
-      val mad = dev.groupBy(col("l_returnflag"))
-        .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      val mad = graft.operators.GroupQuantiles
+        .exact(dev, "l_returnflag", "dev", Seq(("mad", 0.5)))
+        .select(col("l_returnflag"), col("mad"))
       dev.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(r6(first(col("med")) / 100).as("median_price"),

@@ -120,8 +120,14 @@ object SimilarityQueries extends QueryPack {
     * sum → one double division → FLOAT cast — the identical arithmetic
     * of the Spark side, so the float centroids agree bit for bit), with
     * empty cells keeping the previous centroid via the LEFT JOIN
-    * COALESCE. `afin` is the final assignment against c{iters}. */
-  private def lloydDuck(k: Int, iters: Int): String = {
+    * COALESCE. `afin` is the final assignment against c{iters}.
+    *
+    * `src` is the (vec_id, embedding) source relation and `pfx` prefixes
+    * every CTE name — PqIndex's oracle replays m INDEPENDENT subspace
+    * Lloyd builds in one WITH chain (src = the sliced subvector CTE,
+    * pfx = s0_…s3_). */
+  private def lloydDuck(k: Int, iters: Int, src: String = "embeddings",
+      pfx: String = ""): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT vec_id, embedding, cluster FROM (
@@ -129,7 +135,7 @@ object SimilarityQueries extends QueryPack {
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        ${dotDuck("c.cent", "c.cent")} - 2 * ${dotDuck("e.embedding", "c.cent")},
          |        c.cluster) AS rn
-         |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1
+         |    FROM $src e CROSS JOIN $cents c) WHERE rn = 1
          |)""".stripMargin
     def updateCte(name: String, prev: String, assigned: String): String =
       s"""$name AS (
@@ -147,15 +153,16 @@ object SimilarityQueries extends QueryPack {
          |    GROUP BY cluster) m ON p.cluster = m.cluster
          |)""".stripMargin
     val rounds = (0 until iters).map { r =>
-      assignCte(s"a$r", s"c$r") + ",\n" + updateCte(s"c${r + 1}", s"c$r", s"a$r")
+      assignCte(s"${pfx}a$r", s"${pfx}c$r") + ",\n" +
+        updateCte(s"${pfx}c${r + 1}", s"${pfx}c$r", s"${pfx}a$r")
     }.mkString(",\n")
-    s"""c0 AS (
+    s"""${pfx}c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
        |    embedding AS cent
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)
+       |  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $k)
        |),
        |$rounds,
-       |${assignCte("afin", s"c$iters")}""".stripMargin
+       |${assignCte(s"${pfx}afin", s"${pfx}c$iters")}""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,6 +355,26 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // The PQ path's HASH ANCHOR, symmetric with q_ivf_probe_stats: per
+    // (subspace, code), the encode path's member count plus the search
+    // path's integer-micro ADC table summed over all probes. Each
+    // subspace codebook is the identical seeded integer-exact Lloyd
+    // build, so the DuckDB oracle replays all FOUR subspace trainings
+    // (m=4, k=16, 3 rounds each) in one chained-CTE query and
+    // hash-matches bit for bit — q_ann_pq's top-k output itself stays
+    // rows-only (PqIndexSpec gates recall), but every number it is built
+    // from is now oracle-checked.
+    "q_pq_code_stats" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = t(s, dir, "embeddings")
+      val cb = graft.operators.PqIndex.train(e, m = 4, k = 16, iters = 3)
+      val enc = graft.operators.PqIndex.encode(e, cb)
+      val probes = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      graft.operators.PqIndex.codeStats(cb, enc, probes)
+        .orderBy(col("s"), col("code"))
+    }),
+
     // The k-means family's HASH ANCHOR: per-probe probed cells (rank
     // order) + each cell's member count, from the DataFrame-native Lloyd
     // build. Every input is deterministic — seeded lowest-vec_id init,
@@ -517,6 +544,40 @@ object SimilarityQueries extends QueryPack {
          |SELECT min(vec_id) AS canonical_id, COUNT(*) AS n_members
          |FROM e GROUP BY sig HAVING COUNT(*) > 1
          |ORDER BY canonical_id""".stripMargin,
+
+    "q_pq_code_stats" -> {
+      val m = 4; val k = 16; val sub = 16
+      val subs = (0 until m).map { s =>
+        s"""sub$s AS (
+           |  SELECT vec_id, embedding[${s * sub + 1}:${(s + 1) * sub}] AS embedding
+           |  FROM embeddings
+           |)""".stripMargin + ",\n" + lloydDuck(k, 3, s"sub$s", s"s${s}_")
+      }.mkString(",\n")
+      val hists = (0 until m).map { s =>
+        s"SELECT $s AS s, cluster AS code, COUNT(*) AS n_members FROM s${s}_afin GROUP BY cluster"
+      }.mkString("\n  UNION ALL ")
+      val adcs = (0 until m).map { s =>
+        val psv = s"p.embedding[${s * sub + 1}:${(s + 1) * sub}]"
+        s"""SELECT $s AS s, c.cluster AS code,
+           |    CAST(SUM(CAST(floor((${dotDuck("c.cent", "c.cent")}
+           |      - 2 * ${dotDuck(psv, "c.cent")}) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           |      AS adc_micro_sum
+           |  FROM probes p CROSS JOIN s${s}_c3 c GROUP BY c.cluster""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $subs,
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+         |), hist AS (
+         |  $hists
+         |), adc AS (
+         |  $adcs
+         |)
+         |SELECT CAST(a.s AS INT) AS s, CAST(a.code AS INT) AS code,
+         |  CAST(COALESCE(h.n_members, 0) AS BIGINT) AS n_members,
+         |  a.adc_micro_sum
+         |FROM adc a LEFT JOIN hist h ON a.s = h.s AND a.code = h.code
+         |ORDER BY s, code""".stripMargin
+    },
 
     "q_ivf_probe_stats" ->
       s"""WITH ${lloydDuck(8, 3)},

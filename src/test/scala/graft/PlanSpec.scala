@@ -160,6 +160,34 @@ class PlanSpec extends SparkSpec {
       s"bucket-local rank window lost its partition keys:\n$p")
   }
 
+  test("robust-stats family never buffers whole groups: no Percentile aggregate") {
+    // Spark's exact `percentile` buffers the WHOLE group in aggregation
+    // state — an executor OOM at a billion-row group. The family routes
+    // through GroupQuantiles' two-pass bucketed selection instead. The
+    // declared queries' printed plans end at the operator's lazy lineage
+    // cuts, so the structural assertions run on the UNCUT operator plan
+    // (cut = false — same logical computation): sampled boundary sketch
+    // present, exact Percentile absent, rank window keeps its keys.
+    val uncut = graft.operators.GroupQuantiles.exact(
+      Tables(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      Seq(("q25", 0.25), ("q50", 0.5)), cut = false)
+      .queryExecution.executedPlan.toString
+    assert(uncut.contains("percentile_approx"),
+      s"expected sampled boundary sketch:\n$uncut")
+    assert(!uncut.replace("percentile_approx", "SKETCH").contains("percentile"),
+      s"whole-group exact percentile buffer crept back in:\n$uncut")
+    assert(uncut.contains("windowspecdefinition(l_returnflag"),
+      s"bucket-local rank window lost its partition keys:\n$uncut")
+    // and the declared consumers' visible plans stay percentile- and
+    // cartesian-free
+    for (q <- Seq("q_mad_outlier", "q_winsorize", "q_quantiles_scalable")) {
+      val p = plan(q)
+      assert(!p.replace("percentile_approx", "SKETCH").contains("percentile"),
+        s"$q: whole-group exact percentile buffer crept back in:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+  }
+
   test("ivf probe stats: centroid work broadcasts, histogram join broadcasts") {
     val p = plan("q_ivf_probe_stats")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
