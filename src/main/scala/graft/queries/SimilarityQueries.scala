@@ -396,6 +396,25 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("probe_id"), col("cell_rnk"))
     }),
 
+    // REAL multimodal decode — the family's former thinnest member, now
+    // decoding two actual public image formats (PPM P6 + 24bpp BMP) in
+    // pure JVM: deterministic planted fixtures (dims and every pixel
+    // byte derive from doc_id; even ids PPM, odd BMP, every 17th
+    // truncated mid-payload) run through the magic-dispatching decoder
+    // per-partition, emitting width/height/exact channel sums — all
+    // integers the DuckDB oracle recomputes in closed form WITHOUT a
+    // decoder. The corrupt path (ok = 0, zeroed metadata, no exception)
+    // is oracle-checked too.
+    "q_image_meta" -> ((s, dir) => {
+      val blobs = graft.operators.ImageCodec.plantImages(t(s, dir, "documents"))
+      graft.operators.ImageCodec.extractImageMeta(blobs, "doc_id", "blob")
+        .toDF()
+        .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("ok").cast("int").as("ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata columns.
     // The real decode (image/audio libs) is stubbed behind a deterministic
     // byte-level "feature extractor" (see graft.operators.MultimodalStub
@@ -597,6 +616,33 @@ object SimilarityQueries extends QueryPack {
          |  CAST(COALESCE(n_members, 0) AS BIGINT) AS n_members
          |FROM cells LEFT JOIN hist USING (cluster)
          |ORDER BY probe_id, cell_rnk""".stripMargin,
+
+    "q_image_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INT) AS w,
+        |    CAST(3 + doc_id % 7 AS INT) AS h,
+        |    (doc_id % 17 = 0) AS corrupt,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN i % 3 = 0 THEN (doc_id * 31 + i) % 256 ELSE 0 END) AS BIGINT) AS sum_r,
+        |    CAST(SUM(CASE WHEN i % 3 = 1 THEN (doc_id * 31 + i) % 256 ELSE 0 END) AS BIGINT) AS sum_g,
+        |    CAST(SUM(CASE WHEN i % 3 = 2 THEN (doc_id * 31 + i) % 256 ELSE 0 END) AS BIGINT) AS sum_b
+        |  FROM d, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+        |  WHERE NOT corrupt
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.fmt,
+        |  CASE WHEN corrupt THEN 0 ELSE w END AS width,
+        |  CASE WHEN corrupt THEN 0 ELSE h END AS height,
+        |  COALESCE(sum_r, 0) AS sum_r,
+        |  COALESCE(sum_g, 0) AS sum_g,
+        |  COALESCE(sum_b, 0) AS sum_b,
+        |  CAST(NOT corrupt AS INT) AS ok
+        |FROM d LEFT JOIN px USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
