@@ -86,6 +86,42 @@ object FuzzyQueries extends QueryPack {
         .orderBy(col("probe_id"))
     }),
 
+    // The token_set_ratio KERNEL's oracle — the scoring projection that
+    // graduates the fuzzy family's core from rows-only to hash-checked.
+    // Every pair's raw score is emitted (no threshold/top-1 so the oracle
+    // sees the kernel's full surface) over a bounded blocked pair set.
+    // The DuckDB twin replays the published algorithm exactly: sorted
+    // distinct tokens, common/rest split, and the 3-way Indel max —
+    // ratio(t0,t1) and ratio(t0,t2) via the common-prefix LCS identity
+    // (t0 IS a string prefix of both, so LCS = len(t0) — the same
+    // shortcut rapidfuzz documents), ratio(t1,t2) via a full recursive-
+    // CTE LCS dynamic program. Scores are the identical double
+    // expression 2·lcs/total·100 on both engines, rounded to 6 dp.
+    "q_token_set_scores" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val c = t(s, dir, "customer")
+      def toks(name: org.apache.spark.sql.Column) =
+        sort_array(array_distinct(split(name, " ")))
+      // probe names: every third probe uses a no-common-token alias so
+      // the oracle exercises the empty-intersection branch too
+      val probes = c.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("probe_id"), col("c_nationkey").as("nk"),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit("client "), col("c_custkey").cast("string")))
+            .otherwise(concat(lit("customer "), col("c_custkey").cast("string")))
+            .as("probe_name"))
+        .withColumn("probe_toks", toks(col("probe_name")))
+      val cands = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("cand_id"), col("c_nationkey").as("nk"),
+          regexp_replace(lower(col("c_name")), "#", " ").as("cand_name"))
+        .withColumn("cand_toks", toks(col("cand_name")))
+      broadcast(probes).join(cands, Seq("nk"))
+        .select(col("probe_id"), col("cand_id"),
+          round(expr("graft_token_set_ratio(probe_toks, cand_toks)"), 6)
+            .as("score"))
+        .orderBy(col("probe_id"), col("cand_id"))
+    }),
+
     // Streaming-parity batch aggregate: tumbling 1h windows per event_type
     // (EventStreams.tumblingCounts runs this same plan incrementally).
     "q_tumbling_window" -> ((s, dir) => {
@@ -182,6 +218,79 @@ object FuzzyQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // Replays the published token_set_ratio algorithm end to end.
+    // LCS(t1, t2) is a real dynamic program in a recursive CTE: one
+    // iteration per character of t2, each carrying the DP row as a LIST;
+    // the in-row left-to-right dependence unrolls into
+    //   cur[j] = max(prev[j], max_{j'<=j, s[j']=t[i]}(prev[j'-1] + 1))
+    // (prev rows are non-decreasing, so the running max absorbs the
+    // cur[j-1] term). ratio(t0,t1)/ratio(t0,t2) use LCS(x, x·z) = len(x)
+    // — t0 is a string prefix of t1 and t2 by construction.
+    "q_token_set_scores" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT c_custkey AS probe_id, c_nationkey AS nk,
+        |    CASE WHEN c_custkey % 3 = 0
+        |      THEN 'client ' || CAST(c_custkey AS VARCHAR)
+        |      ELSE 'customer ' || CAST(c_custkey AS VARCHAR) END AS probe_name
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |), c AS (
+        |  SELECT c_custkey AS cand_id, c_nationkey AS nk,
+        |    replace(lower(c_name), '#', ' ') AS cand_name
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |), parts AS (
+        |  SELECT probe_id, cand_id, ta, tb,
+        |    list_filter(ta, x -> list_contains(tb, x)) AS com,
+        |    list_filter(ta, x -> NOT list_contains(tb, x)) AS ra,
+        |    list_filter(tb, x -> NOT list_contains(ta, x)) AS rb
+        |  FROM (
+        |    SELECT probe_id, cand_id,
+        |      list_sort(list_filter(list_distinct(string_split(probe_name, ' ')), x -> x <> '')) AS ta,
+        |      list_sort(list_filter(list_distinct(string_split(cand_name, ' ')), x -> x <> '')) AS tb
+        |    FROM p JOIN c USING (nk))
+        |), strs AS (
+        |  SELECT probe_id, cand_id, ta, tb, com, ra, rb,
+        |    array_to_string(com, ' ') AS t0,
+        |    array_to_string(list_concat(com, ra), ' ') AS t1,
+        |    array_to_string(list_concat(com, rb), ' ') AS t2
+        |  FROM parts
+        |), dp AS (
+        |  SELECT probe_id, cand_id, t1 AS s, t2 AS t, 0 AS i,
+        |    list_transform(generate_series(0, length(t1)), x -> 0) AS row
+        |  FROM strs
+        |  WHERE len(ta) > 0 AND len(tb) > 0
+        |    AND NOT (len(com) > 0 AND len(ra) = 0 AND len(rb) = 0)
+        |  UNION ALL
+        |  SELECT probe_id, cand_id, s, t, i + 1,
+        |    list_transform(generate_series(0, length(s)), j ->
+        |      CASE WHEN j = 0 THEN 0 ELSE
+        |        greatest(row[j + 1],
+        |          COALESCE(list_max(list_transform(generate_series(1, j), jj ->
+        |            CASE WHEN s[jj] = t[i + 1] THEN row[jj] + 1 ELSE NULL END)), 0))
+        |      END) AS row
+        |  FROM dp WHERE i < length(t)
+        |), lcs AS (
+        |  SELECT probe_id, cand_id, row[length(s) + 1] AS l12,
+        |    length(s) AS len1, length(t) AS len2
+        |  FROM dp WHERE i = length(t)
+        |), scored AS (
+        |  SELECT s.probe_id, s.cand_id,
+        |    CASE
+        |      WHEN len(ta) = 0 AND len(tb) = 0 THEN 100.0
+        |      WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0
+        |      WHEN len(com) > 0 AND len(ra) = 0 AND len(rb) = 0 THEN 100.0
+        |      ELSE greatest(
+        |        CASE WHEN length(t0) + length(t1) = 0 THEN 100.0
+        |          ELSE CAST(2 * length(t0) AS DOUBLE) / (length(t0) + length(t1)) * 100 END,
+        |        CASE WHEN length(t0) + length(t2) = 0 THEN 100.0
+        |          ELSE CAST(2 * length(t0) AS DOUBLE) / (length(t0) + length(t2)) * 100 END,
+        |        CAST(2 * l.l12 AS DOUBLE) / (l.len1 + l.len2) * 100)
+        |    END AS score
+        |  FROM strs s LEFT JOIN lcs l
+        |    ON s.probe_id = l.probe_id AND s.cand_id = l.cand_id
+        |)
+        |SELECT probe_id, cand_id, ROUND(score, 6) AS score
+        |FROM scored ORDER BY probe_id, cand_id""".stripMargin,
+
     "q_fuzzy_block_stats" ->
       """WITH p AS (
         |  SELECT c_custkey AS probe_id, c_nationkey AS nk,
