@@ -186,18 +186,57 @@ object MiscQueries extends QueryPack {
         .orderBy(col("p_partkey"), col("metric"))
     }),
 
-    // Scale-path approximate aggregates: HLL distinct + t-digest quantiles.
-    // These are the 100 TB substitutes for exact countDistinct/percentile
-    // (one pass, bounded sketch memory, no exact-sort). No SQL oracle —
-    // sketch internals differ per engine → driver records rows-only.
+    // Scale-path approximate aggregates: HLL distinct + the rank-bounded
+    // quantile sketch. These are the 100 TB substitutes for exact
+    // countDistinct/percentile (one pass, bounded sketch memory, no
+    // exact-sort). Sketch INTERNALS differ per engine, so the raw
+    // estimates can't hash-match DuckDB — instead the output is
+    // ERROR-GATED (the q_group_quantile_approx trick): each estimate is
+    // verified against an exact computation in the same plan and only
+    // the BAND VERDICTS (plus the exact sides) are emitted; both
+    // estimators are deterministic on fixed data (HLL++ is hash-based,
+    // percentile_approx is rank-bounded), so the verdicts are stable and
+    // the DuckDB oracle reproduces the exact columns + TRUE literals.
+    // The gates check exactly what each sketch guarantees:
+    //  - HLL: estimate within ±10% of exact distinct (rsd = 0.02 → 5σ);
+    //    the exact side is the two-stage distinct-pair aggregation
+    //    (partial agg on (flag, part), then count — never an Expand of
+    //    the fact, never a buffer);
+    //  - percentile_approx(acc = 1000): returned element's RANK within
+    //    ±3 percentile points of 0.5 (guarantee is n/1000 = 0.1) — one
+    //    aggregated pass counts values strictly below / at-or-below the
+    //    estimate, and the verdict is the tie-robust interval test
+    //    ([cnt_lt+1, cnt_le] ∩ [0.47n, 0.53n] ≠ ∅). Rank is the
+    //    sketch's own contract, so no exact quantile is ever computed.
+    // Three cheap hash-agg passes + two broadcast joins of 3-row frames;
+    // every pass partial-aggregates, so the shape survives 100×.
     "q_approx_stats" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("nd_a"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_a"),
+          count(lit(1)).as("n"))
+      val nd = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("nd_parts"))
+      val rk = li
+        .join(broadcast(sk.select(col("l_returnflag"), col("p50_a"))),
+          Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("p50_price_approx"),
-          count(lit(1)).as("n"))
+          sum((col("l_extendedprice") < col("p50_a")).cast("long")).as("cnt_lt"),
+          sum((col("l_extendedprice") <= col("p50_a")).cast("long")).as("cnt_le"))
+      sk.join(broadcast(nd), Seq("l_returnflag"))
+        .join(broadcast(rk), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("nd_parts"),
+          (col("nd_a") >= col("nd_parts").cast("double") * 0.9 &&
+            col("nd_a") <= col("nd_parts").cast("double") * 1.1)
+            .as("nd_in_band"),
+          (col("cnt_lt").cast("double") < col("n").cast("double") * 0.53 &&
+            col("cnt_le").cast("double") >= col("n").cast("double") * 0.47)
+            .as("p50_in_band"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -281,6 +320,16 @@ object MiscQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // The sketch estimates themselves are engine-specific; the oracle
+    // checks the EXACT side and asserts every band verdict is TRUE —
+    // if a Spark sketch ever lands outside its error band, the boolean
+    // flips and the hash breaks.
+    "q_approx_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  TRUE AS nd_in_band, TRUE AS p50_in_band
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_zorder" ->
       """WITH b AS (
         |  SELECT c_custkey, c_nationkey & 65535 AS x0, (c_custkey % 65536) & 65535 AS y0

@@ -309,13 +309,17 @@ object SimilarityQueries extends QueryPack {
     // k-means index partitions the vector space, probes search the
     // nProbe nearest cells with exact cosine (operators.IvfIndex; at
     // scale `cluster` is the table's partition key and pruning does the
-    // rest). No SQL oracle (k-means is not SQL-expressible) → driver
-    // records rows-only; quality is gated by IvfIndexSpec instead:
-    // recall@1 vs brute force is monotone in nProbe and exact at
-    // nProbe = k. Bounded DataFrame-native build (k=8, 3 Lloyd rounds —
-    // a coarse quantizer converges in a few rounds and each round is a
-    // full corpus pass; deterministic init — see IvfIndex.buildLloyd for
-    // why not MLlib here).
+    // rest). FULLY oracle-checked: the DuckDB twin replays the 3 Lloyd
+    // rounds (integer-exact centroid means — see lloydDuck), picks the
+    // same 2 nearest cells per probe, and reruns the exact-cosine top-k
+    // over the probed members — every double is the same portable fold
+    // on both engines, so the whole funnel hash-matches bit for bit.
+    // Quality (recall vs brute force) is additionally gated by
+    // IvfIndexSpec: recall@1 is monotone in nProbe, exact at nProbe = k.
+    // Bounded DataFrame-native build (k=8, 3 Lloyd rounds — a coarse
+    // quantizer converges in a few rounds and each round is a full
+    // corpus pass; deterministic init — see IvfIndex.buildLloyd for why
+    // not MLlib here).
     "q_ann_ivf" -> ((s, dir) => {
       GraftExtensions.register(s)
       val e = t(s, dir, "embeddings")
@@ -332,11 +336,16 @@ object SimilarityQueries extends QueryPack {
     // trio (hyperplane LSH / IVF coarse quantizer / PQ codes): vectors
     // compress to m=4 byte codes, search is ADC table lookups — the
     // corpus float vectors are never read at query time (the property
-    // that matters at 100 TB: 64× smaller scan). No SQL oracle (k-means
-    // codebooks are not SQL-expressible per subspace) → rows-only;
-    // quality is gated by PqIndexSpec (ADC ordering beats random 2×+,
-    // recall@10 floor vs brute force). Self-matches excluded and
-    // re-ranked after the ADC top-(k+1), mirroring q_ann_ivf semantics.
+    // that matters at 100 TB: 64× smaller scan). FULLY oracle-checked:
+    // the DuckDB twin replays all four subspace Lloyd builds (the
+    // q_pq_code_stats chain), re-derives every vector's codes from the
+    // final assignments, rebuilds the per-probe integer-micro ADC
+    // tables, and reruns the two-stage top-(k+1) → drop-self → top-k
+    // ranking — ADC sums are BIGINT micros, so ranking and ties are
+    // engine- and partitioning-exact. Quality is additionally gated by
+    // PqIndexSpec (ADC ordering beats random 2×+, recall@10 floor vs
+    // brute force). Self-matches excluded and re-ranked after the ADC
+    // top-(k+1), mirroring q_ann_ivf semantics.
     "q_ann_pq" -> ((s, dir) => {
       GraftExtensions.register(s)
       val e = t(s, dir, "embeddings")
@@ -361,9 +370,9 @@ object SimilarityQueries extends QueryPack {
     // subspace codebook is the identical seeded integer-exact Lloyd
     // build, so the DuckDB oracle replays all FOUR subspace trainings
     // (m=4, k=16, 3 rounds each) in one chained-CTE query and
-    // hash-matches bit for bit — q_ann_pq's top-k output itself stays
-    // rows-only (PqIndexSpec gates recall), but every number it is built
-    // from is now oracle-checked.
+    // hash-matches bit for bit. With q_ann_pq's own full search replay
+    // now oracle-checked too, this projection doubles as the small
+    // fast-feedback anchor for the shared machinery.
     "q_pq_code_stats" -> ((s, dir) => {
       GraftExtensions.register(s)
       val e = t(s, dir, "embeddings")
@@ -381,11 +390,10 @@ object SimilarityQueries extends QueryPack {
     // EXACT integer-decimal centroid means (order-invariant at any
     // partitioning), the portable graft_fdot fold — so the DuckDB oracle
     // replays all three Lloyd rounds in chained CTEs and hash-matches
-    // bit for bit. This upgrades the k-means path from "rows-only +
-    // recall spec" to an oracle-checked projection (q_ann_ivf itself
-    // stays rows-only: its top-k cosine output needs the same centroids
-    // but emitting it via SQL would duplicate the whole search; the
-    // funnel shape is the load-bearing part).
+    // bit for bit. Historically this was the k-means path's only hash
+    // anchor; q_ann_ivf's full search replay is now oracle-checked as
+    // well, and this projection remains as the funnel-shape check
+    // (probed cells + member counts) the search output doesn't expose.
     "q_ivf_probe_stats" -> ((s, dir) => {
       GraftExtensions.register(s)
       val e = t(s, dir, "embeddings")
@@ -596,6 +604,93 @@ object SimilarityQueries extends QueryPack {
          |  a.adc_micro_sum
          |FROM adc a LEFT JOIN hist h ON a.s = h.s AND a.code = h.code
          |ORDER BY s, code""".stripMargin
+    },
+
+    // Full IVF search replay: same Lloyd chain as q_ivf_probe_stats,
+    // then the probe→cells→members→exact-cosine→top-k funnel. Ranking
+    // runs on the RAW double sim (as the Spark plan does) — the dot
+    // fold, sqrt and division are identical IEEE ops on identical
+    // inputs, so order and ties agree; rounding to 6 dp happens after,
+    // in the projection, exactly like the Spark side.
+    "q_ann_ivf" ->
+      s"""WITH ${lloydDuck(8, 3)},
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe
+         |  FROM embeddings WHERE vec_id % 20 = 0
+         |), cells AS (
+         |  SELECT probe_id, cluster FROM (
+         |    SELECT p.probe_id, c.cluster,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        -${dotDuck("p.pe", "c.cent")}, c.cluster) AS rn
+         |    FROM probes p CROSS JOIN c3 c) WHERE rn <= 2
+         |), scored AS (
+         |  SELECT p.probe_id, a.vec_id AS cand_id,
+         |    ${dotDuck("p.pe", "a.embedding")} /
+         |      (sqrt(${dotDuck("p.pe", "p.pe")}) *
+         |       sqrt(${dotDuck("a.embedding", "a.embedding")})) AS sim
+         |  FROM probes p
+         |  JOIN cells cl ON cl.probe_id = p.probe_id
+         |  JOIN afin a ON a.cluster = cl.cluster
+         |  WHERE a.vec_id <> p.probe_id
+         |), ranked AS (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, cand_id, ROUND(sim, 6) AS sim, rnk
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin,
+
+    // Full PQ search replay: the q_pq_code_stats subspace-Lloyd chain,
+    // codes from the final per-subspace assignments, per-probe
+    // integer-micro ADC tables, BIGINT-exact distance sums, and the
+    // Spark side's exact two-stage ranking (ADC top-4 → drop self →
+    // top-3, both ordered by (adist_micro, cand_id)).
+    "q_ann_pq" -> {
+      val m = 4; val k = 16; val sub = 16
+      val subs = (0 until m).map { s =>
+        s"""sub$s AS (
+           |  SELECT vec_id, embedding[${s * sub + 1}:${(s + 1) * sub}] AS embedding
+           |  FROM embeddings
+           |)""".stripMargin + ",\n" + lloydDuck(k, 3, s"sub$s", s"s${s}_")
+      }.mkString(",\n")
+      val encs = (0 until m).map { s =>
+        s"SELECT $s AS s, vec_id, cluster AS code FROM s${s}_afin"
+      }.mkString("\n  UNION ALL ")
+      val tabs = (0 until m).map { s =>
+        val psv = s"p.pe[${s * sub + 1}:${(s + 1) * sub}]"
+        s"""SELECT p.probe_id, $s AS s, c.cluster AS code,
+           |    CAST(floor((${dotDuck("c.cent", "c.cent")}
+           |      - 2 * ${dotDuck(psv, "c.cent")}) * 1000000 + 0.5) AS BIGINT)
+           |      AS pdist_micro
+           |  FROM probes p CROSS JOIN s${s}_c3 c""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $subs,
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe
+         |  FROM embeddings WHERE vec_id % 20 = 0
+         |), enc AS (
+         |  $encs
+         |), tab AS (
+         |  $tabs
+         |), ad AS (
+         |  SELECT t.probe_id, e.vec_id AS cand_id,
+         |    CAST(SUM(t.pdist_micro) AS BIGINT) AS adist_micro
+         |  FROM enc e JOIN tab t ON t.s = e.s AND t.code = e.code
+         |  GROUP BY t.probe_id, e.vec_id
+         |), r1 AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY adist_micro, cand_id) AS rnk1
+         |  FROM ad
+         |), r2 AS (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY adist_micro, cand_id) AS INT) AS rnk
+         |  FROM r1 WHERE rnk1 <= 4 AND probe_id <> cand_id
+         |)
+         |SELECT probe_id, cand_id,
+         |  ROUND(CAST(adist_micro AS DOUBLE) / 1000000.0, 6) AS adist, rnk
+         |FROM r2 WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin
     },
 
     "q_ivf_probe_stats" ->
