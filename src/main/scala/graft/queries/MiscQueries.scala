@@ -265,12 +265,23 @@ object MiscQueries extends QueryPack {
     // two-aggregation variant rebuilt the cube per branch (broadcast
     // subtrees don't share stages). One big exchange, 1× rows, one
     // broadcast.
+    //
+    // The one big exchange is EXPLICIT (the q_ks_test shared-exchange
+    // trick): repartition on (flag, pbucket) right after bucketing, so
+    // (a) AQE's ReuseExchange computes the scan + boundary-sample +
+    // bucket assignment ONCE for both consumers (the cube aggregation
+    // and the join's big side — separate subtrees otherwise recompute
+    // it), (b) the cube's groupBy needs no further exchange (hash on
+    // (flag, pbucket) already clusters (flag, pbucket, quantity)), and
+    // (c) the bucket-local rank window's required distribution is the
+    // partitioning itself — only the local sort remains.
     "q_spearman" -> ((s, dir) => {
       val base = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
       val li = graft.operators.RangeBuckets.withEquiDepthBucket(
         base, "l_extendedprice", "pbucket")
+        .repartition(col("l_returnflag"), col("pbucket"))
       val cube = li
         .groupBy(col("l_returnflag"), col("pbucket"), col("l_quantity"))
         .agg(count(lit(1)).as("cnt"))
