@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   *
   * Everything stays in ONE lazy DAG — no driver-side action: a seeded
   * sample feeds a `percentile_approx` sketch (distributed, mergeable),
-  * the ~nb boundary values explode into (bucket, lo, hi) interval rows,
-  * and the big frame picks its bucket via a BROADCAST range join (65
-  * tiny rows, codegen'd comparisons — no per-row lambda, no extra job).
+  * the one-row boundary ARRAY broadcasts in a single-row cross join, and
+  * each row picks its bucket with the codegen'd `graft_bucket` binary
+  * search (⌈log₂ nb⌉ comparisons/row — expressions.BucketBinarySearch).
   * An earlier driver-side `approxQuantile` variant cost a full extra
-  * pass per query build; this formulation benches at parity with the
-  * fixed-width form it replaces.
+  * pass per query build, and the round-4 form ran a broadcast
+  * nested-loop RANGE join against ~65 exploded (bucket, lo, hi)
+  * interval rows — nb comparisons per row in the hot scan;
+  * RangeBucketsSpec pins bit-parity between that join formulation and
+  * the binary search on skewed/duplicate-boundary data.
   *
   * Correctness is boundary-independent: the bucket index is monotone in
   * the value and the intervals partition (−∞, +∞), so (bucket,
@@ -49,17 +52,15 @@ object RangeBuckets {
     // coalesce: an empty/too-small sample makes percentile_approx NULL,
     // which would null the sequence and silently drop EVERY row — the
     // empty boundary set instead degrades to one (−∞, ∞) bucket
+    graft.expressions.GraftExtensions.register(df.sparkSession)
     val bs = boundSrc.sample(frac, 42L)
       .agg(coalesce(percentile_approx(col(valueCol), probs, lit(100)),
-        expr("CAST(array() AS ARRAY<DOUBLE>)")).as("bs"))
-    val bounds = bs.select(explode(expr(
-      "transform(sequence(0, size(bs)), i -> struct(CAST(i AS BIGINT) AS bucket, " +
-        "IF(i = 0, CAST('-Infinity' AS DOUBLE), element_at(bs, i)) AS lo, " +
-        "IF(i = size(bs), CAST('Infinity' AS DOUBLE), element_at(bs, i + 1)) AS hi))")
-      ).as("b"))
-      .select(col("b.bucket").as(bucketCol), col("b.lo").as("__lo"), col("b.hi").as("__hi"))
-    df.join(broadcast(bounds),
-        col(valueCol) >= col("__lo") && col(valueCol) < col("__hi"))
-      .drop("__lo", "__hi")
+        expr("CAST(array() AS ARRAY<DOUBLE>)")).as("__bs"))
+    // filter mirrors the former inner range join's null-row drop
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bs))
+      .withColumn(bucketCol,
+        expr(s"graft_bucket(CAST(`$valueCol` AS DOUBLE), __bs)"))
+      .drop("__bs")
   }
 }

@@ -381,11 +381,17 @@ object TextQueries extends QueryPack {
     // learned merge table (rank, a, b, merged) for 64 rounds over the
     // corpus word-frequency table (rounds moved 8 → 64 once training
     // went vocab-local — merge depth no longer costs Spark jobs, only
-    // driver arithmetic over the collected word table). No SQL oracle —
-    // the training loop is iterative (argmax + rewrite per round), not
-    // SQL-expressible — so the driver records rows-only; BpeTrainerSpec
-    // proves the merge sequence identical to the single-machine Sennrich
-    // reference at both depths.
+    // driver arithmetic over the collected word table). FULLY
+    // oracle-checked: the DuckDB twin unrolls all 64 training rounds as
+    // MATERIALIZED CTE pairs — pair-count + argmax (count desc, then
+    // pair in UTF-8 byte order, DuckDB's native VARCHAR comparison =
+    // the trainer's pinned tie-break), then a greedy left-to-right
+    // rewrite as a list_reduce fold (skipped for words not containing
+    // the merged pair as a substring — a necessary condition for
+    // adjacency) — and a cumulative-min gate reproduces the
+    // minCount = 2 early stop. BpeTrainerSpec additionally proves the
+    // merge sequence identical to the single-machine Sennrich reference
+    // at both depths.
     "q_bpe_merges" -> ((s, dir) => {
       val wc = graft.operators.BpeTrainer.wordCounts(
         t(s, dir, "documents"), "text")
@@ -799,7 +805,71 @@ object TextQueries extends QueryPack {
        |)""".stripMargin
   }
 
+  /** DuckDB replay of BpeTrainer.train(rounds, minCount = 2) over the
+    * documents word-frequency table — the Lloyd-replay treatment applied
+    * to tokenizer training. Each round is a MATERIALIZED CTE pair
+    * (materialization is load-bearing: st{r} is referenced twice, and an
+    * inlining planner would re-expand the whole prefix chain per round):
+    *  - b{r}: weighted adjacent-pair counts → argmax, ORDER BY c DESC
+    *    then (a, b) — DuckDB compares VARCHAR by raw UTF-8 bytes, which
+    *    IS the trainer's pinned tie-break order;
+    *  - st{r+1}: greedy left-to-right non-overlapping rewrite as a
+    *    list_reduce fold over singleton-wrapped symbols (merge-or-append
+    *    per step reproduces mergePair exactly — BpeTrainerSpec's fold
+    *    equivalence), skipped wholesale for words where the merged pair
+    *    is not even a substring (necessary for adjacency; concatenated
+    *    symbols always spell the original word).
+    * The final cumulative-min-over-rank gate keeps exactly the rounds
+    * before the first best-count < minCount, reproducing the early stop
+    * (later CTE rounds may then merge sub-threshold garbage, but every
+    * such round is excluded by the gate). string_split(word, '') splits
+    * VARCHAR into CODEPOINTS, matching BpeTrainer.symbols. */
+  private def bpeMergesDuck(rounds: Int, minCount: Long): String = {
+    val base =
+      """st0 AS MATERIALIZED (
+        |  SELECT word, CAST(cnt AS BIGINT) AS cnt,
+        |    string_split(word, '') AS syms FROM (
+        |    SELECT word, COUNT(*) AS cnt FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |    WHERE len(word) > 0 GROUP BY word)
+        |)""".stripMargin
+    val roundCtes = (0 until rounds).map { r =>
+      s"""b$r AS MATERIALIZED (
+         |  SELECT a, b, c FROM (
+         |    SELECT s.syms[i] AS a, s.syms[i + 1] AS b, SUM(s.cnt) AS c
+         |    FROM st$r s, unnest(generate_series(1, len(s.syms) - 1)) AS t(i)
+         |    GROUP BY 1, 2)
+         |  ORDER BY c DESC, a, b LIMIT 1
+         |),
+         |st${r + 1} AS MATERIALIZED (
+         |  SELECT s.word, s.cnt,
+         |    CASE WHEN contains(s.word, b.a || b.b) THEN list_reduce(
+         |      list_prepend(CAST([] AS VARCHAR[]),
+         |        list_transform(s.syms, z -> [z])),
+         |      (acc, x) -> CASE WHEN len(acc) > 0
+         |          AND acc[len(acc)] = b.a AND x[1] = b.b
+         |        THEN acc[1:len(acc) - 1] || [b.a || b.b]
+         |        ELSE acc || x END)
+         |    ELSE s.syms END AS syms
+         |  FROM st$r s CROSS JOIN b$r b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val allBest = (0 until rounds)
+      .map(r => s"SELECT $r AS rank, a, b, c FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $base,
+       |$roundCtes,
+       |allbest AS (
+       |  $allBest
+       |)
+       |SELECT CAST(rank AS BIGINT) AS rank, a, b, a || b AS merged FROM (
+       |  SELECT *, MIN(c) OVER (ORDER BY rank) AS mincum FROM allbest)
+       |WHERE mincum >= $minCount ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesDuck(64, 2L),
+
     "q_token_count" ->
       s"""SELECT doc_id,
          |  len(${tokensDuck("text")}) AS n_tokens,

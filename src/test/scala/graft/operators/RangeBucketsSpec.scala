@@ -67,6 +67,53 @@ class RangeBucketsSpec extends SparkSpec {
       .filter(col("c") =!= 1).count() === 0)
   }
 
+  test("binary-search assignment == the interval range-join formulation") {
+    // the round-4 form: boundaries explode into (bucket, lo, hi) interval
+    // rows and a broadcast range join picks the bucket. Rebuilt here with
+    // the SAME sample seed/fraction as the operator, so the sampled
+    // boundary array is identical and every row's bucket id must match
+    // graft_bucket's upper-bound binary search bit for bit — including
+    // at the duplicate boundaries the skew mode produces (empty [b, b)
+    // intervals that must never match).
+    val bs = skewed.sample(0.05, 42L)
+      .agg(coalesce(percentile_approx(col("x"),
+        array((1 until 64).map(i => lit(i.toDouble / 64)): _*), lit(100)),
+        expr("CAST(array() AS ARRAY<DOUBLE>)")).as("bs"))
+    val bounds = bs.select(explode(expr(
+      "transform(sequence(0, size(bs)), i -> struct(CAST(i AS BIGINT) AS bucket, " +
+        "IF(i = 0, CAST('-Infinity' AS DOUBLE), element_at(bs, i)) AS lo, " +
+        "IF(i = size(bs), CAST('Infinity' AS DOUBLE), element_at(bs, i + 1)) AS hi))")
+      ).as("b"))
+      .select(col("b.bucket").as("jbucket"), col("b.lo").as("lo"), col("b.hi").as("hi"))
+    val joined = skewed.join(broadcast(bounds),
+        col("x") >= col("lo") && col("x") < col("hi"))
+      .select(col("id"), col("jbucket"))
+    val fast = RangeBuckets.withEquiDepthBucket(skewed, "x", "bucket")
+      .select(col("id"), col("bucket"))
+    assert(fast.join(joined, "id")
+      .filter(col("bucket") =!= col("jbucket")).count() === 0)
+    assert(fast.count() === joined.count())
+  }
+
+  test("graft_bucket edge cases: empty bounds, ends, duplicates") {
+    graft.expressions.GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  graft_bucket(CAST(5.0 AS DOUBLE), CAST(array() AS ARRAY<DOUBLE>)) AS empty_b,
+        |  graft_bucket(CAST(-1e9 AS DOUBLE), array(1.0D, 2.0D, 3.0D)) AS below,
+        |  graft_bucket(CAST(1e9 AS DOUBLE), array(1.0D, 2.0D, 3.0D)) AS above,
+        |  graft_bucket(CAST(2.0 AS DOUBLE), array(1.0D, 2.0D, 3.0D)) AS at_bound,
+        |  graft_bucket(CAST(2.0 AS DOUBLE), array(2.0D, 2.0D, 3.0D)) AS dup_skips,
+        |  graft_bucket(CAST(NULL AS DOUBLE), array(1.0D)) AS null_v
+        |""".stripMargin).head()
+    assert(rows.getLong(0) === 0L) // single (-inf, inf) bucket
+    assert(rows.getLong(1) === 0L)
+    assert(rows.getLong(2) === 3L)
+    assert(rows.getLong(3) === 2L) // [b, hi) intervals: v == b goes up
+    assert(rows.getLong(4) === 2L) // duplicate boundary: empty [2,2) skipped
+    assert(rows.isNullAt(5))
+  }
+
   test("explicit boundary source: still a total partition, buckets monotone in value") {
     // q_ks_test's shape: boundaries sketched from a RAW frame, buckets
     // assigned to a DERIVED frame — the intervals must still cover every
