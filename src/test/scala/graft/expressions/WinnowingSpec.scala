@@ -49,6 +49,31 @@ class WinnowingSpec extends SparkSpec {
     assert(c.toSet.intersect(a).isEmpty)
   }
 
+  test("alignment recall holds at larger window/stride configs") {
+    // the production knob turns win/k UP as documents grow (fewer, more
+    // selective fingerprints); the guarantee must not be 64/16-specific.
+    // Same sweep as above at (128, 31) and (256, 63): a span of
+    // win + k − 1 chars must fingerprint at every offset residue mod k.
+    Seq((128, 31), (256, 63)).foreach { case (w, kk) =>
+      val span = ("the shared boilerplate span that must always be detected " * 12)
+        .take(w + kk - 1)
+      assert(span.length === w + kk - 1)
+      val base = "completely unrelated leading content of document a padded out " * 6
+      val a = WinnowFingerprints.compute(base + span, w, kk).toSet
+      (0 until (kk + 5)).foreach { off =>
+        val b = WinnowFingerprints.compute(
+          "zq" * 7 + "different prefix " + ("y" * off) + span + " trailing junk",
+          w, kk)
+        assert(b.toSet.intersect(a).nonEmpty,
+          s"(win=$w, k=$kk) offset $off missed the shared span")
+      }
+      val c = WinnowFingerprints.compute(
+        "zq" * 7 + "different prefix with no common content at all whatsoever " * 6,
+        w, kk)
+      assert(c.toSet.intersect(a).isEmpty, s"(win=$w, k=$kk) false positive")
+    }
+  }
+
   test("graft_winnow SQL surface matches the kernel and stays distinct-sorted") {
     GraftExtensions.register(spark)
     val d = Tables(spark, sf("sf0.001"), "documents").limit(50)

@@ -89,4 +89,41 @@ class PqIndexSpec extends SparkSpec {
     val recall = hits.toDouble / nProbes
     assert(recall >= 0.25, s"k=16 recall@10 = $recall")
   }
+
+  test("k=64 codebooks on the 10x corpus: codes valid, recall floor holds") {
+    // the production setting scales k with the corpus; exercise the PQ
+    // path at k=64 over the sf0.01 corpus (500 vectors — k=64 needs a
+    // corpus larger than the codebook, which sf0.001's 50 cannot seed)
+    val emb01 = Tables(spark, sf("sf0.01"), "embeddings")
+    val n = emb01.count().toInt
+    assert(n > 64)
+    val cb = PqIndex.train(emb01, m = 4, k = 64, iters = 3)
+    assert(cb.books.size === 4 && cb.books.forall(_._2.size === 64))
+    val enc = PqIndex.encode(emb01, cb)
+    assert(enc.count() === n)
+    assert(enc.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 64).count() === 0)
+
+    val probes = emb01.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val nProbes = probes.count().toInt
+    val cands = emb01.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("cand_id"))
+    val exact = probes.crossJoin(cands)
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("d2",
+        expr("graft_fdot(pe, pe)") + expr("graft_fdot(ce, ce)") -
+          lit(2.0) * expr("graft_fdot(pe, ce)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("probe_id"), col("cand_id").as("true_id"))
+    val hits = PqIndex.search(cb, enc, probes, 10)
+      .join(exact, "probe_id")
+      .filter(col("cand_id") === col("true_id")).count()
+    val recall = hits.toDouble / nProbes
+    // 10x corpus, 4x codebook: the k=16 floor must at least carry over
+    // (random recall@10 here is 10/500 = 2%)
+    assert(recall >= 0.25, s"k=64 recall@10 = $recall on n=$n")
+  }
 }
