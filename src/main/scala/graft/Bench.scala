@@ -76,7 +76,7 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // durable full per-query record (the driver's BENCH artifact keeps
     // only a tail — per-query history was being lost between rounds);
@@ -95,5 +95,8 @@ object Bench {
         System.err.println(s"[bench] durable record skipped: ${e.getMessage}")
     }
     spark.stop()
+    // a DNF'd query is a red run — automation keying on the exit code
+    // must not read it as green (the JSON line above is still printed)
+    if (errors.nonEmpty) sys.exit(2)
   }
 }

@@ -13,9 +13,11 @@ import graft.streaming.EventStreams
   * re-expressed over the benchmark tables, plus the batch twin of the
   * streaming tumbling-window aggregate.
   *
-  * q_fuzzy_match has no SQL oracle (token_set_ratio is not expressible in
-  * DuckDB) → the driver records a rows-only check; its kernel is verified
-  * against published rapidfuzz vectors in FuzzyMatchSpec instead.
+  * q_fuzzy_match is FULLY oracled as of round 6: the token_set_ratio
+  * kernel became SQL-reproducible (the q_token_set_scores recursive-CTE
+  * LCS replay), which makes the whole selection tail — short-circuit,
+  * threshold, top-1 — reproducible too. Ranking and thresholding happen
+  * on 6-dp ROUNDED scores so float ties cannot flip between engines.
   */
 object FuzzyQueries extends QueryPack {
 
@@ -48,13 +50,14 @@ object FuzzyQueries extends QueryPack {
             // tokenization hoisted out of the pair loop (per row, not per
             // pair); native expression avoids the UDF converter layer
             .otherwise(expr("graft_token_set_ratio(probe_toks, cand_toks)")))
-        .withColumn("score",
-          when(col("raw_score") <= 55.0, lit(null)).otherwise(col("raw_score")))
-        .filter(col("score").isNotNull)
+        // threshold + rank on the 6-dp ROUNDED score: this is what makes
+        // the selection tail oracle-able (double ties can't flip engines)
+        .withColumn("score", round(col("raw_score"), 6))
+        .filter(col("score") > 55.0)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("probe_id"), col("cand_id").as("best_cand"),
-          round(col("score"), 4).as("best_score"))
+          col("score").as("best_score"))
         .orderBy(col("probe_id"))
     }),
 
@@ -218,6 +221,82 @@ object FuzzyQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // The FULL fuzzy pipeline replay: q_token_set_scores' recursive-CTE
+    // LCS kernel over the unrestricted candidate set, then the exact
+    // selection tail — exact-name short-circuit, >55 threshold on the
+    // rounded score, top-1 per probe by (score DESC, cand_id).
+    "q_fuzzy_match" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT c_custkey AS probe_id, c_nationkey AS nk,
+        |    'customer ' || CAST(c_custkey AS VARCHAR) AS probe_name
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |), c AS (
+        |  SELECT c_custkey AS cand_id, c_nationkey AS nk,
+        |    replace(lower(c_name), '#', ' ') AS cand_name
+        |  FROM customer
+        |), parts AS (
+        |  SELECT probe_id, cand_id, probe_name, cand_name, ta, tb,
+        |    list_filter(ta, x -> list_contains(tb, x)) AS com,
+        |    list_filter(ta, x -> NOT list_contains(tb, x)) AS ra,
+        |    list_filter(tb, x -> NOT list_contains(ta, x)) AS rb
+        |  FROM (
+        |    SELECT probe_id, cand_id, probe_name, cand_name,
+        |      list_sort(list_filter(list_distinct(string_split(probe_name, ' ')), x -> x <> '')) AS ta,
+        |      list_sort(list_filter(list_distinct(string_split(cand_name, ' ')), x -> x <> '')) AS tb
+        |    FROM p JOIN c USING (nk))
+        |), strs AS (
+        |  SELECT probe_id, cand_id, probe_name, cand_name, ta, tb, com, ra, rb,
+        |    array_to_string(com, ' ') AS t0,
+        |    array_to_string(list_concat(com, ra), ' ') AS t1,
+        |    array_to_string(list_concat(com, rb), ' ') AS t2
+        |  FROM parts
+        |), dp AS (
+        |  SELECT probe_id, cand_id, t1 AS s, t2 AS t, 0 AS i,
+        |    list_transform(generate_series(0, length(t1)), x -> 0) AS row
+        |  FROM strs
+        |  WHERE probe_name <> cand_name
+        |    AND len(ta) > 0 AND len(tb) > 0
+        |    AND NOT (len(com) > 0 AND len(ra) = 0 AND len(rb) = 0)
+        |  UNION ALL
+        |  SELECT probe_id, cand_id, s, t, i + 1,
+        |    list_transform(generate_series(0, length(s)), j ->
+        |      CASE WHEN j = 0 THEN 0 ELSE
+        |        greatest(row[j + 1],
+        |          COALESCE(list_max(list_transform(generate_series(1, j), jj ->
+        |            CASE WHEN s[jj] = t[i + 1] THEN row[jj] + 1 ELSE NULL END)), 0))
+        |      END) AS row
+        |  FROM dp WHERE i < length(t)
+        |), lcs AS (
+        |  SELECT probe_id, cand_id, row[length(s) + 1] AS l12,
+        |    length(s) AS len1, length(t) AS len2
+        |  FROM dp WHERE i = length(t)
+        |), scored AS (
+        |  SELECT s.probe_id, s.cand_id,
+        |    CASE
+        |      WHEN probe_name = cand_name THEN 100.0
+        |      WHEN len(ta) = 0 AND len(tb) = 0 THEN 100.0
+        |      WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0
+        |      WHEN len(com) > 0 AND len(ra) = 0 AND len(rb) = 0 THEN 100.0
+        |      ELSE greatest(
+        |        CASE WHEN length(t0) + length(t1) = 0 THEN 100.0
+        |          ELSE CAST(2 * length(t0) AS DOUBLE) / (length(t0) + length(t1)) * 100 END,
+        |        CASE WHEN length(t0) + length(t2) = 0 THEN 100.0
+        |          ELSE CAST(2 * length(t0) AS DOUBLE) / (length(t0) + length(t2)) * 100 END,
+        |        CAST(2 * l.l12 AS DOUBLE) / (l.len1 + l.len2) * 100)
+        |    END AS score
+        |  FROM strs s LEFT JOIN lcs l
+        |    ON s.probe_id = l.probe_id AND s.cand_id = l.cand_id
+        |), sel AS (
+        |  SELECT probe_id, cand_id, ROUND(score, 6) AS score
+        |  FROM scored WHERE ROUND(score, 6) > 55.0
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+        |  FROM sel
+        |)
+        |SELECT probe_id, cand_id AS best_cand, score AS best_score
+        |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
     // Replays the published token_set_ratio algorithm end to end.
     // LCS(t1, t2) is a real dynamic program in a recursive CTE: one
     // iteration per character of t2, each carrying the DP row as a LIST;

@@ -260,6 +260,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"log-sized sort-merge join crept in:\n$p")
   }
 
+  test("event-family windows keep their partition keys (no single-task window)") {
+    // the sessionize / rolling / as-of plans all window per user — at
+    // 100 TB an empty partitionSpec would funnel the whole event log
+    // through ONE task. q_global_rownum's bucket decomposition is already
+    // guarded above; this pins its event cousins after the round-6 restore.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_sessionize", "q_rolling_1h", "q_asof_join",
+        "q_asof_forward", "q_window_lag", "q_event_paths")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val windows = plan.collect { case w: WindowExec => w }
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$q: window with empty partition spec over the event log:\n$w")
+      }
+    }
+  }
+
   test("PII scan is map-only: no exchange before the presentation sort") {
     val p = plan("q_pii_scan")
     // exactly one exchange — the rangepartitioning for the final ORDER BY

@@ -55,11 +55,14 @@ class FuzzyMatchPipelineSpec extends SparkSpec {
   }
 
   test("declared q_fuzzy_match equals an independent driver-side recomputation") {
-    // the driver records q_fuzzy_match rows-only (no SQL oracle for the
-    // kernel) — this pins the WHOLE declared query, blocking + scoring +
-    // threshold + top-1, against a from-scratch reimplementation over the
-    // raw-string UDF kernel (itself verified against published rapidfuzz
-    // vectors in FuzzyMatchSpec)
+    // q_fuzzy_match now ALSO has a full DuckDB oracle (round 6); this spec
+    // keeps the third, independent check — the WHOLE declared query,
+    // blocking + scoring + threshold + top-1, against a from-scratch
+    // reimplementation over the raw-string UDF kernel (itself verified
+    // against published rapidfuzz vectors in FuzzyMatchSpec). The declared
+    // query thresholds/ranks on 6-dp rounded scores; mirror that here.
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val got = graft.queries.FuzzyQueries.queries("q_fuzzy_match")(spark, sf("sf0.001"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val cust = graft.Tables(spark, sf("sf0.001"), "customer")
@@ -74,7 +77,7 @@ class FuzzyMatchPipelineSpec extends SparkSpec {
       val scored = cands.filter(_._2 == pnk).map { case (ck, _, cname) =>
         val raw = if (probeName == cname) 100.0
           else graft.functions.FuzzyMatch.tokenSetRatio(probeName, cname)
-        (ck, raw)
+        (ck, r6(raw))
       }.filter(_._2 > 55.0)
       if (scored.isEmpty) None
       else Some(pk -> scored.minBy { case (ck, s) => (-s, ck) })
@@ -82,9 +85,7 @@ class FuzzyMatchPipelineSpec extends SparkSpec {
     assert(got.keySet === expected.keySet)
     expected.foreach { case (pk, (ck, s)) =>
       assert(got(pk)._1 === ck, s"probe $pk best-cand mismatch")
-      assert(math.abs(got(pk)._2 - BigDecimal(s).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
-        s"probe $pk score mismatch")
+      assert(math.abs(got(pk)._2 - s) < 1e-9, s"probe $pk score mismatch")
     }
   }
 

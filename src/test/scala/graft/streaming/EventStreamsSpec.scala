@@ -17,12 +17,11 @@ class EventStreamsSpec extends SparkSpec {
       .collect()
     assert(expected.nonEmpty)
 
-    // stage the parquet in a stream-source directory
+    // stage the normalized events (canonical nanos-long ts) in a
+    // stream-source directory — staging the raw file would reintroduce
+    // whatever physical ts type the generator used
     val dir = Files.createTempDirectory("graft-stream").toString
-    Files.copy(
-      Paths.get(sf("sf0.001"), "events.parquet"),
-      Paths.get(dir, "events.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    batchEvents.write.mode("overwrite").parquet(dir)
 
     val streamed = spark.readStream
       .schema(batchEvents.schema)
@@ -54,10 +53,7 @@ class EventStreamsSpec extends SparkSpec {
     assert(expected.nonEmpty)
 
     val dir = Files.createTempDirectory("graft-ssj").toString
-    Files.copy(
-      Paths.get(sf("sf0.001"), "events.parquet"),
-      Paths.get(dir, "events.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    batchEvents.write.mode("overwrite").parquet(dir)
     // two independent stream readers over the same source, filtered to
     // the two event roles — the join is genuinely stream-stream
     def streamOf(tpe: String) = spark.readStream
@@ -90,12 +86,10 @@ class EventStreamsSpec extends SparkSpec {
     assert(expected.nonEmpty)
 
     val dir = Files.createTempDirectory("graft-enrich").toString
-    Files.copy(
-      Paths.get(sf("sf0.001"), "events.parquet"),
-      Paths.get(dir, "events.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    val plainEvents = Tables(spark, sf("sf0.001"), "events")
+    plainEvents.write.mode("overwrite").parquet(dir)
     val streamed = spark.readStream
-      .schema(Tables(spark, sf("sf0.001"), "events").schema)
+      .schema(plainEvents.schema)
       .parquet(dir)
       .withColumn("dim_key", col("user_id") % 25)
     val query = EventStreams
@@ -123,10 +117,7 @@ class EventStreamsSpec extends SparkSpec {
       .collect().toSet
 
     val dir = Files.createTempDirectory("graft-ssjo").toString
-    Files.copy(
-      Paths.get(sf("sf0.001"), "events.parquet"),
-      Paths.get(dir, "events.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    batchEvents.write.mode("overwrite").parquet(dir)
     def streamOf(tpe: String) = spark.readStream
       .schema(batchEvents.schema).parquet(dir)
       .filter(col("event_type") === tpe)

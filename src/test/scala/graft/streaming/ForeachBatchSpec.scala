@@ -15,10 +15,9 @@ class ForeachBatchSpec extends SparkSpec {
     val events = Tables(spark, sf("sf0.001"), "events")
     val landing = Files.createTempDirectory("graft-landing").toString
     val outDir = Files.createTempDirectory("graft-fb-out").toString
-    Files.copy(
-      Paths.get(sf("sf0.001"), "events.parquet"),
-      Paths.get(landing, "events.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    // stage the NORMALIZED events (canonical nanos-long ts), not the raw
+    // file, so the declared stream schema always matches the staged data
+    events.write.mode("overwrite").parquet(landing)
 
     val q = spark.readStream
       .schema(events.schema)
@@ -45,10 +44,7 @@ class ForeachBatchSpec extends SparkSpec {
     val events = Tables(spark, sf("sf0.001"), "events")
     val landing = Files.createTempDirectory("graft-idem-landing").toString
     val sink = Files.createTempDirectory("graft-idem-sink").toString + "/out"
-    Files.copy(
-      Paths.get(sf("sf0.001"), "events.parquet"),
-      Paths.get(landing, "events.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    events.write.mode("overwrite").parquet(landing)
 
     var lastBatch: org.apache.spark.sql.DataFrame = null
     var lastId = -1L

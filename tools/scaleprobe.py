@@ -70,11 +70,11 @@ def replica_select(table, i, src):
         # disjoint per-replica user/event id spaces: groups and join
         # keys grow linearly, no manufactured hot keys or cross-replica
         # matches; timestamps unchanged so window population scales
-        # ts: the source parquet is TIMESTAMP(NANOS) (TESTDATA.md), which
-        # the engine reads as a nanos BIGINT via nanosAsLong. DuckDB's
-        # parquet writer demotes TIMESTAMP_NS to micros, silently changing
-        # the type Spark sees — so the replica writes the nanos BIGINT
-        # directly (Spark reads the identical LONG either way)
+        # ts: written as the nanos BIGINT directly — the generator has
+        # shipped both TIMESTAMP(NANOS) and TIMESTAMP_MICROS over rounds,
+        # and Tables.normalizeEvents canonicalizes every physical form
+        # (micros TIMESTAMP/NTZ or nanos BIGINT) to the same nanos LONG,
+        # so the probe data matches whatever the source carried
         return (f"SELECT * REPLACE (event_id + {off} AS event_id, "
                 f"user_id + {off} AS user_id, "
                 f"CAST(epoch_ns(ts) AS BIGINT) AS ts) FROM read_parquet('{src}')")
