@@ -73,4 +73,42 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.latestByPrefix(spark, dir, "missing_").isEmpty)
     assert(Sources.latestByPrefix(spark, dir + "/nope", "x").isEmpty)
   }
+
+  test("K3: publish/latest cycle resolves the filesystem FROM THE PATH SCHEME") {
+    // The production deploy story is "point destDir at s3a://bucket/…" —
+    // which only works if the seam resolves the Hadoop FileSystem from the
+    // path scheme instead of assuming the local FS. s3a itself needs
+    // credentials + egress, so this registers a custom `mock:` scheme
+    // (backed by a RawLocalFileSystem subclass, the same registration
+    // mechanism `fs.s3a.impl` uses) and runs the full publish → list →
+    // read-back cycle over mock: URIs. Passing proves: scheme-based FS
+    // lookup, cross-filesystem copy (file: source → mock: dest), and that
+    // the returned/latest paths keep the destination scheme.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock.impl", classOf[MockBucketFileSystem].getName)
+    try {
+      val src = Files.createTempDirectory("graft-mock-src")
+      val f = src.resolve("main.json")
+      Files.writeString(f, """{"k":"mockfs"}""")
+      val destLocal = Files.createTempDirectory("graft-mock-bucket").toString
+      val dest = s"mock:$destLocal"
+      val p1 = Sources.publishWithRunId(spark, f.toString, dest, "main", "20240101-000000")
+      val p2 = Sources.publishWithRunId(spark, f.toString, dest, "main", "20240301-120000")
+      assert(p1.startsWith("mock:"), s"published path lost its scheme: $p1")
+      val latest = Sources.latestByPrefix(spark, dest, "main_")
+      assert(latest.contains(p2))
+      // the bytes really landed through the mock FS onto its backing store
+      assert(Files.readString(java.nio.file.Paths.get(
+        destLocal, "main_20240301-120000.json")) === """{"k":"mockfs"}""")
+    } finally conf.unset("fs.mock.impl")
+  }
+}
+
+/** A `mock:` scheme registered like any object-store connector
+  * (`fs.mock.impl`, the `fs.s3a.impl` mechanism) but backed by the local
+  * filesystem — lets the specs prove scheme-resolved FileSystem dispatch
+  * without egress. */
+class MockBucketFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mock"
+  override def getUri: java.net.URI = java.net.URI.create("mock:///")
 }
