@@ -606,6 +606,49 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-safe train/val/test split — the assignment unit is the
+    // NEAR-DUP CLUSTER, not the document: splitting by doc id lets a
+    // training document's near-duplicate land in the eval split and leak
+    // the answer (the standard contamination failure the dedup family
+    // exists to prevent). Clusters come from the same LSH-pair connected
+    // components as q_dedup_components (singletons are their own
+    // cluster); each cluster hashes to an 80/10/10 bucket via the
+    // portable integer hash, so membership is deterministic and engine-
+    // reproducible. Output: per-split doc/cluster counts plus a
+    // cross-checked leakage count — the oracle RECOMPUTES clusters-
+    // straddling-splits independently, pinning it at zero. At 100 TB
+    // this is the component labels (log-round propagation) + one
+    // broadcast-sized aggregate: no new shuffle beyond the dedup family
+    // itself.
+    "q_leakage_split" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val docs = t(s, dir, "documents")
+      val pairs = verifyPairs(lshCandidatePairs(signatures(docs)), hashedTokset(docs))
+        .filter(col("jac") >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      val (labels, _) = graft.operators.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+      val assign = docs.select(col("doc_id"))
+        .join(labels.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+        .withColumn("bucket",
+          expr("cluster_id % 1000000007 * 2654435761 % 1000000007 % 10"))
+        .withColumn("split",
+          when(col("bucket") < 8, lit("train"))
+            .when(col("bucket") === 8, lit("val"))
+            .otherwise(lit("test")))
+      // independent leakage count: clusters whose members straddle splits
+      // (zero by construction — the oracle recomputes it from scratch)
+      val leak = assign.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("nsplits"))
+        .agg(sum((col("nsplits") > 1).cast("long")).as("n_leaky_clusters"))
+      assign.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .join(broadcast(leak))
+        .orderBy(col("split"))
+    }),
+
     // The scale path of the jaccard top-k family: candidates come from
     // the MinHash BAND JOIN (probe-side bands broadcast against corpus
     // bands — bucket keyspace PM² per band, occupancy stays ~constant as
@@ -1164,6 +1207,43 @@ object TextQueries extends QueryPack {
          |)
          |SELECT s AS doc_id, least(s, min(t)) AS component_id
          |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE ${sigCte()}, ${lshPairsCte("documents")}, pe AS (
+         |  SELECT doc_a, doc_b FROM verified WHERE jac >= 0.3
+         |), e2 AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM pe
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS t FROM pe
+         |), reach(s, t) AS (
+         |  SELECT s, t FROM e2
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN e2 e ON r.t = e.s
+         |), labels AS (
+         |  SELECT s AS doc_id, least(s, min(t)) AS component_id
+         |  FROM reach GROUP BY s
+         |), assign AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(l.component_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l USING (doc_id)
+         |), spl AS (
+         |  SELECT doc_id, cluster_id,
+         |    CASE
+         |      WHEN cluster_id % 1000000007 * 2654435761 % 1000000007 % 10 < 8 THEN 'train'
+         |      WHEN cluster_id % 1000000007 * 2654435761 % 1000000007 % 10 = 8 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM assign
+         |), leak AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_clusters FROM (
+         |    SELECT cluster_id FROM spl
+         |    GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1)
+         |)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  n_leaky_clusters
+         |FROM spl CROSS JOIN leak
+         |GROUP BY split, n_leaky_clusters
+         |ORDER BY split""".stripMargin,
 
     "q_jaccard_topk_lsh" ->
       s"""WITH u AS (
