@@ -78,6 +78,48 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // CORPUS-FREQUENCY boilerplate removal — the CCNet/RefinedWeb rule
+    // q_line_filter (per-doc heuristics) cannot express: a segment is
+    // boilerplate when it recurs across ≥1% of DISTINCT documents
+    // (nav bars, disclaimers, subscribe prompts), whatever its content.
+    // The synthetic corpus has no natural recurring segments, so the
+    // query plants two (the dedup family's injection pattern) on
+    // deterministic doc_id slices and must strip exactly those. Scale
+    // shape: the frequency pass shuffles (md5, doc_id) pairs — never
+    // segment text; the boilerplate set is corpus-frequency-bounded
+    // (≤100 segments can each cover ≥1% of docs... per unique text;
+    // in practice tiny) and broadcasts into a map-side anti join; the
+    // only corpus-sized shuffle is the doc_id regroup for reassembly,
+    // the same exchange q_chunk_dedup pays.
+    "q_boilerplate_strip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 5 < 2,
+            lit(" | subscribe to our newsletter for updates")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" | all rights reserved")).otherwise(lit(""))))
+      val segs = d.select(col("doc_id"),
+          posexplode(split(col("text2"), " \\| ")).as(Seq("pos", "seg")))
+      val total = d.select(count(lit(1)).as("n_docs"))
+      val boiler = segs
+        .groupBy(md5(col("seg")).as("fp"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .join(broadcast(total))
+        .filter(col("nd") * 100 >= col("n_docs"))
+        .select(col("fp"))
+      val kept = segs.join(broadcast(boiler),
+        md5(col("seg")) === col("fp"), "left_anti")
+      kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" | ", expr(
+            "transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"))
+            .as("cleaned"))
+        .join(segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_segs"), col("n_kept"), col("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-corpus span-level exact dedup (the "remove duplicated
     // passages, not whole documents" operator): docs are cut into 8-word
     // chunks, the first global occurrence of each chunk (by doc_id, then
@@ -304,6 +346,41 @@ object PipelineQueries extends QueryPack {
         |  CAST(len(kept) AS BIGINT) AS n_kept,
         |  COALESCE(array_to_string(kept, ' | '), '') AS cleaned
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 < 2
+        |      THEN ' | subscribe to our newsletter for updates' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' | all rights reserved' ELSE '' END AS text2
+        |  FROM documents
+        |), segs AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(text2, ' | ')))) AS pos,
+        |    unnest(string_split(text2, ' | ')) AS seg
+        |  FROM d
+        |), total AS (
+        |  SELECT COUNT(*) AS n_docs FROM d
+        |), boiler AS (
+        |  SELECT md5(seg) AS fp
+        |  FROM segs, total
+        |  GROUP BY md5(seg), n_docs
+        |  HAVING COUNT(DISTINCT doc_id) * 100 >= n_docs
+        |), kept AS (
+        |  SELECT doc_id, pos, seg FROM segs
+        |  WHERE md5(seg) NOT IN (SELECT fp FROM boiler)
+        |), a AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(seg, ' | ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs
+        |  FROM segs GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_segs, n_kept, cleaned
+        |FROM a JOIN tot USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_chunk_dedup" ->
       """WITH d AS (
