@@ -649,6 +649,59 @@ object TextQueries extends QueryPack {
         .orderBy(col("split"))
     }),
 
+    // INCREMENTAL ingest dedup — the production shape every batch
+    // pipeline needs: dedup a NEW batch against the EXISTING corpus
+    // without ever pairing corpus×corpus (the corpus's own dups were
+    // handled when ITS batches landed). Batch = the doc_id % 10 slice
+    // plus perturbed copies of corpus docs (id+500000, 1-token tail) so
+    // known near-dups exist; the batch's band table BROADCASTS against
+    // the streaming corpus bands (batch << corpus in production — the
+    // candidate join is map-side, corpus never shuffles), candidates
+    // verify by exact Jaccard, and each batch doc emits its admit/reject
+    // decision with the best corpus match. Per-batch cost: one corpus
+    // scan + bounded band-bucket candidates — at 100 TB the corpus
+    // bands would be a persisted index, making the scan incremental too.
+    "q_dedup_incremental" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val all = t(s, dir, "documents")
+      val injected = all.filter(col("doc_id") % 40 === 1)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      val u = all.select(col("doc_id"), col("text")).unionByName(injected)
+      val isBatch = col("doc_id") % 10 === 0 || col("doc_id") >= 500000
+      val sig = signatures(u)
+      val bandStructs = (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          (col(s"mh${2 * b}") * lit(PM) + col(s"mh${2 * b + 1}")).as("bkey"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      val batchBands = bands.filter(isBatch)
+        .select(col("doc_id").as("bid"), col("band"), col("bkey"))
+      val corpusBands = bands.filter(!isBatch)
+      val cand = corpusBands
+        .join(broadcast(batchBands), Seq("band", "bkey"))
+        .select(col("bid"), col("doc_id").as("cid"))
+        .distinct()
+      val toks = hashedTokset(u)
+      val scored = cand
+        .join(toks.select(col("doc_id").as("bid"), col("tset").as("ta")), "bid")
+        .join(toks.select(col("doc_id").as("cid"), col("tset").as("tb")), "cid")
+        .withColumn("jac", r6(expr("graft_jaccard_sorted(ta, tb)")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bid")).orderBy(col("jac").desc, col("cid"))
+      val best = scored.filter(col("jac") >= 0.3)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("bid"), col("cid").as("match_id"), col("jac").as("match_jac"))
+      u.filter(isBatch).select(col("doc_id"))
+        .join(best.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("match_id").isNotNull.as("is_dup"),
+          col("match_id"), col("match_jac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The scale path of the jaccard top-k family: candidates come from
     // the MinHash BAND JOIN (probe-side bands broadcast against corpus
     // bands — bucket keyspace PM² per band, occupancy stays ~constant as
@@ -1244,6 +1297,43 @@ object TextQueries extends QueryPack {
          |FROM spl CROSS JOIN leak
          |GROUP BY split, n_leaky_clusters
          |ORDER BY split""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 500000 AS doc_id, text || ' extra' AS text
+         |  FROM documents WHERE doc_id % 40 = 1
+         |), ${sigCte("u")}, bands AS (
+         |  ${(0 until nBands).map { b =>
+             s"SELECT doc_id, $b AS band, mh${2 * b} * $PM + mh${2 * b + 1} AS bkey FROM mh"
+           }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+         |  FROM bands bb JOIN bands cb
+         |    ON bb.band = cb.band AND bb.bkey = cb.bkey
+         |  WHERE (bb.doc_id % 10 = 0 OR bb.doc_id >= 500000)
+         |    AND NOT (cb.doc_id % 10 = 0 OR cb.doc_id >= 500000)
+         |), toksets AS (
+         |  SELECT doc_id, list_distinct(${tokenHashesDuck("text")}) AS tset
+         |  FROM u
+         |), scored AS (
+         |  SELECT bid, cid,
+         |    ROUND(${jaccardDuck("ta.tset", "tb.tset")}, 6) AS jac
+         |  FROM cand
+         |  JOIN toksets ta ON ta.doc_id = bid
+         |  JOIN toksets tb ON tb.doc_id = cid
+         |), best AS (
+         |  SELECT bid, cid, jac, row_number() OVER
+         |    (PARTITION BY bid ORDER BY jac DESC, cid) AS rn
+         |  FROM scored WHERE jac >= 0.3
+         |)
+         |SELECT u.doc_id,
+         |  best.cid IS NOT NULL AS is_dup,
+         |  best.cid AS match_id, best.jac AS match_jac
+         |FROM u LEFT JOIN best ON best.bid = u.doc_id AND best.rn = 1
+         |WHERE u.doc_id % 10 = 0 OR u.doc_id >= 500000
+         |ORDER BY u.doc_id""".stripMargin,
 
     "q_jaccard_topk_lsh" ->
       s"""WITH u AS (
