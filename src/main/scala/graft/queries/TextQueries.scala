@@ -649,6 +649,36 @@ object TextQueries extends QueryPack {
         .orderBy(col("split"))
     }),
 
+    // Keep-BEST-per-cluster canonical selection — the other real dedup
+    // policy besides keep-first: inside each near-dup cluster keep the
+    // highest-quality member (longest document — the "most complete
+    // version of the page" rule; ties by doc_id). Clusters are the same
+    // LSH-pair connected components as q_dedup_components, singletons
+    // their own cluster; selection is one rank window over the
+    // cluster-keyed frame — nothing beyond the dedup family's own cost.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val docs = t(s, dir, "documents")
+      val pairs = verifyPairs(lshCandidatePairs(signatures(docs)), hashedTokset(docs))
+        .filter(col("jac") >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      val (labels, _) = graft.operators.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+      val assign = docs.select(col("doc_id"), col("n_chars"))
+        .join(labels.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      assign
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+          max(when(col("rn") === 1, col("n_chars"))).as("kept_n_chars"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // INCREMENTAL ingest dedup — the production shape every batch
     // pipeline needs: dedup a NEW batch against the EXISTING corpus
     // without ever pairing corpus×corpus (the corpus's own dups were
@@ -1297,6 +1327,34 @@ object TextQueries extends QueryPack {
          |FROM spl CROSS JOIN leak
          |GROUP BY split, n_leaky_clusters
          |ORDER BY split""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${sigCte()}, ${lshPairsCte("documents")}, pe AS (
+         |  SELECT doc_a, doc_b FROM verified WHERE jac >= 0.3
+         |), e2 AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM pe
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS t FROM pe
+         |), reach(s, t) AS (
+         |  SELECT s, t FROM e2
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN e2 e ON r.t = e.s
+         |), labels AS (
+         |  SELECT s AS doc_id, least(s, min(t)) AS component_id
+         |  FROM reach GROUP BY s
+         |), assign AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    COALESCE(l.component_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l USING (doc_id)
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM assign
+         |)
+         |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+         |  MAX(CASE WHEN rn = 1 THEN n_chars END) AS kept_n_chars
+         |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q_dedup_incremental" ->
       s"""WITH u AS (
