@@ -37,13 +37,25 @@ object Tables {
     val df =
       try spark.read.parquet(path)
       catch {
-        case e: Exception if describes(e, "NANOS") =>
-          // Legacy TIMESTAMP(NANOS) data: only readable as a raw long.
-          // The conf must stay set for the scan's execution, so it is
-          // intentionally not reset here (harmless for micros data, and
-          // only reachable when the data actually is nanos).
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(path)
+        case e: Exception if isNanosParquetError(e) =>
+          // Legacy TIMESTAMP(NANOS) data: only readable as a raw long
+          // under spark.sql.legacy.parquet.nanosAsLong. The conf is
+          // consulted at scan EXECUTION, not at read() — so the frame is
+          // materialized (localCheckpoint) while the conf is scoped, and
+          // the session conf is restored before returning: no later read
+          // in the session can silently inherit nanos-as-long semantics
+          // (that would mask exactly the drift TableSchemaSpec exists to
+          // catch). The materialization cost is confined to this legacy
+          // escape hatch; at cluster scale, legacy nanos data should be
+          // converted once by a dedicated job instead.
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "true")
+          try spark.read.parquet(path).localCheckpoint(true)
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None    => spark.conf.unset(key)
+          }
       }
     df.schema("ts").dataType match {
       case LongType => df // already nanos-since-epoch
@@ -60,9 +72,21 @@ object Tables {
     }
   }
 
-  private def describes(e: Throwable, needle: String): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5)
-      .exists(t => Option(t.getMessage).exists(_.contains(needle)))
+  /** True when the failure is Spark refusing a TIMESTAMP(NANOS) parquet
+    * column. Primary match is the Spark error condition
+    * (ILLEGAL_PARQUET_TYPE — stable across versions, per ADVICE r6);
+    * the message-substring check is kept as a fallback for versions
+    * that wrap the error without the condition. */
+  private def isNanosParquetError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5).exists { t =>
+      val condition = t match {
+        case st: org.apache.spark.SparkThrowable => Option(st.getCondition)
+        case _ => None
+      }
+      (condition.contains("ILLEGAL_PARQUET_TYPE") &&
+        Option(t.getMessage).exists(_.contains("NANOS"))) ||
+        Option(t.getMessage).exists(_.contains("TIMESTAMP(NANOS"))
+    }
 
   /** events.ts (canonical nanos long) → microseconds-since-epoch (the
     * precision DuckDB and Spark share; oracle side is `epoch_ns(ts)//1000`,

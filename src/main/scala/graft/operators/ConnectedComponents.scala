@@ -39,8 +39,12 @@ object ConnectedComponents {
     var labels = e2.select(col("s").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
+    // empty-graph sum is NULL (no vertices — e.g. an incremental-update
+    // round where the batch matched nothing): treat as 0 so the loop
+    // converges immediately and returns the empty label frame
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = lblSum(labels)
     var rounds = 0
     var converged = false

@@ -177,6 +177,37 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Domain-level frequency capping — the RefinedWeb/C4 sibling of
+    // q_lang_rebalance: keep at most k docs per REGISTRABLE DOMAIN so a
+    // single prolific site cannot dominate the training mixture. The URL
+    // is synthesized per doc (q_url_parse's provenance convention, plus a
+    // rotating subdomain so host ≠ domain), the host comes from Spark's
+    // parse_url kernel, the registrable domain from a suffix regex, and
+    // selection is ONE rank window over the domain key — highest-quality
+    // (longest) docs survive, ties by doc_id. The oracle re-derives the
+    // domain directly from `source`, so the parse_url→regexp chain is
+    // pinned against an independent derivation. At 100 TB: one window
+    // shuffle on the domain key, nothing else.
+    "q_domain_cap" -> ((s, dir) => {
+      val k = 15
+      val d = t(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://"),
+            element_at(array(lit("www."), lit("m."), lit("")),
+              (col("doc_id") % 3 + 1).cast("int")),
+            col("source"), lit(".example.org/docs/"),
+            col("doc_id").cast("string")))
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .withColumn("domain",
+          regexp_extract(col("host"), "([^.]+\\.example\\.org)$", 1))
+      d.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("domain"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .select(col("doc_id"), col("domain"), col("rnk"),
+          (col("rnk") <= k).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Mode (most frequent value) per group with a deterministic tie-break
     // — pandas .mode().iloc[0] / value_counts().idxmax(). Two hash aggs +
     // one tiny window over the (source, lang) count frame; the corpus is
@@ -427,6 +458,21 @@ object PipelineQueries extends QueryPack {
         |)
         |SELECT doc_id, lang, rn FROM r, m WHERE rn <= m.m
         |ORDER BY doc_id""".stripMargin,
+
+    // Independent derivation: domain straight from `source`, bypassing
+    // the synthesized URL / parse_url / regex chain the Spark side uses.
+    "q_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, source || '.example.org' AS domain
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, domain,
+        |    CAST(row_number() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS rnk
+        |  FROM d
+        |)
+        |SELECT doc_id, domain, rnk, rnk <= 15 AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_mode" ->
       """WITH c AS (

@@ -26,58 +26,25 @@ object TextQueries extends QueryPack {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  private val nMinhash = 8
-  private val nBands = 4 // 2 rows per band
+  // The MinHash/LSH kernel (signatures → bands → candidate pairs →
+  // exact-Jaccard verify) lives in operators.DedupIndex — the persisted,
+  // incrementally-updatable production form. These thin aliases keep the
+  // ad-hoc queries and the oracle CTE builders on that single source.
+  import graft.operators.DedupIndex
+  private val nMinhash = DedupIndex.nMinhash
+  private val nBands = DedupIndex.nBands
 
-  /** Spark-side signature table: doc_id, distinct token set, mh0..mh7.
-    * The repartition between computing `sh` and the 8 minhash projections
-    * is a deliberate pipeline barrier: without it CollapseProject inlines
-    * the shingle-array expression into every minhash (8× recompute per
-    * row). At scale doc_id is the natural partition key anyway. */
-  private def signatures(docs: DataFrame): DataFrame = {
-    val mh = (0 until nMinhash).map(i => expr(minhashSpark("sh", i)).as(s"mh$i"))
-    docs
-      .withColumn("th", expr(tokenHashesSpark("text")))
-      .withColumn("sh", expr(shingleHashesSpark("th")))
-      .select(col("doc_id"), col("text"), col("sh"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id") +: col("text") +: mh: _*)
-  }
+  private def signatures(docs: DataFrame): DataFrame =
+    DedupIndex.signatures(docs)
 
-  /** LSH banding over a signature frame → distinct candidate (doc_a,
-    * doc_b) pairs, doc_a < doc_b. Single source for every near-dup query
-    * (twin of the oracle's lshPairsCte). */
-  private def lshCandidatePairs(sig: DataFrame): DataFrame = {
-    val bandStructs = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        (col(s"mh${2 * b}") * lit(PM) + col(s"mh${2 * b + 1}")).as("bkey"))
-    }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-  }
+  private def lshCandidatePairs(sig: DataFrame): DataFrame =
+    DedupIndex.candidatePairs(DedupIndex.bandTable(sig))
 
-  /** Exact-Jaccard verification of candidate pairs against SORTED DISTINCT
-    * TOKEN-HASH sets — the merge kernel (graft_jaccard_sorted) replaces
-    * per-pair set builds; the sort is paid once per doc. Jaccard over the
-    * hash sets equals Jaccard over the token sets (injective in practice),
-    * and both engines hash identically either way. */
   private def verifyPairs(pairs: DataFrame, toksets: DataFrame): DataFrame =
-    pairs
-      .join(toksets.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
-      .join(toksets.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
-      .withColumn("jac", r6(expr("graft_jaccard_sorted(ta, tb)")))
+    DedupIndex.verifyPairs(pairs, toksets)
 
-  /** Sorted distinct token-hash set per doc (verifyPairs input). */
   private def hashedTokset(src: DataFrame): DataFrame =
-    src.select(col("doc_id"),
-      expr(s"array_sort(array_distinct(${tokenHashesSpark("text")}))").as("tset"))
+    DedupIndex.hashedTokset(src)
 
   /** Manku block-permutation parameters for the SimHash hamming-≤3 join
     * (Manku/Jain/Sarma, WWW'07 §3): the 60-bit signature splits into
@@ -589,21 +556,41 @@ object TextQueries extends QueryPack {
     // Near-dup CONNECTED COMPONENTS — the transitive-closure completion
     // of the dedup family: LSH gives verified pairs, but "A~B, B~C"
     // must collapse to ONE canonical doc per cluster, which needs
-    // components, not pairs. Distributed min-label propagation with
-    // pointer jumping (operators.ConnectedComponents — O(log diameter)
-    // rounds, convergence by one "Σ lbl unchanged" aggregate per round).
-    // The DuckDB oracle reproduces the fixpoint with a recursive CTE,
-    // so the iterative loop itself is oracle-checked.
+    // components, not pairs (min-label propagation + pointer jumping,
+    // O(log diameter) rounds — see operators.ConnectedComponents).
+    // Labels come from the PERSISTED DedupIndex: the first consumer in
+    // the JVM builds and writes the parquet index, every consumer
+    // (this one included) scans the read-back parquet — the 100 TB
+    // shape, where band/label tables are a maintained corpus asset,
+    // not a per-query recompute. The DuckDB oracle still reproduces
+    // the full fixpoint from raw text with a recursive CTE, so the
+    // persisted-index path is oracle-checked end to end.
     "q_dedup_components" -> ((s, dir) => {
       GraftExtensions.register(s)
-      val docs = t(s, dir, "documents")
-      val pairs = verifyPairs(lshCandidatePairs(signatures(docs)), hashedTokset(docs))
-        .filter(col("jac") >= 0.3)
-        .select(col("doc_a"), col("doc_b"))
-      val (labels, _) = graft.operators.ConnectedComponents.run(pairs, "doc_a", "doc_b")
-      labels
-        .select(col("id").as("doc_id"), col("component").as("component_id"))
+      val ix = DedupIndex.ensure(s, s"$dir#full",
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      ix.labels
+        .select(col("doc_id"), col("component").as("component_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Fresh-build index statistics — the suite's TIMED record of the
+    // full signatures→bands→pairs→components chain (the other cluster
+    // queries consume the per-JVM persisted index, so their timings
+    // measure the production read path; this one deliberately bypasses
+    // the cache so index-build cost stays visible in BENCH/BASELINE and
+    // the scaling probe can bound it). Output: corpus/cluster shape
+    // scalars, all recomputed independently by the oracle's recursive
+    // CTE.
+    "q_dedup_index_stats" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val ix = DedupIndex.buildFrames(s,
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      val sizes = ix.labels.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      ix.toksets.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(ix.labels.agg(count(lit(1)).as("n_clustered_docs")))
+        .crossJoin(sizes.agg(count(lit(1)).as("n_clusters"),
+          max(col("sz")).as("max_cluster")))
     }),
 
     // Leakage-safe train/val/test split — the assignment unit is the
@@ -623,14 +610,9 @@ object TextQueries extends QueryPack {
     "q_leakage_split" -> ((s, dir) => {
       GraftExtensions.register(s)
       val docs = t(s, dir, "documents")
-      val pairs = verifyPairs(lshCandidatePairs(signatures(docs)), hashedTokset(docs))
-        .filter(col("jac") >= 0.3)
-        .select(col("doc_a"), col("doc_b"))
-      val (labels, _) = graft.operators.ConnectedComponents.run(pairs, "doc_a", "doc_b")
-      val assign = docs.select(col("doc_id"))
-        .join(labels.select(col("id").as("doc_id"), col("component")),
-          Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      val ix = DedupIndex.ensure(s, s"$dir#full",
+        docs.select(col("doc_id"), col("text")))
+      val assign = DedupIndex.assign(docs.select(col("doc_id")), ix.labels)
         .withColumn("bucket",
           expr("cluster_id % 1000000007 * 2654435761 % 1000000007 % 10"))
         .withColumn("split",
@@ -659,13 +641,10 @@ object TextQueries extends QueryPack {
     "q_dedup_keep_best" -> ((s, dir) => {
       GraftExtensions.register(s)
       val docs = t(s, dir, "documents")
-      val pairs = verifyPairs(lshCandidatePairs(signatures(docs)), hashedTokset(docs))
-        .filter(col("jac") >= 0.3)
-        .select(col("doc_a"), col("doc_b"))
-      val (labels, _) = graft.operators.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+      val ix = DedupIndex.ensure(s, s"$dir#full",
+        docs.select(col("doc_id"), col("text")))
       val assign = docs.select(col("doc_id"), col("n_chars"))
-        .join(labels.select(col("id").as("doc_id"), col("component")),
-          Seq("doc_id"), "left")
+        .join(ix.labels, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cluster_id"))
@@ -694,41 +673,47 @@ object TextQueries extends QueryPack {
     "q_dedup_incremental" -> ((s, dir) => {
       GraftExtensions.register(s)
       val all = t(s, dir, "documents")
+      // the corpus participates ONLY through its persisted DedupIndex
+      // (bands + toksets parquet, built once per JVM, shared with
+      // q_dedup_index_update) — corpus text is never rescanned here.
+      // Injection offset 500000 requires doc_id < 500000 at every SF
+      // (TestDataContractSpec pins it; TESTDATA.md max is ~50k at sf0.1).
+      val ix = DedupIndex.ensure(s, s"$dir#corpus90",
+        all.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")))
       val injected = all.filter(col("doc_id") % 40 === 1)
         .select((col("doc_id") + 500000).as("doc_id"),
           concat(col("text"), lit(" extra")).as("text"))
-      val u = all.select(col("doc_id"), col("text")).unionByName(injected)
-      val isBatch = col("doc_id") % 10 === 0 || col("doc_id") >= 500000
-      val sig = signatures(u)
-      val bandStructs = (0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          (col(s"mh${2 * b}") * lit(PM) + col(s"mh${2 * b + 1}")).as("bkey"))
-      }
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      val batchBands = bands.filter(isBatch)
-        .select(col("doc_id").as("bid"), col("band"), col("bkey"))
-      val corpusBands = bands.filter(!isBatch)
-      val cand = corpusBands
-        .join(broadcast(batchBands), Seq("band", "bkey"))
-        .select(col("bid"), col("doc_id").as("cid"))
-        .distinct()
-      val toks = hashedTokset(u)
-      val scored = cand
-        .join(toks.select(col("doc_id").as("bid"), col("tset").as("ta")), "bid")
-        .join(toks.select(col("doc_id").as("cid"), col("tset").as("tb")), "cid")
-        .withColumn("jac", r6(expr("graft_jaccard_sorted(ta, tb)")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("bid")).orderBy(col("jac").desc, col("cid"))
-      val best = scored.filter(col("jac") >= 0.3)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("bid"), col("cid").as("match_id"), col("jac").as("match_jac"))
-      u.filter(isBatch).select(col("doc_id"))
+      val batch = all.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")).unionByName(injected)
+      val best = DedupIndex.corpusMatches(s, ix, batch)
+      batch.select(col("doc_id"))
         .join(best.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("match_id").isNotNull.as("is_dup"),
           col("match_id"), col("match_jac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // INDEX UPDATE ≡ FULL REBUILD — the strongest possible check on the
+    // incremental path: Spark computes cluster labels by EXTENDING the
+    // persisted corpus index with the batch (DedupIndex.update — batch
+    // bands broadcast, mini-CC over {batch ids} ∪ {touched corpus
+    // cluster labels}, broadcast label remap for cross-cluster merges),
+    // while the DuckDB oracle recomputes the ENTIRE corpus∪batch
+    // clustering from raw text with a recursive CTE. A hash match means
+    // the incremental repair is exactly equivalent to a full rebuild —
+    // the invariant a 100 TB nightly-ingest index lives or dies by.
+    "q_dedup_index_update" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val all = t(s, dir, "documents")
+      val ix = DedupIndex.ensure(s, s"$dir#corpus90",
+        all.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")))
+      val injected = all.filter(col("doc_id") % 40 === 1)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      val batch = all.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")).unionByName(injected)
+      DedupIndex.update(s, ix, batch)
+        .assignment
         .orderBy(col("doc_id"))
     }),
 
@@ -1291,6 +1276,29 @@ object TextQueries extends QueryPack {
          |SELECT s AS doc_id, least(s, min(t)) AS component_id
          |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
 
+    "q_dedup_index_stats" ->
+      s"""WITH RECURSIVE ${sigCte()}, ${lshPairsCte("documents")}, pe AS (
+         |  SELECT doc_a, doc_b FROM verified WHERE jac >= 0.3
+         |), e2 AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM pe
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS t FROM pe
+         |), reach(s, t) AS (
+         |  SELECT s, t FROM e2
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN e2 e ON r.t = e.s
+         |), labels AS (
+         |  SELECT s AS doc_id, least(s, min(t)) AS component
+         |  FROM reach GROUP BY s
+         |), szs AS (
+         |  SELECT component, COUNT(*) AS sz FROM labels GROUP BY component
+         |)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM labels) AS n_clustered_docs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM szs) AS n_clusters,
+         |  (SELECT CAST(MAX(sz) AS BIGINT) FROM szs) AS max_cluster""".stripMargin,
+
     "q_leakage_split" ->
       s"""WITH RECURSIVE ${sigCte()}, ${lshPairsCte("documents")}, pe AS (
          |  SELECT doc_a, doc_b FROM verified WHERE jac >= 0.3
@@ -1391,6 +1399,32 @@ object TextQueries extends QueryPack {
          |  best.cid AS match_id, best.jac AS match_jac
          |FROM u LEFT JOIN best ON best.bid = u.doc_id AND best.rn = 1
          |WHERE u.doc_id % 10 = 0 OR u.doc_id >= 500000
+         |ORDER BY u.doc_id""".stripMargin,
+
+    // Full rebuild from raw text — deliberately NOT the incremental
+    // path: a hash match proves DedupIndex.update ≡ rebuild.
+    "q_dedup_index_update" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 500000 AS doc_id, text || ' extra' AS text
+         |  FROM documents WHERE doc_id % 40 = 1
+         |), ${sigCte("u")}, ${lshPairsCte("u")}, pe AS (
+         |  SELECT doc_a, doc_b FROM verified WHERE jac >= 0.3
+         |), e2 AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM pe
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS t FROM pe
+         |), reach(s, t) AS (
+         |  SELECT s, t FROM e2
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN e2 e ON r.t = e.s
+         |), labels AS (
+         |  SELECT s AS doc_id, least(s, min(t)) AS component_id
+         |  FROM reach GROUP BY s
+         |)
+         |SELECT u.doc_id, COALESCE(l.component_id, u.doc_id) AS cluster_id
+         |FROM u LEFT JOIN labels l ON l.doc_id = u.doc_id
          |ORDER BY u.doc_id""".stripMargin,
 
     "q_jaccard_topk_lsh" ->

@@ -102,4 +102,51 @@ class TableSchemaSpec extends SparkSpec {
     assert(a === b)
     assert(a === micros.map(_ * 1000L).sorted)
   }
+
+  test("events normalization: physical TIMESTAMP(NANOS) parquet loads via the scoped legacy conf") {
+    import spark.implicits._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+
+    // Spark cannot WRITE nanos parquet — hand-roll the round-5 generator
+    // format with parquet-mr directly (third physical form alongside the
+    // NTZ-micros and long canaries above).
+    val nanos = Seq(1704067798778549000L, 1704068166738090000L, 0L)
+    val dir = Files.createTempDirectory("graft-canary-nanos").toString
+    val schema = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,false));
+        |  required int64 user_id;
+        |  required binary event_type (UTF8);
+        |  required double value;
+        |  required binary props (UTF8);
+        |}""".stripMargin)
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet/part-0.parquet"))
+      .withConf(conf).withType(schema).build()
+    val factory = new SimpleGroupFactory(schema)
+    nanos.zipWithIndex.foreach { case (ns, i) =>
+      writer.write(factory.newGroup()
+        .append("event_id", i.toLong).append("ts", ns)
+        .append("user_id", 1L).append("event_type", "click")
+        .append("value", 1.0).append("props", "{}"))
+    }
+    writer.close()
+
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val fromNanos = Tables(spark, dir, "events")
+    // the legacy conf must NOT leak out of the loader (ADVICE r6: a
+    // lingering conf would make later nanos columns in OTHER tables load
+    // silently as long instead of erroring)
+    assert(spark.conf.getOption(key) === before,
+      s"$key leaked out of Tables.normalizeEvents")
+    assert(fromNanos.schema("ts").dataType === LongType)
+    assert(fromNanos.select("ts").as[Long].collect().sorted.toSeq === nanos.sorted)
+  }
 }

@@ -102,6 +102,43 @@ class SourcesSpec extends SparkSpec {
         destLocal, "main_20240301-120000.json")) === """{"k":"mockfs"}""")
     } finally conf.unset("fs.mock.impl")
   }
+
+  test("K3: latest-resolution under DELAYED-VISIBILITY listing (list-after-write lag)") {
+    // Object stores are list-after-write eventually consistent: a PUT can
+    // be readable by key while still absent from LIST results. The run-id
+    // naming scheme is designed for exactly this: every upload is a NEW
+    // immutable key (never an overwrite), so a lagging listing simply
+    // resolves the latest FULLY-VISIBLE run — a consistent, complete
+    // artifact — and converges to the newest run when the listing catches
+    // up. This registers an `ecmock:` scheme whose listStatus HIDES
+    // chosen keys (the lag) while open() still serves them, and proves
+    // both halves of that contract.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.ecmock.impl", classOf[EventuallyConsistentMockFileSystem].getName)
+    try {
+      val src = Files.createTempDirectory("graft-ec-src")
+      val f = src.resolve("main.json")
+      Files.writeString(f, """{"k":"ec"}""")
+      val destLocal = Files.createTempDirectory("graft-ec-bucket").toString
+      val dest = s"ecmock:$destLocal"
+      val p1 = Sources.publishWithRunId(spark, f.toString, dest, "main", "20240101-000000")
+      // the second upload lands (bytes readable) but LIST does not show it yet
+      EventuallyConsistentMockFileSystem.hidden.add("main_20240301-120000.json")
+      val p2 = Sources.publishWithRunId(spark, f.toString, dest, "main", "20240301-120000")
+      assert(Files.readString(java.nio.file.Paths.get(
+        destLocal, "main_20240301-120000.json")) === """{"k":"ec"}""",
+        "upload must be durable even while unlisted")
+      // lagging listing: latest resolves to the newest VISIBLE run — a
+      // complete artifact, never an error or a partial state
+      assert(Sources.latestByPrefix(spark, dest, "main_") === Some(p1))
+      // listing catches up: the newer run now wins
+      EventuallyConsistentMockFileSystem.hidden.remove("main_20240301-120000.json")
+      assert(Sources.latestByPrefix(spark, dest, "main_") === Some(p2))
+    } finally {
+      EventuallyConsistentMockFileSystem.hidden.clear()
+      conf.unset("fs.ecmock.impl")
+    }
+  }
 }
 
 /** A `mock:` scheme registered like any object-store connector
@@ -111,4 +148,21 @@ class SourcesSpec extends SparkSpec {
 class MockBucketFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "mock"
   override def getUri: java.net.URI = java.net.URI.create("mock:///")
+}
+
+/** `ecmock:` — the mock bucket with S3-style list-after-write lag:
+  * names in [[EventuallyConsistentMockFileSystem.hidden]] exist (open /
+  * getFileStatus work) but are absent from listStatus, exactly the
+  * window where an object is PUT-complete yet not LIST-visible. */
+class EventuallyConsistentMockFileSystem extends MockBucketFileSystem {
+  override def getScheme: String = "ecmock"
+  override def getUri: java.net.URI = java.net.URI.create("ecmock:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(p).filterNot(st =>
+      EventuallyConsistentMockFileSystem.hidden.contains(st.getPath.getName))
+}
+
+object EventuallyConsistentMockFileSystem {
+  val hidden: java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -106,23 +106,33 @@ def bench(dest):
     out = subprocess.run(
         ["java", "-cp", "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*",
          "-Xmx48g", "graft.Bench"],
-        env=env, capture_output=True, text=True, check=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])["queries"]
+        env=env, capture_output=True, text=True)
+    # Bench exits 2 on any DNF but still prints the JSON line; a DNF'd
+    # query is simply absent from "queries" and shows as n/a below
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    for e in rec.get("errors", []):
+        print(f"  DNF at {dest}: {e}", file=sys.stderr)
+    return rec["queries"]
 
 
 def main():
+    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
     results = {}
-    for k in (1, 2, 4):
+    for k in ks:
         dest = f"/tmp/scale{k}x"
         build(k, dest)
         results[k] = bench(dest)
         print(f"scale {k}x done", file=sys.stderr)
-    qs = sorted(results[1])
-    print(f"{'query':24s} {'1x':>7s} {'2x':>7s} {'4x':>7s} {'4x/1x':>6s}")
+    qs = sorted(results[ks[0]])
+    hdr = " ".join(f"{k}x".rjust(7) for k in ks)
+    print(f"{'query':24s} {hdr} {'max/1x':>7s}")
     for q in qs:
-        r = results[4][q] / results[1][q]
-        print(f"{q:24s} {results[1][q]:7.2f} {results[2][q]:7.2f} "
-              f"{results[4][q]:7.2f} {r:6.2f}")
+        vals = " ".join(
+            f"{results[k][q]:7.2f}" if q in results[k] else "    n/a"
+            for k in ks)
+        last, first = results[ks[-1]].get(q), results[ks[0]].get(q)
+        ratio = f"{last / first:7.2f}" if last and first else "    n/a"
+        print(f"{q:24s} {vals} {ratio}")
 
 
 if __name__ == "__main__":
