@@ -71,12 +71,24 @@ object Bench {
       val ts = timings.flatMap(_.get(name))
       ts.minOption.map(name -> _)
     }
+    // per-query spread across the timed passes: min is the headline
+    // statistic, but recording max alongside it lets a later reader
+    // separate run-to-run noise (wide spread) from a real plan
+    // regression (tight spread at a higher level) without re-running
+    val spreads = selected.flatMap { case (name, _) =>
+      val ts = timings.flatMap(_.get(name))
+      if (ts.isEmpty) None
+      else Some(name -> (ts.min, ts.max))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spans = spreads.map { case (k, (lo, hi)) =>
+      "\"" + k + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spans,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // durable full per-query record (the driver's BENCH artifact keeps
     // only a tail — per-query history was being lost between rounds);

@@ -26,6 +26,7 @@ object SparkEntry {
     MiscQueries,
     FeatureQueries,
     PipelineQueries,
+    MixtureQueries,
     AnalyticsQueries,
     WarehouseQueries
   )

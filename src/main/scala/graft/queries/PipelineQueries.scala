@@ -322,7 +322,10 @@ object PipelineQueries extends QueryPack {
       // The adjacency subtree appears once per iteration in the logical
       // plan; AQE's exchange reuse materializes it once physically
       // (measured faster than an explicit localCheckpoint, whose eager
-      // re-materialization costs more than the reused exchange).
+      // re-materialization costs more than the reused exchange, AND than
+      // an explicit persist() — round-7 PagerankExperiment: reuse min
+      // 2.49s vs persist min 2.84s over 7 cache-cleared runs at sf0.1).
+      // PlanSpec pins ReusedExchange in the adaptive executed plan.
       val adj = edges.join(deg.hint("shuffle_hash"), "src")
       var pr = deg.select(col("src").as("node"), lit(1000000000L).as("pr"))
       for (_ <- 1 to 3) {
