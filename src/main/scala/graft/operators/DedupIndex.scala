@@ -234,7 +234,27 @@ object DedupIndex {
     * update — identical to a full rebuild. `corpusMatches`: per batch
     * doc its best verified CORPUS match (bid, match_id, match_jac) —
     * the admit/reject frame an ingest pipeline acts on. */
-  final case class Update(assignment: DataFrame, corpusMatches: DataFrame)
+  final case class Update(assignment: DataFrame, corpusMatches: DataFrame,
+      batchBands: DataFrame, batchToksets: DataFrame)
+
+  /** The index AFTER an update: corpus artifacts plus the batch's, with
+    * labels rebuilt from the update's final assignment. Labels keep the
+    * full-build row contract — every member of a ≥2-doc cluster, nobody
+    * else — so an extended index is indistinguishable from a fresh build
+    * to every consumer (assign, the cluster queries, the next update). */
+  def extended(upd: Update, ix: Index): Index = {
+    val clustered = upd.assignment
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("cluster_id"))
+    // plain (AQE-sized) semi-shaped join: the multi-member cluster-id set
+    // is corpus-scale at 100 TB, so no broadcast hint here
+    val labels = upd.assignment
+      .join(clustered, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id").as("component"))
+    Index(ix.bands.unionByName(upd.batchBands),
+      ix.toksets.unionByName(upd.batchToksets), labels)
+  }
 
   /** Extend the index with a new batch (doc_id, text) without pairing
     * corpus×corpus or rescanning corpus text — the corpus participates
@@ -277,6 +297,7 @@ object DedupIndex {
       .select(col("doc_id"),
         coalesce(col("lbl_new"), col("doc_id")).as("cluster_id"))
 
-    Update(corpusAssign.unionByName(batchAssign), bestMatch(bcVerified))
+    Update(corpusAssign.unionByName(batchAssign), bestMatch(bcVerified),
+      bBands, bTok)
   }
 }

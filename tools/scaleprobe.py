@@ -61,10 +61,19 @@ def replica_select(table, i, src):
                 f"translate(text, '{ALPHA}', '{shifted}') AS text) "
                 f"FROM read_parquet('{src}')")
     if table == "embeddings":
-        # flip a replica-specific half of the dims (j is 1-based)
+        # flip a replica-specific pseudo-random half of the dims (j is
+        # 1-based). The mask must be period-free in i: the old
+        # (j + i) % 4 form repeated every 4 replicas, so replicas
+        # {1,5,9,13} carried IDENTICAL masks and their vectors were true
+        # near-dups of each other — at 16x that manufactured ~200x
+        # quadratic pair growth in the dedup family and the probe
+        # measured the data, not the algorithm (round-7 finding). An LCG
+        # mix of (replica, dim) gives each replica an independent
+        # half-flip, so cross-replica cosines sit near 0 at any k.
         return (f"SELECT * REPLACE (vec_id + {off} AS vec_id, "
                 f"list_transform(embedding, (x, j) -> "
-                f"CAST(CASE WHEN (j + {i}) % 4 IN (1, 2) THEN -x ELSE x END AS FLOAT)) "
+                f"CAST(CASE WHEN (j * 2654435761 + {i} * 40503) % 1000003 % 2 = 0 "
+                f"THEN -x ELSE x END AS FLOAT)) "
                 f"AS embedding) FROM read_parquet('{src}')")
     if table == "events":
         # disjoint per-replica user/event id spaces: groups and join
