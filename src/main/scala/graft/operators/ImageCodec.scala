@@ -106,9 +106,10 @@ object ImageCodec {
     else fail(id, "unknown")
   }
 
-  private def decodePpm(id: Long, b: Array[Byte]): ImageMeta = {
-    // tokenize header: magic already checked; then w, h, maxval as ASCII
-    // ints separated by whitespace, '#' comments running to end of line
+  /** PPM P6 header parse → (w, h, payload offset), or null on failure:
+    * magic already checked; then w, h, maxval as ASCII ints separated by
+    * whitespace, '#' comments running to end of line. */
+  private def parsePpmHeader(b: Array[Byte]): Array[Int] = {
     var pos = 2
     def skipSpaceAndComments(): Boolean = {
       var progressed = true
@@ -136,9 +137,16 @@ object ImageCodec {
       if (any) v.toInt else -1
     }
     val w = readInt(); val h = readInt(); val maxv = readInt()
-    if (w <= 0 || h <= 0 || maxv != 255) return fail(id, "ppm")
+    if (w <= 0 || h <= 0 || maxv != 255) return null
     pos += 1 // exactly one whitespace byte after maxval, then raw payload
-    if (pos.toLong + 3L * w * h > b.length) return fail(id, "ppm")
+    if (pos.toLong + 3L * w * h > b.length) return null
+    Array(w, h, pos)
+  }
+
+  private def decodePpm(id: Long, b: Array[Byte]): ImageMeta = {
+    val hd = parsePpmHeader(b)
+    if (hd == null) return fail(id, "ppm")
+    val w = hd(0); val h = hd(1); val pos = hd(2)
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = 0
     val n = w * h
@@ -150,21 +158,30 @@ object ImageCodec {
     ImageMeta(id, "ppm", w, h, sr, sg, sb, ok = true)
   }
 
-  private def decodeBmp(id: Long, b: Array[Byte]): ImageMeta = {
+  /** BMP V3 24bpp header parse → (w, h, pixel offset, row size), or null
+    * on failure. */
+  private def parseBmpHeader(b: Array[Byte]): Array[Int] = {
     def le32(p: Int): Int =
       (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
         ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
     def le16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-    if (b.length < 54) return fail(id, "bmp")
+    if (b.length < 54) return null
     val offset = le32(10)
     val w = le32(18)
     val h = le32(22)
     val bpp = le16(28)
     val compression = le32(30)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0 || offset < 54)
-      return fail(id, "bmp")
+      return null
     val rowSize = ((w * 3 + 3) / 4) * 4
-    if (offset.toLong + rowSize.toLong * h > b.length) return fail(id, "bmp")
+    if (offset.toLong + rowSize.toLong * h > b.length) return null
+    Array(w, h, offset, rowSize)
+  }
+
+  private def decodeBmp(id: Long, b: Array[Byte]): ImageMeta = {
+    val hd = parseBmpHeader(b)
+    if (hd == null) return fail(id, "bmp")
+    val w = hd(0); val h = hd(1); val offset = hd(2); val rowSize = hd(3)
     var sr = 0L; var sg = 0L; var sb = 0L
     var y = 0
     while (y < h) {
@@ -179,6 +196,51 @@ object ImageCodec {
     }
     ImageMeta(id, "bmp", w, h, sr, sg, sb, ok = true)
   }
+
+  final case class ThumbPixel(doc_id: Long, tx: Int, ty: Int,
+      r: Int, g: Int, b: Int)
+
+  /** Nearest-neighbor RESIZE to a side×side thumbnail — the multimodal
+    * resize stage: thumbnail sample (tx, ty) is source pixel
+    * (tx·w div side, ty·h div side) of the LOGICAL top-down RGB plane,
+    * identical for both formats (the BMP path maps padded bottom-up BGR
+    * rows back to logical pixels). Integer index arithmetic only, so a
+    * SQL oracle replays every sampled byte in closed form. Corrupt or
+    * non-image blobs yield an empty list (never throw) — same contract
+    * as [[decode]]. Output size is FIXED (side² pixels) whatever the
+    * source dims: the bounded-feature property a training pipeline needs
+    * from a resize. */
+  def thumbnail(id: Long, bytes: Array[Byte], side: Int): Seq[ThumbPixel] = {
+    if (bytes == null || bytes.length < 2 || side <= 0) Nil
+    else if (bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte) {
+      val hd = parsePpmHeader(bytes)
+      if (hd == null) Nil
+      else {
+        val w = hd(0); val off = hd(2)
+        // logical pixel accessor (x, y, channel 0=R/1=G/2=B)
+        thumbOf(id, side, w, hd(1),
+          (x, y, c) => bytes(off + (y * w + x) * 3 + c) & 0xff)
+      }
+    } else if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
+      val hd = parseBmpHeader(bytes)
+      if (hd == null) Nil
+      else {
+        val h = hd(1); val off = hd(2); val rowSize = hd(3)
+        // BGR bottom-up → logical RGB top-down
+        thumbOf(id, side, hd(0), h,
+          (x, y, c) => bytes(off + (h - 1 - y) * rowSize + x * 3 + (2 - c)) & 0xff)
+      }
+    } else Nil
+  }
+
+  private def thumbOf(id: Long, side: Int, w: Int, h: Int,
+      px: (Int, Int, Int) => Int): Seq[ThumbPixel] =
+    for {
+      ty <- 0 until side
+      tx <- 0 until side
+      sx = tx * w / side
+      sy = ty * h / side
+    } yield ThumbPixel(id, tx, ty, px(sx, sy, 0), px(sx, sy, 1), px(sx, sy, 2))
 
   // ---- Spark plumbing ----
 
@@ -201,6 +263,24 @@ object ImageCodec {
         (id, blob)
       }
     }.toDF("doc_id", "blob")
+  }
+
+  /** Per-partition nearest-neighbor resize over (idCol long, blobCol
+    * binary): side² thumbnail pixels per decodable image, nothing for
+    * corrupt blobs — same batch shape as [[extractImageMeta]]. */
+  def extractThumbnails(df: DataFrame, idCol: String, blobCol: String,
+      side: Int): Dataset[ThumbPixel] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        thumbnail(r.getLong(idIdx),
+          if (r.isNullAt(blobIdx)) null else r.getAs[Array[Byte]](blobIdx),
+          side)
+      }
+    }
   }
 
   /** Per-partition real decode over (idCol long, blobCol binary) — the

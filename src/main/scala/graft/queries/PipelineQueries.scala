@@ -208,6 +208,29 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic corpus shuffle + balanced sharding — the training
+    // export step: a reproducible pseudo-random permutation of the corpus
+    // (portable multiplicative hash of doc_id — a bijection mod the prime,
+    // so no collisions reorder under ties) assigned round-robin to 8
+    // shards, so every shard gets exactly n/8 ±1 docs and sources
+    // interleave uniformly. The global rank comes from
+    // GlobalRowNumber's bucketed prefix decomposition — NO single-task
+    // global sort anywhere; at 100 TB each equi-depth bucket ranks
+    // independently and the only global window runs over the 64-row
+    // bucket-count table. ShardedExport writes the same assignment as
+    // sorted per-shard parquet (spec-gated).
+    "q_corpus_shuffle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("hkey",
+          expr("doc_id % 1000000007 * 2654435761 % 1000000007"))
+      graft.operators.GlobalRowNumber.withRowNumber(d, "hkey", "rn", Seq("doc_id"))
+        .withColumn("shard", ((col("rn") - 1) % 8).cast("int"))
+        .withColumn("pos", expr("(rn - 1) div 8"))
+        .select(col("doc_id"), col("hkey"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // Mode (most frequent value) per group with a deterministic tie-break
     // — pandas .mode().iloc[0] / value_counts().idxmax(). Two hash aggs +
     // one tiny window over the (source, lang) count frame; the corpus is
@@ -343,6 +366,21 @@ object PipelineQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_corpus_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    doc_id % 1000000007 * 2654435761 % 1000000007 AS hkey
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, hkey,
+        |    row_number() OVER (ORDER BY hkey, doc_id) - 1 AS r0
+        |  FROM d
+        |)
+        |SELECT doc_id, hkey,
+        |  CAST(r0 % 8 AS INT) AS shard,
+        |  CAST(r0 // 8 AS BIGINT) AS pos
+        |FROM r ORDER BY shard, pos""".stripMargin,
+
     "q_pii_scan" ->
       s"""WITH d AS (
          |  SELECT doc_id, text

@@ -431,6 +431,62 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio decode — RIFF/WAVE PCM16 chunk walker (AudioCodec), the
+    // audio sibling of q_image_meta: deterministic planted clips (length,
+    // rate and every sample derive from doc_id; every 19th truncated
+    // mid-payload) decoded per-partition into rate / exact sample count /
+    // integer duration / Σ|sample| / peak — all integers the DuckDB
+    // oracle recomputes via generate_series WITHOUT a decoder. The
+    // corrupt path (ok = 0, zeroed metadata, no exception) is
+    // oracle-checked too.
+    "q_audio_meta" -> ((s, dir) => {
+      val blobs = graft.operators.AudioCodec.plantAudio(t(s, dir, "documents"))
+      graft.operators.AudioCodec.extractAudioMeta(blobs, "doc_id", "blob")
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_ms"), col("sum_abs"), col("peak"),
+          col("ok").cast("int").as("ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal RESIZE — nearest-neighbor 4×4 thumbnail over the real
+    // image codec: sample (tx,ty) = source pixel (tx·w div 4, ty·h div 4)
+    // of the logical RGB plane, identical across PPM and BMP (the BMP
+    // accessor maps padded bottom-up BGR rows back). FIXED output size
+    // (16 pixels/image) whatever the source dims — the bounded-feature
+    // property a training pipeline needs from resize — and pure integer
+    // index arithmetic, so the oracle replays every sampled byte in
+    // closed form from the planted fixtures. Corrupt blobs (every 17th,
+    // truncated) contribute zero rows, never an exception.
+    "q_image_resize" -> ((s, dir) => {
+      val blobs = graft.operators.ImageCodec.plantImages(t(s, dir, "documents"))
+      graft.operators.ImageCodec.extractThumbnails(blobs, "doc_id", "blob", side = 4)
+        .toDF()
+        .select(col("doc_id"), col("tx"), col("ty"),
+          col("r"), col("g"), col("b"))
+        .orderBy(col("doc_id"), col("ty"), col("tx"))
+    }),
+
+    // Strided frame sampling — the audio analog of video frame-sampling:
+    // each decodable clip yields exactly maxFrames evenly-spaced probe
+    // samples (stride = ceil(n/8)), a FIXED-size feature regardless of
+    // clip length, so downstream batch shape is bounded at any corpus
+    // scale. posexplode keeps the per-frame ordinal; sample_idx is
+    // recomputed in-plan (integer div) and the oracle replays both the
+    // stride walk and the sample values in closed form.
+    "q_audio_frames" -> ((s, dir) => {
+      val blobs = graft.operators.AudioCodec.plantAudio(t(s, dir, "documents"))
+      graft.operators.AudioCodec.extractAudioMeta(blobs, "doc_id", "blob")
+        .toDF()
+        .filter(col("ok"))
+        .select(col("doc_id"), col("n_samples"),
+          posexplode(col("frames")).as(Seq("frame_idx", "value")))
+        .select(col("doc_id"), col("frame_idx"),
+          expr("frame_idx * ((n_samples + 7) div 8)").as("sample_idx"),
+          col("value"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata columns.
     // The real decode (image/audio libs) is stubbed behind a deterministic
     // byte-level "feature extractor" (see graft.operators.MultimodalStub
@@ -746,6 +802,72 @@ object SimilarityQueries extends QueryPack {
         |  CAST(NOT corrupt AS INT) AS ok
         |FROM d LEFT JOIN px USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_image_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INT) AS w,
+        |    CAST(3 + doc_id % 7 AS INT) AS h
+        |  FROM documents
+        |  WHERE doc_id % 17 <> 0
+        |), g AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(i % 4 AS INT) AS tx, CAST(i // 4 AS INT) AS ty
+        |  FROM d, unnest(generate_series(0, 15)) AS t(i)
+        |), p AS (
+        |  SELECT doc_id, tx, ty,
+        |    ((ty * h // 4) * w + (tx * w // 4)) * 3 AS base
+        |  FROM g
+        |)
+        |SELECT doc_id, tx, ty,
+        |  CAST((doc_id * 31 + base) % 256 AS INT) AS r,
+        |  CAST((doc_id * 31 + base + 1) % 256 AS INT) AS g,
+        |  CAST((doc_id * 31 + base + 2) % 256 AS INT) AS b
+        |FROM p ORDER BY doc_id, ty, tx""".stripMargin,
+
+    "q_audio_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(200 + doc_id % 301 AS BIGINT) AS n,
+        |    CAST(8000 * (1 + doc_id % 3) AS INT) AS sr,
+        |    (doc_id % 19 = 0) AS corrupt
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    ABS(((doc_id * 7919 + i * 104729) % 65536) - 32768) AS a
+        |  FROM d, unnest(generate_series(0, n - 1)) AS t(i)
+        |  WHERE NOT corrupt
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(a) AS BIGINT) AS sum_abs,
+        |    CAST(MAX(a) AS INT) AS peak
+        |  FROM s GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE sr END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INT) AS channels,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE n END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE n * 1000 // sr END AS BIGINT) AS duration_ms,
+        |  COALESCE(sum_abs, 0) AS sum_abs,
+        |  COALESCE(peak, 0) AS peak,
+        |  CAST(NOT corrupt AS INT) AS ok
+        |FROM d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_audio_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(200 + doc_id % 301 AS BIGINT) AS n,
+        |    (n + 7) // 8 AS stride
+        |  FROM documents
+        |  WHERE doc_id % 19 <> 0
+        |)
+        |SELECT doc_id,
+        |  CAST(j AS INT) AS frame_idx,
+        |  CAST(j * stride AS BIGINT) AS sample_idx,
+        |  CAST(((doc_id * 7919 + j * stride * 104729) % 65536) - 32768 AS INT) AS value
+        |FROM d, unnest(generate_series(0, 7)) AS t(j)
+        |WHERE j * stride < n
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -65,6 +65,27 @@ class ImageCodecSpec extends SparkSpec {
     assert(ImageCodec.decode(10L, bad).ok === false)
   }
 
+  test("thumbnail: nearest-neighbor samples, format-identical, empty on corrupt") {
+    val (w, h) = (10, 6)
+    val ppm = ImageCodec.thumbnail(1L, ImageCodec.encodePpm(w, h, px), 4)
+    val bmp = ImageCodec.thumbnail(1L, ImageCodec.encodeBmp(w, h, px), 4)
+    assert(ppm.length === 16)
+    // both formats carry the same logical pixels → identical thumbnails
+    assert(ppm === bmp)
+    ppm.foreach { t =>
+      val base = ((t.ty * h / 4) * w + (t.tx * w / 4)) * 3
+      assert((t.r, t.g, t.b) === ((px(base), px(base + 1), px(base + 2))),
+        s"tx=${t.tx} ty=${t.ty}")
+    }
+    // source smaller than the thumbnail side: rows duplicate, never crash
+    val tiny = ImageCodec.thumbnail(2L, ImageCodec.encodePpm(2, 2, px), 4)
+    assert(tiny.length === 16)
+    val full = ImageCodec.encodePpm(w, h, px)
+    assert(ImageCodec.thumbnail(3L, full.take(full.length - 5), 4) === Nil)
+    assert(ImageCodec.thumbnail(4L, null, 4) === Nil)
+    assert(ImageCodec.thumbnail(5L, "no magic".getBytes, 4) === Nil)
+  }
+
   test("planted fixtures decode end-to-end over the documents table") {
     val docs = Tables(spark, sf("sf0.001"), "documents")
     val metas = ImageCodec.extractImageMeta(
