@@ -817,6 +817,62 @@ object TextQueries extends QueryPack {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
+    // Goodman 1998 §2.7) — the published standard behind KenLM-style
+    // perplexity filtering, upgrading q_lm_score's MLE conditionals to
+    // proper smoothing: P(w|v) = max(c(vw)−D,0)/c(v·) +
+    // D·N1+(v,·)/c(v·) · N1+(·,w)/N1+(·,·) with the fixed discount
+    // D = 0.75. Training is FOUR shuffled aggregations off one bigram
+    // count table (forward totals + distinct-successor counts,
+    // distinct-predecessor counts, the scalar type total) — all
+    // vocab²-bounded, none broadcast except the one-row total; scoring
+    // re-joins docs' bigrams on (h1,h2). Every count is an exact
+    // integer; the smoothed probability is ONE double expression with
+    // pinned association, rounded at 6 dp before the exact-DECIMAL
+    // per-doc sum — so the DuckDB oracle replays the whole trained
+    // model bit-for-bit. c(vw) ≥ 1 for every scored bigram (the model
+    // trains on the same corpus), so the max(·,0) clamp is vacuous here
+    // and the log argument is always positive.
+    "q_lm_kneser" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(th) >= 2 THEN transform(sequence(1, size(th) - 1), " +
+            "i -> struct(element_at(th, i) AS h1, element_at(th, i + 1) AS h2)) " +
+            "ELSE CAST(array() AS ARRAY<STRUCT<h1: BIGINT, h2: BIGINT>>) END"))
+          .as("p"))
+        .select(col("doc_id"), col("p.h1").as("h1"), col("p.h2").as("h2"))
+        .localCheckpoint(true) // consumed by the count tables and scoring
+      val big = pairs.groupBy(col("h1"), col("h2"))
+        .agg(count(lit(1)).as("cxy"))
+        .localCheckpoint(true) // four aggregate consumers
+      val ctx = big.groupBy(col("h1"))
+        .agg(sum(col("cxy")).as("cx"), count(lit(1)).as("n1f"))
+      val bwd = big.groupBy(col("h2")).agg(count(lit(1)).as("n1b"))
+      val tot = big.agg(count(lit(1)).as("tt"))
+      pairs
+        .join(big, Seq("h1", "h2"))
+        .join(ctx, Seq("h1"))
+        .join(bwd, Seq("h2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lp", round(log(
+          (col("cxy").cast("double") - 0.75) / col("cx").cast("double") +
+            (lit(0.75) * col("n1f").cast("double") / col("cx").cast("double")) *
+              (col("n1b").cast("double") / col("tt").cast("double"))), 6))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("lp").cast("decimal(18,6)")).as("sdec"))
+        // total log-prob stays EXACT decimal to the end (kn_sum is its
+        // deterministic double image; an avg = sum/n double division hit
+        // a half-ulp rounding tie at sf0.1) and the perplexity gate
+        // compares decimals/integers only: keep ⇔ mean log-prob > −7,
+        // evaluated as sum > −7·n with zero float ops
+        .select(col("doc_id"), col("n_bigrams"),
+          col("sdec").cast("double").as("kn_sum"),
+          (col("sdec") > lit(-7L) * col("n_bigrams")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style LM quality scoring, self-contained: train bigram
     // conditionals on the corpus itself (cxy/cx), score each doc by the
     // mean log-probability of its bigrams. Low scores = improbable token
@@ -1517,6 +1573,42 @@ object TextQueries extends QueryPack {
          |  CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
          |  COUNT(DISTINCT fp) AS n_unique_fp
          |FROM d GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    "q_lm_kneser" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents
+         |), p AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN len(th) >= 2 THEN
+         |      list_transform(generate_series(1, len(th) - 1), i -> th[i])
+         |      ELSE [] END) AS h1,
+         |    unnest(CASE WHEN len(th) >= 2 THEN
+         |      list_transform(generate_series(1, len(th) - 1), i -> th[i + 1])
+         |      ELSE [] END) AS h2
+         |  FROM th
+         |), big AS (
+         |  SELECT h1, h2, COUNT(*) AS cxy FROM p GROUP BY h1, h2
+         |), ctx AS (
+         |  SELECT h1, CAST(SUM(cxy) AS BIGINT) AS cx, COUNT(*) AS n1f
+         |  FROM big GROUP BY h1
+         |), bwd AS (
+         |  SELECT h2, COUNT(*) AS n1b FROM big GROUP BY h2
+         |), tot AS (
+         |  SELECT COUNT(*) AS tt FROM big
+         |), scored AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    SUM(CAST(ROUND(ln(
+         |      (CAST(cxy AS DOUBLE) - 0.75) / CAST(cx AS DOUBLE)
+         |      + (CAST(0.75 AS DOUBLE) * CAST(n1f AS DOUBLE) / CAST(cx AS DOUBLE))
+         |        * (CAST(n1b AS DOUBLE) / CAST(tt AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6))) AS sdec
+         |  FROM p JOIN big USING (h1, h2) JOIN ctx USING (h1)
+         |    JOIN bwd USING (h2) CROSS JOIN tot
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_bigrams, CAST(sdec AS DOUBLE) AS kn_sum,
+         |  sdec > -7 * n_bigrams AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q_lm_score" ->
       s"""WITH th AS (
