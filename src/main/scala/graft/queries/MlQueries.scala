@@ -8,9 +8,13 @@ import graft.QueryKit._
 import graft.ml.{GroupedFolds, PercentageCalc}
 
 /** ML-adjacent operators with deterministic semantics, oracle-checked:
-  * the custom PercentageCalc Estimator (SURVEY.md §2.12) and the
-  * group-aware fold assignment. Model training itself is covered in
-  * MlSpec (no cross-engine oracle exists for fitted coefficients).
+  * the custom PercentageCalc Estimator (SURVEY.md §2.12), the
+  * group-aware fold assignment, and a Naive Bayes classifier whose
+  * ENTIRE fitted model is integer counts and therefore cross-engine
+  * oracle-able. Gradient-fitted model training (LR/GBT/RF/PCA) is
+  * covered in MlSpec — no cross-engine oracle exists for iteratively
+  * fitted float coefficients, which is exactly why the NB member
+  * matters: it is the trained-and-served model the oracle CAN replay.
   */
 object MlQueries extends QueryPack {
 
@@ -31,6 +35,73 @@ object MlQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Multinomial Naive Bayes language classifier, trained AND served
+    // inside one plan with a DuckDB oracle replaying the ENTIRE fitted
+    // model — the counterexample to "no cross-engine oracle exists for
+    // fitted coefficients": with Laplace smoothing the model is pure
+    // integer counts, so P(w|l) = (c(w,l)+1)/(N_l+V) and the class
+    // prior are single exact divisions, log-terms round at 6 dp into an
+    // exact DECIMAL accumulator (the q_lm_kneser discipline), and the
+    // argmax compares decimals with a lang tie-break — bit-identical
+    // prediction in both engines. Honest held-out protocol: train on
+    // doc_id % 5 ≠ 0, predict the % 5 = 0 docs. Scale shape: the
+    // (lang, token)-count model shuffles on its own key (vocab×L-bounded,
+    // NOT broadcast — at 100 TB the vocabulary table is large), while
+    // the 5-row lang dim, one-row vocab size/doc total, and L-row
+    // priors broadcast; test tokens fan out ×L through a broadcast
+    // cross join — linear in corpus size. On the synthetic corpus the
+    // held-out accuracy is ~0.40 vs the 0.20 five-class chance floor —
+    // honest, because TESTDATA's generator draws every lang from the
+    // SAME 31-token vocabulary (only frequency skew separates classes);
+    // the query's contract is the bit-exact cross-engine replay of a
+    // trained classifier, not benchmark accuracy.
+    "q_nb_lang" -> ((s, dir) => {
+      import graft.functions.TextAnalytics.tokenHashesSpark
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("doc_id"), col("lang"), explode(col("th")).as("h"))
+        .localCheckpoint(true) // consumed by train counts and test scoring
+      val train = toks.filter(col("doc_id") % 5 =!= 0)
+      val cwl = train.groupBy(col("lang").as("plang"), col("h"))
+        .agg(count(lit(1)).as("cwl"))
+      val nlp = train.groupBy(col("lang").as("plang"))
+        .agg(count(lit(1)).as("nl"))
+      val vocab = train.agg(countDistinct(col("h")).as("vv"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val trainDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      val prior = trainDocs.groupBy(col("lang").as("plang"))
+        .agg(count(lit(1)).as("ndl"))
+        .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("nd"))))
+        .select(col("plang"),
+          r6(log(col("ndl").cast("double") / col("nd").cast("double")))
+            .as("prior"))
+      val scored = toks.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("h"))
+        .crossJoin(broadcast(prior.select(col("plang"))))
+        .join(cwl, Seq("plang", "h"), "left")
+        .join(broadcast(nlp), Seq("plang"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("term", r6(log(
+          (coalesce(col("cwl"), lit(0L)) + 1).cast("double") /
+            (col("nl") + col("vv")).cast("double"))))
+      val perLang = scored.groupBy(col("doc_id"), col("plang"))
+        .agg(sum(col("term").cast("decimal(18,6)")).as("tsum"))
+        .join(broadcast(prior), Seq("plang"))
+        .withColumn("score", col("tsum") + col("prior").cast("decimal(18,6)"))
+      perLang
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("plang"))))
+        .filter(col("rnk") === 1)
+        .join(docs.filter(col("doc_id") % 5 === 0), Seq("doc_id"))
+        .select(col("doc_id"), col("plang").as("pred_lang"),
+          col("score").cast("double").as("nb_score"),
+          col("lang").as("true_lang"),
+          (col("plang") === col("lang")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic group-fold assignment (crc32-based, engine-portable).
     "q_grouped_folds" -> ((s, dir) => {
       GroupedFolds.withFold(
@@ -41,6 +112,56 @@ object MlQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_nb_lang" -> {
+      import graft.functions.TextAnalytics.tokenHashesDuck
+      s"""WITH th AS (
+         |  SELECT doc_id, lang, ${tokenHashesDuck("text")} AS th FROM documents
+         |), p AS (
+         |  SELECT doc_id, lang, unnest(th) AS h FROM th
+         |), tr AS (
+         |  SELECT * FROM p WHERE doc_id % 5 <> 0
+         |), cwl AS (
+         |  SELECT lang AS plang, h, COUNT(*) AS cwl FROM tr GROUP BY 1, 2
+         |), nl AS (
+         |  SELECT lang AS plang, COUNT(*) AS nl FROM tr GROUP BY 1
+         |), vv AS (
+         |  SELECT COUNT(DISTINCT h) AS vv FROM tr
+         |), trd AS (
+         |  SELECT doc_id, lang FROM documents WHERE doc_id % 5 <> 0
+         |), ndl AS (
+         |  SELECT lang AS plang, COUNT(*) AS ndl FROM trd GROUP BY 1
+         |), nd AS (
+         |  SELECT COUNT(*) AS nd FROM trd
+         |), prior AS (
+         |  SELECT plang,
+         |    ROUND(ln(CAST(ndl AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS prior
+         |  FROM ndl CROSS JOIN nd
+         |), te AS (
+         |  SELECT doc_id, h FROM p WHERE doc_id % 5 = 0
+         |), sc AS (
+         |  SELECT te.doc_id, l.plang,
+         |    CAST(ROUND(ln(CAST(COALESCE(cwl.cwl, 0) + 1 AS DOUBLE)
+         |      / CAST(nl.nl + vv.vv AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+         |  FROM te CROSS JOIN (SELECT plang FROM ndl) l
+         |  JOIN nl USING (plang) CROSS JOIN vv
+         |  LEFT JOIN cwl ON cwl.plang = l.plang AND cwl.h = te.h
+         |), per AS (
+         |  SELECT doc_id, plang, SUM(term) AS tsum FROM sc GROUP BY 1, 2
+         |), per2 AS (
+         |  SELECT doc_id, plang, tsum + CAST(prior AS DECIMAL(18,6)) AS score
+         |  FROM per JOIN prior USING (plang)
+         |), rk AS (
+         |  SELECT doc_id, plang, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, plang) AS rnk
+         |  FROM per2
+         |)
+         |SELECT r.doc_id, r.plang AS pred_lang, CAST(r.score AS DOUBLE) AS nb_score,
+         |  d.lang AS true_lang, r.plang = d.lang AS correct
+         |FROM rk r JOIN documents d USING (doc_id)
+         |WHERE rnk = 1 ORDER BY r.doc_id""".stripMargin
+    },
+
     "q_percentage_calc" ->
       """WITH tot AS (
         |  SELECT user_id,
