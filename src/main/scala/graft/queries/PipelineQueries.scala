@@ -208,6 +208,39 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // k-anonymity release gate (Sweeney 2002) — the privacy-governance
+    // sibling of the PII scan: a row may only be released if its
+    // quasi-identifier tuple (lang, source, size bucket) is shared by
+    // ≥ k rows. Two-level generalization ladder: fine 100-char buckets,
+    // else coarse 500-char buckets, else suppressed. Shape at 100 TB:
+    // two hash aggregations on the QI keys + two shuffled equi-joins
+    // back — group frames are corpus-cardinality-bounded, never
+    // broadcast, never windowed per row.
+    "q_k_anon" -> ((s, dir) => {
+      val k = 5
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("(n_chars div 100) * 100").as("b_fine"),
+          expr("(n_chars div 500) * 500").as("b_coarse"))
+      val fine = d.groupBy(col("lang"), col("source"), col("b_fine"))
+        .agg(count(lit(1)).as("n_fine"))
+      val coarse = d.groupBy(col("lang"), col("source"), col("b_coarse"))
+        .agg(count(lit(1)).as("n_coarse"))
+      d.join(fine, Seq("lang", "source", "b_fine"))
+        .join(coarse, Seq("lang", "source", "b_coarse"))
+        .withColumn("level",
+          when(col("n_fine") >= k, lit("fine"))
+            .when(col("n_coarse") >= k, lit("coarse"))
+            .otherwise(lit("suppressed")))
+        .withColumn("released_bucket",
+          when(col("level") === "fine", col("b_fine"))
+            .when(col("level") === "coarse", col("b_coarse")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("released_bucket"), col("level"),
+          col("n_fine"), col("n_coarse"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic corpus shuffle + balanced sharding — the training
     // export step: a reproducible pseudo-random permutation of the corpus
     // (portable multiplicative hash of doc_id — a bijection mod the prime,
@@ -366,6 +399,30 @@ object PipelineQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_k_anon" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    (n_chars // 100) * 100 AS b_fine,
+        |    (n_chars // 500) * 500 AS b_coarse
+        |  FROM documents
+        |), fine AS (
+        |  SELECT lang, source, b_fine, COUNT(*) AS n_fine
+        |  FROM d GROUP BY 1, 2, 3
+        |), coarse AS (
+        |  SELECT lang, source, b_coarse, COUNT(*) AS n_coarse
+        |  FROM d GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, lang, source,
+        |  CASE WHEN n_fine >= 5 THEN b_fine
+        |       WHEN n_coarse >= 5 THEN b_coarse END AS released_bucket,
+        |  CASE WHEN n_fine >= 5 THEN 'fine'
+        |       WHEN n_coarse >= 5 THEN 'coarse'
+        |       ELSE 'suppressed' END AS level,
+        |  n_fine, n_coarse
+        |FROM d JOIN fine USING (lang, source, b_fine)
+        |  JOIN coarse USING (lang, source, b_coarse)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_corpus_shuffle" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -303,4 +303,45 @@ class PlanSpec extends SparkSpec {
       "ReusedExchange".r.findAllIn(p).size
     assert(exchanges == 1, s"expected only the final sort exchange:\n$p")
   }
+
+  test("corpus shuffle: the only global window runs over the bucket-count table") {
+    // GlobalRowNumber decomposes the global rank; the full corpus must
+    // only ever see PARTITIONED windows — the lone empty-partition-spec
+    // window is the nb-row bucket offset prefix sum
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("q_corpus_shuffle")(spark, dir)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val global = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.size <= 1, s"more than one global window:\n$plan")
+    global.foreach { w =>
+      // the offset window's child aggregates to one row per bucket —
+      // its subtree must contain the bucket-count HashAggregate, not a
+      // raw corpus scan feeding an unpartitioned sort
+      assert(w.child.toString.contains("HashAggregate"),
+        s"global window over raw rows, not the bucket-count table:\n$w")
+    }
+  }
+
+  test("kneser-ney LM: type total broadcasts; corpus is never cartesian-joined") {
+    val p = plan("q_lm_kneser")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row type total should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian product in the LM plan:\n$p")
+  }
+
+  test("multimodal decode family is map-only up to the presentation sort") {
+    for (q <- Seq("q_audio_meta", "q_image_resize")) {
+      val p = plan(q)
+      val exchanges = "Exchange".r.findAllIn(p).size -
+        "ReusedExchange".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q: expected only the final sort exchange:\n$p")
+    }
+  }
 }
