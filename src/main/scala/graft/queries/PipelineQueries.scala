@@ -264,6 +264,65 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // DSIR — Data Selection via Importance Resampling (Xie et al.,
+    // NeurIPS 2023): pick raw documents whose hashed-n-gram distribution
+    // matches a target domain. Features are unigram + bigram token
+    // hashes folded into m = 10007 buckets; bag-of-words models with
+    // Laplace smoothing fit on the target sample (source = 'src0' here;
+    // a curated corpus in production) and on the full raw corpus; a
+    // doc's importance weight is the sum over its features of
+    // λ_b = log p_tgt(b) − log p_raw(b), and selection is Gumbel-top-k
+    // over log w + g — sampling WITHOUT replacement proportionally to w,
+    // the paper's resampling step — made deterministic by the portable
+    // multiplicative-hash uniform (the q_corpus_shuffle discipline).
+    // Scale shape: both fitted models are m-bounded tables, so λ
+    // BROADCASTS; the doc side is one scan + explode + one doc_id-keyed
+    // aggregation; the top-k rank pays NO single-task sort
+    // (GlobalRowNumber: equi-depth buckets + offset prefix over the
+    // 64-row bucket-count table). Counts are exact integers; log terms
+    // round at 6 dp into DECIMAL accumulators — the oracle replays the
+    // fitted models AND the selection bit-for-bit.
+    "q_dsir_select" -> ((s, dir) => {
+      import graft.functions.TextAnalytics.{tokenHashesSpark, gramHashesSpark}
+      val m = 10007
+      val feats = t(s, dir, "documents")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("doc_id"), col("source"),
+          explode(concat(col("th"), expr(gramHashesSpark("th", 2)))).as("g"))
+        .select(col("doc_id"), col("source"), (col("g") % m).as("b"))
+        .localCheckpoint(true) // three consumers: raw fit, target fit, scoring
+      val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgt = feats.filter(col("source") === "src0")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val lambda = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(raw.agg(sum(col("cr")).as("tr"))))
+        .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("tt"))))
+        .select(col("b"), round(
+          log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("tt") + m).cast("double")) -
+            log((col("cr") + 1).cast("double") / (col("tr") + m).cast("double")),
+          6).as("lam"))
+      val scored = feats.join(broadcast(lambda), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          sum(col("lam").cast("decimal(18,6)")).as("lw"))
+        // Gumbel key: u = (h(doc_id)+1)/(P+2) ∈ (0,1) strictly, so both
+        // logs are finite; g = −ln(−ln u) rounded at 6 dp
+        .withColumn("gum", round(-log(-log(
+          (expr("doc_id % 1000000007 * 2654435761 % 1000000007") + 1)
+            .cast("double") / lit(1000000009.0))), 6))
+        .withColumn("neg",
+          (-(col("lw") + col("gum").cast("decimal(18,6)"))).cast("double"))
+      graft.operators.GlobalRowNumber
+        .withRowNumber(scored, "neg", "rn", Seq("doc_id"))
+        .crossJoin(broadcast(
+          t(s, dir, "documents").agg(count(lit(1)).as("nn"))))
+        .select(col("doc_id"), col("n_feats"),
+          col("lw").cast("double").as("logw"), col("gum").as("gumbel"),
+          col("rn"), (col("rn") <= expr("nn div 5")).as("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Mode (most frequent value) per group with a deterministic tie-break
     // — pandas .mode().iloc[0] / value_counts().idxmax(). Two hash aggs +
     // one tiny window over the (source, lang) count frame; the corpus is
@@ -399,6 +458,47 @@ object PipelineQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dsir_select" -> {
+      import graft.functions.TextAnalytics.{tokenHashesDuck, gramHashesDuck}
+      s"""WITH t0 AS (
+         |  SELECT doc_id, source, ${tokenHashesDuck("text")} AS th FROM documents
+         |), fx AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_concat(th, ${gramHashesDuck("th", 2)})) AS g
+         |  FROM t0
+         |), f AS (
+         |  SELECT doc_id, source, g % 10007 AS b FROM fx
+         |), raw AS (
+         |  SELECT b, COUNT(*) AS cr FROM f GROUP BY 1
+         |), tgt AS (
+         |  SELECT b, COUNT(*) AS ct FROM f WHERE source = 'src0' GROUP BY 1
+         |), tr AS (SELECT SUM(cr) AS tr FROM raw),
+         |tt AS (SELECT SUM(ct) AS tt FROM tgt),
+         |lam AS (
+         |  SELECT raw.b,
+         |    ROUND(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(tt + 10007 AS DOUBLE))
+         |        - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 10007 AS DOUBLE)), 6) AS lam
+         |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tr CROSS JOIN tt
+         |), sc AS (
+         |  SELECT doc_id, COUNT(*) AS n_feats,
+         |    SUM(CAST(lam AS DECIMAL(18,6))) AS lw
+         |  FROM f JOIN lam USING (b) GROUP BY 1
+         |), gu AS (
+         |  SELECT doc_id, n_feats, lw,
+         |    ROUND(-ln(-ln(CAST(doc_id % 1000000007 * 2654435761 % 1000000007 + 1
+         |      AS DOUBLE) / 1000000009.0)), 6) AS gumbel
+         |  FROM sc
+         |), rk AS (
+         |  SELECT doc_id, n_feats, lw, gumbel,
+         |    row_number() OVER (ORDER BY
+         |      CAST(-(lw + CAST(gumbel AS DECIMAL(18,6))) AS DOUBLE), doc_id) AS rn
+         |  FROM gu
+         |), n AS (SELECT COUNT(*) AS nn FROM documents)
+         |SELECT doc_id, n_feats, CAST(lw AS DOUBLE) AS logw, gumbel,
+         |  CAST(rn AS BIGINT) AS rn, rn <= nn // 5 AS selected
+         |FROM rk CROSS JOIN n ORDER BY doc_id""".stripMargin
+    },
+
     "q_k_anon" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,

@@ -332,6 +332,55 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // SemDeDup (Abbas et al. 2023) — semantic deduplication over
+    // embedding clusters: k-means partitions the space (the SAME
+    // integer-exact Lloyd build as the IVF quantizer, so the oracle
+    // replays it bit-for-bit), exact cosine pairs are computed ONLY
+    // within each cluster, thresholded pairs form duplicate groups
+    // (connected components, log-round pointer jumping), and each group
+    // keeps the member with the LOWEST cosine to its cluster centroid —
+    // the paper's keep rule (the farthest-from-centroid member is the
+    // least redundant representative). Ties break by vec_id. Scale
+    // shape: within-cluster pairing is the published method's cost
+    // model — k grows with the corpus so cluster size n/k stays bounded
+    // and pair work is n·(n/k), never n²; cross-cluster near-dups are
+    // the method's documented recall trade-off, NOT silently dropped
+    // here. Misses nothing the oracle sees: the DuckDB twin replays
+    // Lloyd, the same within-cluster pairs, the component fixpoint
+    // (recursive CTE) and the keep rule.
+    "q_semdedup" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val index = graft.operators.IvfIndex.buildLloyd(e, k = 8, iters = 3)
+      val cents = index.centers.map { case (i, a) => (i, a.toSeq) }
+        .toDF("cluster", "centroid")
+        .select(col("cluster"), col("centroid").cast("array<float>").as("centroid"))
+      val asg = index.assignments
+        .withColumn("n2", expr("graft_fdot(embedding, embedding)"))
+        .join(broadcast(cents), Seq("cluster"))
+        .withColumn("csim", r6(expr("graft_fdot(embedding, centroid)") /
+          (sqrt(col("n2")) * sqrt(expr("graft_fdot(centroid, centroid)")))))
+        .select(col("vec_id"), col("cluster"), col("embedding"), col("n2"),
+          col("csim"))
+        .localCheckpoint(true) // pair self-join + member projection
+      val pairs = asg.as("a").join(asg.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("sim", r6(expr("graft_fdot(a.embedding, b.embedding)") /
+          (sqrt(col("a.n2")) * sqrt(col("b.n2")))))
+        .filter(col("sim") >= 0.35)
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      val (labels, _) = graft.operators.ConnectedComponents.run(pairs, "src", "dst")
+      asg.join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .withColumn("group_id", coalesce(col("component"), col("vec_id")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("group_id")).orderBy(col("csim"), col("vec_id"))))
+        .select(col("vec_id"), col("cluster"), col("csim"), col("group_id"),
+          (col("rn") === 1).as("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // PQ (product-quantization) ANN — the compression path of the ANN
     // trio (hyperplane LSH / IVF coarse quantizer / PQ codes): vectors
     // compress to m=4 byte codes, search is ADC table lookups — the
@@ -704,6 +753,48 @@ object SimilarityQueries extends QueryPack {
          |SELECT probe_id, cand_id, ROUND(sim, 6) AS sim, rnk
          |FROM ranked WHERE rnk <= 3
          |ORDER BY probe_id, rnk""".stripMargin,
+
+    // SemDeDup replay: the q_ann_ivf Lloyd chain, centroid-cosine per
+    // member, the same within-cluster thresholded pairs, the component
+    // fixpoint as a recursive CTE (the q_dedup_components pattern), and
+    // the lowest-centroid-cosine keep rule.
+    "q_semdedup" ->
+      s"""WITH RECURSIVE ${lloydDuck(8, 3)},
+         |cs AS (
+         |  SELECT a.vec_id, a.cluster, a.embedding,
+         |    ${dotDuck("a.embedding", "a.embedding")} AS n2,
+         |    ROUND(${dotDuck("a.embedding", "c.cent")} /
+         |      (sqrt(${dotDuck("a.embedding", "a.embedding")}) *
+         |       sqrt(${dotDuck("c.cent", "c.cent")})), 6) AS csim
+         |  FROM afin a JOIN c3 c ON a.cluster = c.cluster
+         |), pe AS (
+         |  SELECT x.vec_id AS va, y.vec_id AS vb
+         |  FROM cs x JOIN cs y
+         |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE ROUND(${dotDuck("x.embedding", "y.embedding")} /
+         |    (sqrt(x.n2) * sqrt(y.n2)), 6) >= 0.35
+         |), e2 AS (
+         |  SELECT va AS s, vb AS t FROM pe
+         |  UNION ALL
+         |  SELECT vb AS s, va AS t FROM pe
+         |), reach(s, t) AS (
+         |  SELECT s, t FROM e2
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN e2 e ON r.t = e.s
+         |), labels AS (
+         |  SELECT s AS vec_id, least(s, min(t)) AS component
+         |  FROM reach GROUP BY s
+         |), g AS (
+         |  SELECT cs.vec_id, cs.cluster, cs.csim,
+         |    COALESCE(l.component, cs.vec_id) AS group_id
+         |  FROM cs LEFT JOIN labels l USING (vec_id)
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY group_id
+         |    ORDER BY csim, vec_id) AS rn
+         |  FROM g
+         |)
+         |SELECT vec_id, cluster, csim, group_id, rn = 1 AS keep
+         |FROM rk ORDER BY vec_id""".stripMargin,
 
     // Full PQ search replay: the q_pq_code_stats subspace-Lloyd chain,
     // codes from the final per-subspace assignments, per-probe

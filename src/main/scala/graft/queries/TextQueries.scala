@@ -473,6 +473,154 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // BM25 retrieval over an INVERTED INDEX (Robertson & Zaragoza 2009;
+    // the Lucene +1 idf form, so idf > 0 always) — the sparse-retrieval
+    // sibling of the ANN family, and the shape a RAG/data-mining stack
+    // runs at corpus scale: query docs (doc_id % 97 = 0, the
+    // decontamination family's probe convention) retrieve from the rest
+    // of the corpus by joining their DISTINCT terms against the postings
+    // table on token hash — only (query, doc) pairs SHARING a term ever
+    // materialize, never query × corpus. k1 = 1.2, b = 0.75. Exactness:
+    // tf/df/N/Σdl are integers; avgdl enters as the single division
+    // dl·N/Σdl; each per-term score is one pinned-association double
+    // expression rounded at 6 dp into a DECIMAL per-(query, doc)
+    // accumulator, so ranking and ties (score desc, cand_id) are
+    // engine-exact. Scale shape: postings shuffle on token hash; the
+    // query-term side is workload-sized and BROADCASTS; the per-pair
+    // aggregation shuffles on (query, cand) — all linear in shared
+    // postings.
+    "q_bm25_topk" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("doc_id"), explode(col("th")).as("h"))
+        .localCheckpoint(true) // postings, doc lengths, query terms
+      val corpus = toks.filter(col("doc_id") % 97 =!= 0)
+      val post = corpus.groupBy(col("doc_id").as("cand_id"), col("h"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = corpus.groupBy(col("doc_id").as("cand_id"))
+        .agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tdl"))
+      val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val qterms = toks.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"), col("h")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id"))
+      post.join(broadcast(qterms), Seq("h"))
+        .join(dfreq, Seq("h"))
+        .join(dl, Seq("cand_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("term", round(
+          log(((col("nn") - col("df")).cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0) *
+            (col("tf").cast("double") * 2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") *
+                col("nn").cast("double") / col("tdl").cast("double"))), 6))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("term").cast("decimal(18,6)")).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("cand_id"), col("n_terms"),
+          col("score").cast("double").as("bm25"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Reciprocal-rank fusion of two retrievers (Cormack et al. 2009) —
+    // the hybrid-search composition every retrieval stack ships: BM25
+    // (lexical, q_bm25_topk's exact pipeline) and TF-IDF cosine (vector
+    // over the SAME inverted index) each rank top-10 per query, then
+    // RRF(d) = Σ_r 1/(60 + rank_r(d)) fuses the lists — rank-only
+    // fusion, so the two incomparable score scales never mix. All rank
+    // inputs are integers and each reciprocal is rounded at 6 dp into a
+    // DECIMAL sum, so fusion and final ties are engine-exact. Cosine
+    // exactness: per-term weights tf·idf are doubles on identical
+    // integer inputs; norm accumulators Σ(w²) and the shared-term dot
+    // Σ(w_q·w_d) round each term at 6 dp into DECIMAL sums before the
+    // single division — partitioning-invariant. Scale shape: identical
+    // to q_bm25_topk (postings shuffle on token hash, query side
+    // broadcasts) run twice plus a (query, cand)-keyed outer join of
+    // two top-10 lists — workload-sized, trivially parallel.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("doc_id"), explode(col("th")).as("h"))
+        .localCheckpoint(true) // postings, lengths, norms, query vectors
+      val corpus = toks.filter(col("doc_id") % 97 =!= 0)
+      val post = corpus.groupBy(col("doc_id").as("cand_id"), col("h"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // df, norms, both scorers
+      val dl = corpus.groupBy(col("doc_id").as("cand_id"))
+        .agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tdl"))
+      val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val qpost = toks.filter(col("doc_id") % 97 === 0)
+        .groupBy(col("doc_id").as("query_id"), col("h"))
+        .agg(count(lit(1)).as("qtf"))
+      val wBm = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score").desc, col("cand_id"))
+      val bm = post.join(broadcast(qpost.select(col("query_id"), col("h"))), Seq("h"))
+        .join(dfreq, Seq("h"))
+        .join(dl, Seq("cand_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("term", round(
+          log(((col("nn") - col("df")).cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0) *
+            (col("tf").cast("double") * 2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") *
+                col("nn").cast("double") / col("tdl").cast("double"))), 6))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(sum(col("term").cast("decimal(18,6)")).as("score"))
+        .withColumn("rnk1", row_number().over(wBm))
+        .filter(col("rnk1") <= 10)
+        .select(col("query_id"), col("cand_id"), col("rnk1"))
+      // TF-IDF cosine over the same postings: w = tf·ln(N/df)
+      val widf = dfreq.crossJoin(broadcast(stats.select(col("nn"))))
+        .select(col("h"),
+          log(col("nn").cast("double") / col("df").cast("double")).as("idf"))
+      val dnorm = post.join(widf, Seq("h"))
+        .groupBy(col("cand_id"))
+        .agg(sum(round(pow(col("tf").cast("double") * col("idf"), 2), 6)
+          .cast("decimal(18,6)")).as("n2"))
+        .select(col("cand_id"), sqrt(col("n2").cast("double")).as("nd"))
+      val qvec = qpost.join(broadcast(widf), Seq("h"))
+        .select(col("query_id"), col("h"),
+          (col("qtf").cast("double") * col("idf")).as("wq"))
+        .localCheckpoint(true) // query norms + dot
+      val qnorm = qvec.groupBy(col("query_id"))
+        .agg(sum(round(pow(col("wq"), 2), 6).cast("decimal(18,6)")).as("n2"))
+        .select(col("query_id"), sqrt(col("n2").cast("double")).as("nq"))
+      val wCos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+      val cosr = post.join(widf, Seq("h"))
+        .join(broadcast(qvec), Seq("h"))
+        .withColumn("prod",
+          round(col("wq") * (col("tf").cast("double") * col("idf")), 6))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(sum(col("prod").cast("decimal(18,6)")).as("dot"))
+        .join(dnorm, Seq("cand_id"))
+        .join(broadcast(qnorm), Seq("query_id"))
+        .withColumn("cos", r6(col("dot").cast("double") / (col("nq") * col("nd"))))
+        .withColumn("rnk2", row_number().over(wCos))
+        .filter(col("rnk2") <= 10)
+        .select(col("query_id"), col("cand_id"), col("rnk2"))
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("cand_id"))
+      bm.join(cosr, Seq("query_id", "cand_id"), "full_outer")
+        .withColumn("rrf",
+          (coalesce(round(lit(1.0) / (lit(60) + col("rnk1")), 6), lit(0.0))
+            .cast("decimal(18,6)") +
+           coalesce(round(lit(1.0) / (lit(60) + col("rnk2")), 6), lit(0.0))
+            .cast("decimal(18,6)")))
+        .withColumn("rnk", row_number().over(wF))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("cand_id"), col("rnk1"), col("rnk2"),
+          col("rrf").cast("double").as("rrf"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // SimHash (16-bit) + blocking bucket (native single-pass kernel; the
     // HOF twin `simhash16Spark` remains the documented portable form).
     "q_simhash" -> ((s, dir) => {
@@ -1285,6 +1433,119 @@ object TextQueries extends QueryPack {
          |)
          |SELECT doc_id, token, tf, df, tfidf, rnk FROM ranked
          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_bm25_topk" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents
+         |), p AS (
+         |  SELECT doc_id, unnest(th) AS h FROM t0
+         |), post AS (
+         |  SELECT doc_id AS cand_id, h, COUNT(*) AS tf
+         |  FROM p WHERE doc_id % 97 <> 0 GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id AS cand_id, COUNT(*) AS dl
+         |  FROM p WHERE doc_id % 97 <> 0 GROUP BY 1
+         |), st AS (SELECT COUNT(*) AS nn, SUM(dl) AS tdl FROM dl),
+         |dfq AS (SELECT h, COUNT(*) AS df FROM post GROUP BY 1),
+         |q AS (
+         |  SELECT DISTINCT doc_id AS query_id, h
+         |  FROM p WHERE doc_id % 97 = 0
+         |), sc AS (
+         |  SELECT q.query_id, post.cand_id,
+         |    ROUND(ln((CAST(nn - df AS DOUBLE) + 0.5) /
+         |        (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |          * CAST(nn AS DOUBLE) / CAST(tdl AS DOUBLE))), 6) AS term
+         |  FROM post JOIN q USING (h) JOIN dfq USING (h)
+         |    JOIN dl USING (cand_id) CROSS JOIN st
+         |), agg AS (
+         |  SELECT query_id, cand_id, COUNT(*) AS n_terms,
+         |    SUM(CAST(term AS DECIMAL(18,6))) AS score
+         |  FROM sc GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, cand_id) AS INT) AS rnk
+         |  FROM agg
+         |)
+         |SELECT query_id, cand_id, n_terms, CAST(score AS DOUBLE) AS bm25, rnk
+         |FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_rrf_fusion" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents
+         |), p AS (
+         |  SELECT doc_id, unnest(th) AS h FROM t0
+         |), post AS (
+         |  SELECT doc_id AS cand_id, h, COUNT(*) AS tf
+         |  FROM p WHERE doc_id % 97 <> 0 GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id AS cand_id, COUNT(*) AS dl
+         |  FROM p WHERE doc_id % 97 <> 0 GROUP BY 1
+         |), st AS (SELECT COUNT(*) AS nn, SUM(dl) AS tdl FROM dl),
+         |dfq AS (SELECT h, COUNT(*) AS df FROM post GROUP BY 1),
+         |qpost AS (
+         |  SELECT doc_id AS query_id, h, COUNT(*) AS qtf
+         |  FROM p WHERE doc_id % 97 = 0 GROUP BY 1, 2
+         |), bmsc AS (
+         |  SELECT qpost.query_id, post.cand_id,
+         |    ROUND(ln((CAST(nn - df AS DOUBLE) + 0.5) /
+         |        (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |          * CAST(nn AS DOUBLE) / CAST(tdl AS DOUBLE))), 6) AS term
+         |  FROM post JOIN qpost USING (h) JOIN dfq USING (h)
+         |    JOIN dl USING (cand_id) CROSS JOIN st
+         |), bm AS (
+         |  SELECT query_id, cand_id, CAST(row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, cand_id) AS INT) AS rnk1
+         |  FROM (SELECT query_id, cand_id,
+         |    SUM(CAST(term AS DECIMAL(18,6))) AS score
+         |    FROM bmsc GROUP BY 1, 2) QUALIFY rnk1 <= 10
+         |), widf AS (
+         |  SELECT h, ln(CAST(nn AS DOUBLE) / CAST(df AS DOUBLE)) AS idf
+         |  FROM dfq CROSS JOIN st
+         |), dnorm AS (
+         |  SELECT cand_id, sqrt(CAST(SUM(CAST(
+         |      ROUND(pow(CAST(tf AS DOUBLE) * idf, 2), 6)
+         |    AS DECIMAL(18,6))) AS DOUBLE)) AS nd
+         |  FROM post JOIN widf USING (h) GROUP BY 1
+         |), qvec AS (
+         |  SELECT query_id, h, CAST(qtf AS DOUBLE) * idf AS wq
+         |  FROM qpost JOIN widf USING (h)
+         |), qnorm AS (
+         |  SELECT query_id, sqrt(CAST(SUM(CAST(ROUND(pow(wq, 2), 6)
+         |    AS DECIMAL(18,6))) AS DOUBLE)) AS nq
+         |  FROM qvec GROUP BY 1
+         |), cosr AS (
+         |  SELECT query_id, cand_id, CAST(row_number() OVER
+         |    (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rnk2
+         |  FROM (
+         |    SELECT d.query_id, d.cand_id,
+         |      ROUND(CAST(d.dot AS DOUBLE) / (q.nq * n.nd), 6) AS cos
+         |    FROM (
+         |      SELECT qvec.query_id, post.cand_id,
+         |        SUM(CAST(ROUND(wq * (CAST(tf AS DOUBLE) * idf), 6)
+         |          AS DECIMAL(18,6))) AS dot
+         |      FROM post JOIN widf USING (h) JOIN qvec USING (h)
+         |      GROUP BY 1, 2) d
+         |    JOIN dnorm n USING (cand_id) JOIN qnorm q USING (query_id))
+         |  QUALIFY rnk2 <= 10
+         |), fused AS (
+         |  SELECT query_id, cand_id, rnk1, rnk2,
+         |    CAST(COALESCE(ROUND(CAST(1 AS DOUBLE) / (60 + rnk1), 6), 0)
+         |      AS DECIMAL(18,6)) +
+         |    CAST(COALESCE(ROUND(CAST(1 AS DOUBLE) / (60 + rnk2), 6), 0)
+         |      AS DECIMAL(18,6)) AS rrf
+         |  FROM bm FULL JOIN cosr USING (query_id, cand_id)
+         |), rk AS (
+         |  SELECT query_id, cand_id, rnk1, rnk2, CAST(rrf AS DOUBLE) AS rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, cand_id) AS INT) AS rnk
+         |  FROM fused
+         |)
+         |SELECT query_id, cand_id, rnk1, rnk2, rrf, rnk
+         |FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "q_simhash" ->
       s"""WITH th AS (SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents)

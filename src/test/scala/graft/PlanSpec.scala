@@ -344,4 +344,42 @@ class PlanSpec extends SparkSpec {
       assert(exchanges == 1, s"$q: expected only the final sort exchange:\n$p")
     }
   }
+
+  test("DSIR: lambda model broadcasts; the only global window is the bucket offset") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("q_dsir_select")(spark, dir)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val p = exec.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"m-bounded lambda table should broadcast into the scoring join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    val global = exec.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.size <= 1, s"more than one global window:\n$p")
+    global.foreach { w =>
+      assert(w.child.toString.contains("HashAggregate"),
+        s"global window over raw rows, not the bucket-count table:\n$w")
+    }
+  }
+
+  test("BM25 and RRF fusion: query side broadcasts into the postings join; no cartesian") {
+    for (q <- Seq("q_bm25_topk", "q_rrf_fusion")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: workload-sized query-term side should broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: unexpected cartesian:\n$p")
+    }
+  }
+
+  test("SemDeDup: within-cluster pairing is an equi-join, never a cartesian") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"pair join must key on cluster:\n$p")
+  }
 }
