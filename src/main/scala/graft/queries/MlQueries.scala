@@ -108,10 +108,103 @@ object MlQueries extends QueryPack {
         t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
         "c_nationkey", 5)
         .orderBy(col("c_custkey"))
+    }),
+
+    // EXACT ROC-AUC at scale — Mann–Whitney with full tie correction,
+    // zero sort of raw rows: AUC·2·n⁺·n⁻ = Σ over score groups of
+    // c⁺·(2·negBelow + c⁻), every term an exact integer, so the one
+    // float step is the final division (MLlib's evaluator stays
+    // spec-gated in MlSpec; this is the oracle-checkable twin). The
+    // scored task: rank label-0 embeddings by cosine to the label-0
+    // centroid (the q_embed_centroid exact-decimal mean; resubstitution
+    // protocol, documented — the score only needs to be deterministic
+    // for the AUC machinery to be exercised). negBelow comes from the
+    // KS-test decomposition: equi-depth buckets over the per-SCORE
+    // group frame, bucket-offset prefix + bucket-local window — the
+    // only global window runs over the 64-row bucket table, never data.
+    "q_auc_exact" -> ((s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val cent = e.filter(col("label") === 0)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg((sum(round(col("v").cast("double"), 6).cast("decimal(18,6)")) *
+          lit(1000000)).cast("long").as("micro"),
+          count(lit(1)).as("n"))
+        .select(col("pos"), (col("micro").cast("double") / lit(1000000.0) /
+          col("n").cast("double")).as("c"))
+      val scored = e
+        .withColumn("n2", expr("graft_fdot(embedding, embedding)"))
+        .select(col("vec_id"), col("label"), col("n2"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id"), col("label"), col("n2"))
+        .agg(sum(round(col("v").cast("double") * col("c"), 6)
+          .cast("decimal(18,6)")).as("dot"))
+        .select(col("label"),
+          r6(col("dot").cast("double") / sqrt(col("n2"))).as("score"))
+      val g = scored.groupBy(col("score"))
+        .agg(sum((col("label") === 0).cast("long")).as("cpos"),
+          sum((col("label") =!= 0).cast("long")).as("cneg"))
+      val b = graft.operators.RangeBuckets
+        .withEquiDepthBucket(g, "score", "bucket")
+        .repartition(col("bucket"))
+      val wOff = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = b.groupBy(col("bucket")).agg(sum(col("cneg")).as("bn"))
+        .withColumn("offn", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+        .select(col("bucket"), col("offn"))
+      val wLoc = Window.partitionBy(col("bucket")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      b.join(broadcast(off), Seq("bucket"))
+        .withColumn("negbelow",
+          coalesce(sum(col("cneg")).over(wLoc), lit(0L)) + col("offn"))
+        .groupBy()
+        .agg(sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
+          sum(col("cpos") * (lit(2) * col("negbelow") + col("cneg"))).as("u2"))
+        .select(col("npos"), col("nneg"), col("u2"),
+          r6(col("u2").cast("double") /
+            (lit(2) * col("npos") * col("nneg")).cast("double")).as("auc"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_auc_exact" -> {
+      import graft.functions.TextAnalytics.dotDuck
+      s"""WITH cent AS (
+         |  SELECT i - 1 AS pos,
+         |    CAST(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6)
+         |        AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE)
+         |      / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS c
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+         |  WHERE label = 0 GROUP BY 1
+         |), scored AS (
+         |  SELECT e.label,
+         |    ROUND(CAST(SUM(CAST(ROUND(CAST(e.embedding[cent.pos + 1] AS DOUBLE)
+         |        * cent.c, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |      / sqrt(${dotDuck("e.embedding", "e.embedding")}), 6) AS score
+         |  FROM embeddings e CROSS JOIN cent
+         |  GROUP BY e.vec_id, e.label, e.embedding
+         |), g AS (
+         |  SELECT score,
+         |    SUM(CAST(label = 0 AS BIGINT)) AS cpos,
+         |    SUM(CAST(label <> 0 AS BIGINT)) AS cneg
+         |  FROM scored GROUP BY 1
+         |), pr AS (
+         |  SELECT cpos, cneg,
+         |    COALESCE(SUM(cneg) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negbelow
+         |  FROM g
+         |)
+         |SELECT CAST(SUM(cpos) AS BIGINT) AS npos,
+         |  CAST(SUM(cneg) AS BIGINT) AS nneg,
+         |  CAST(SUM(cpos * (2 * negbelow + cneg)) AS BIGINT) AS u2,
+         |  ROUND(CAST(SUM(cpos * (2 * negbelow + cneg)) AS DOUBLE) /
+         |    CAST(2 * SUM(cpos) * SUM(cneg) AS DOUBLE), 6) AS auc
+         |FROM pr""".stripMargin
+    },
+
     "q_nb_lang" -> {
       import graft.functions.TextAnalytics.tokenHashesDuck
       s"""WITH th AS (

@@ -336,18 +336,21 @@ object SimilarityQueries extends QueryPack {
     // embedding clusters: k-means partitions the space (the SAME
     // integer-exact Lloyd build as the IVF quantizer, so the oracle
     // replays it bit-for-bit), exact cosine pairs are computed ONLY
-    // within each cluster, thresholded pairs form duplicate groups
-    // (connected components, log-round pointer jumping), and each group
-    // keeps the member with the LOWEST cosine to its cluster centroid —
-    // the paper's keep rule (the farthest-from-centroid member is the
-    // least redundant representative). Ties break by vec_id. Scale
-    // shape: within-cluster pairing is the published method's cost
-    // model — k grows with the corpus so cluster size n/k stays bounded
-    // and pair work is n·(n/k), never n²; cross-cluster near-dups are
-    // the method's documented recall trade-off, NOT silently dropped
-    // here. Misses nothing the oracle sees: the DuckDB twin replays
-    // Lloyd, the same within-cluster pairs, the component fixpoint
-    // (recursive CTE) and the keep rule.
+    // within each cluster, and the paper's GREEDY keep rule runs
+    // against the centroid-distance priority order: members sort by
+    // ASCENDING cosine-to-centroid (farthest = least redundant = kept
+    // first; ties by vec_id) and x is DROPPED iff SOME
+    // earlier-priority y has sim(x, y) ≥ τ — the reference
+    // implementation's upper-triangular max-sim test, which is pure
+    // pairwise (one aggregation over the pair list), NOT a transitive
+    // closure; an earlier components-based draft paid an eager
+    // fixpoint loop per run for semantics the paper doesn't ask for.
+    // Scale shape: within-cluster pairing is the published method's
+    // cost model — k grows with the corpus so cluster size n/k stays
+    // bounded and pair work is n·(n/k), never n²; cross-cluster
+    // near-dups are the method's documented recall trade-off. The
+    // DuckDB twin replays Lloyd, the same within-cluster pairs and the
+    // same greedy EXISTS.
     "q_semdedup" -> ((s, dir) => {
       GraftExtensions.register(s)
       import s.implicits._
@@ -364,20 +367,22 @@ object SimilarityQueries extends QueryPack {
         .select(col("vec_id"), col("cluster"), col("embedding"), col("n2"),
           col("csim"))
         .localCheckpoint(true) // pair self-join + member projection
-      val pairs = asg.as("a").join(asg.as("b"),
+      // directed pairs (y earlier-priority than x): count per x
+      val dups = asg.as("a").join(asg.as("b"),
           col("a.cluster") === col("b.cluster") &&
-            col("a.vec_id") < col("b.vec_id"))
+            col("a.vec_id") =!= col("b.vec_id") &&
+            (col("b.csim") < col("a.csim") ||
+              (col("b.csim") === col("a.csim") &&
+                col("b.vec_id") < col("a.vec_id"))))
         .withColumn("sim", r6(expr("graft_fdot(a.embedding, b.embedding)") /
           (sqrt(col("a.n2")) * sqrt(col("b.n2")))))
         .filter(col("sim") >= 0.35)
-        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      val (labels, _) = graft.operators.ConnectedComponents.run(pairs, "src", "dst")
-      asg.join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
-        .withColumn("group_id", coalesce(col("component"), col("vec_id")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("group_id")).orderBy(col("csim"), col("vec_id"))))
-        .select(col("vec_id"), col("cluster"), col("csim"), col("group_id"),
-          (col("rn") === 1).as("keep"))
+        .groupBy(col("a.vec_id").as("vec_id"))
+        .agg(count(lit(1)).as("n_dup_earlier"))
+      asg.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("csim"),
+          coalesce(col("n_dup_earlier"), lit(0L)).as("n_dup_earlier"),
+          (coalesce(col("n_dup_earlier"), lit(0L)) === 0).as("keep"))
         .orderBy(col("vec_id"))
     }),
 
@@ -755,11 +760,10 @@ object SimilarityQueries extends QueryPack {
          |ORDER BY probe_id, rnk""".stripMargin,
 
     // SemDeDup replay: the q_ann_ivf Lloyd chain, centroid-cosine per
-    // member, the same within-cluster thresholded pairs, the component
-    // fixpoint as a recursive CTE (the q_dedup_components pattern), and
-    // the lowest-centroid-cosine keep rule.
+    // member, the same within-cluster directed earlier-priority pairs,
+    // and the paper's greedy EXISTS drop rule.
     "q_semdedup" ->
-      s"""WITH RECURSIVE ${lloydDuck(8, 3)},
+      s"""WITH ${lloydDuck(8, 3)},
          |cs AS (
          |  SELECT a.vec_id, a.cluster, a.embedding,
          |    ${dotDuck("a.embedding", "a.embedding")} AS n2,
@@ -767,34 +771,19 @@ object SimilarityQueries extends QueryPack {
          |      (sqrt(${dotDuck("a.embedding", "a.embedding")}) *
          |       sqrt(${dotDuck("c.cent", "c.cent")})), 6) AS csim
          |  FROM afin a JOIN c3 c ON a.cluster = c.cluster
-         |), pe AS (
-         |  SELECT x.vec_id AS va, y.vec_id AS vb
+         |), dups AS (
+         |  SELECT x.vec_id, COUNT(*) AS n_dup_earlier
          |  FROM cs x JOIN cs y
-         |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+         |    AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
          |  WHERE ROUND(${dotDuck("x.embedding", "y.embedding")} /
          |    (sqrt(x.n2) * sqrt(y.n2)), 6) >= 0.35
-         |), e2 AS (
-         |  SELECT va AS s, vb AS t FROM pe
-         |  UNION ALL
-         |  SELECT vb AS s, va AS t FROM pe
-         |), reach(s, t) AS (
-         |  SELECT s, t FROM e2
-         |  UNION
-         |  SELECT r.s, e.t FROM reach r JOIN e2 e ON r.t = e.s
-         |), labels AS (
-         |  SELECT s AS vec_id, least(s, min(t)) AS component
-         |  FROM reach GROUP BY s
-         |), g AS (
-         |  SELECT cs.vec_id, cs.cluster, cs.csim,
-         |    COALESCE(l.component, cs.vec_id) AS group_id
-         |  FROM cs LEFT JOIN labels l USING (vec_id)
-         |), rk AS (
-         |  SELECT *, row_number() OVER (PARTITION BY group_id
-         |    ORDER BY csim, vec_id) AS rn
-         |  FROM g
+         |  GROUP BY 1
          |)
-         |SELECT vec_id, cluster, csim, group_id, rn = 1 AS keep
-         |FROM rk ORDER BY vec_id""".stripMargin,
+         |SELECT cs.vec_id, cs.cluster, cs.csim,
+         |  COALESCE(d.n_dup_earlier, 0) AS n_dup_earlier,
+         |  COALESCE(d.n_dup_earlier, 0) = 0 AS keep
+         |FROM cs LEFT JOIN dups d USING (vec_id) ORDER BY cs.vec_id""".stripMargin,
 
     // Full PQ search replay: the q_pq_code_stats subspace-Lloyd chain,
     // codes from the final per-subspace assignments, per-probe

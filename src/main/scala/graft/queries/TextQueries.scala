@@ -497,8 +497,10 @@ object TextQueries extends QueryPack {
       val corpus = toks.filter(col("doc_id") % 97 =!= 0)
       val post = corpus.groupBy(col("doc_id").as("cand_id"), col("h"))
         .agg(count(lit(1)).as("tf"))
-      val dl = corpus.groupBy(col("doc_id").as("cand_id"))
-        .agg(count(lit(1)).as("dl"))
+        .localCheckpoint(true) // dl, df and the term math all read it
+      // doc length = Σ tf over the doc's postings — derived from post,
+      // never a second corpus scan
+      val dl = post.groupBy(col("cand_id")).agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tdl"))
       val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val qterms = toks.filter(col("doc_id") % 97 === 0)
@@ -506,9 +508,17 @@ object TextQueries extends QueryPack {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cand_id"))
-      post.join(broadcast(qterms), Seq("h"))
-        .join(dfreq, Seq("h"))
-        .join(dl, Seq("cand_id"))
+      // the BM25 term score is query-INDEPENDENT (no query-tf
+      // weighting), so all the math and the df/dl joins run on the
+      // postings-sized frame; the query fan-out only ever carries the
+      // finished 6-dp term — the pair-sized frame is projected and
+      // aggregated, never re-joined (an earlier draft paid two
+      // pair-sized shuffles joining df and dl after the fan-out).
+      // dfreq is vocabulary-sized (the standard dictionary asset) and
+      // BROADCASTS — joined by shuffle it hashes the whole postings
+      // table onto |vocab| keys, the classic skew trap
+      val enriched = post.join(dl, Seq("cand_id"))
+        .join(broadcast(dfreq), Seq("h"))
         .crossJoin(broadcast(stats))
         .withColumn("term", round(
           log(((col("nn") - col("df")).cast("double") + 0.5) /
@@ -517,6 +527,8 @@ object TextQueries extends QueryPack {
             (col("tf").cast("double") + lit(1.2) *
               (lit(0.25) + lit(0.75) * col("dl").cast("double") *
                 col("nn").cast("double") / col("tdl").cast("double"))), 6))
+        .select(col("cand_id"), col("h"), col("term"))
+      enriched.join(broadcast(qterms), Seq("h"))
         .groupBy(col("query_id"), col("cand_id"))
         .agg(count(lit(1)).as("n_terms"),
           sum(col("term").cast("decimal(18,6)")).as("score"))
@@ -551,18 +563,25 @@ object TextQueries extends QueryPack {
       val post = corpus.groupBy(col("doc_id").as("cand_id"), col("h"))
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint(true) // df, norms, both scorers
-      val dl = corpus.groupBy(col("doc_id").as("cand_id"))
-        .agg(count(lit(1)).as("dl"))
+      // doc length = Σ tf over the doc's postings (no second corpus scan)
+      val dl = post.groupBy(col("cand_id")).agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tdl"))
       val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val qpost = toks.filter(col("doc_id") % 97 === 0)
         .groupBy(col("doc_id").as("query_id"), col("h"))
         .agg(count(lit(1)).as("qtf"))
+      // per-posting enrichment BEFORE the query fan-out (the
+      // q_bm25_topk restructure): BM25 terms and tf·idf weights are
+      // query-independent, so all joins and math run postings-sized;
+      // the vocabulary-sized df/idf dictionaries BROADCAST (a shuffle
+      // join on |vocab| keys is the classic skew trap)
       val wBm = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("score").desc, col("cand_id"))
-      val bm = post.join(broadcast(qpost.select(col("query_id"), col("h"))), Seq("h"))
-        .join(dfreq, Seq("h"))
-        .join(dl, Seq("cand_id"))
+      val widf = dfreq.crossJoin(broadcast(stats.select(col("nn"))))
+        .select(col("h"), col("df"),
+          log(col("nn").cast("double") / col("df").cast("double")).as("idf"))
+      val enriched = post.join(dl, Seq("cand_id"))
+        .join(broadcast(widf), Seq("h"))
         .crossJoin(broadcast(stats))
         .withColumn("term", round(
           log(((col("nn") - col("df")).cast("double") + 0.5) /
@@ -571,18 +590,19 @@ object TextQueries extends QueryPack {
             (col("tf").cast("double") + lit(1.2) *
               (lit(0.25) + lit(0.75) * col("dl").cast("double") *
                 col("nn").cast("double") / col("tdl").cast("double"))), 6))
+        .withColumn("wd", col("tf").cast("double") * col("idf"))
+        .select(col("cand_id"), col("h"), col("term"), col("wd"))
+        .localCheckpoint(true) // both scorers fan out from here
+      val bm = enriched
+        .join(broadcast(qpost.select(col("query_id"), col("h"))), Seq("h"))
         .groupBy(col("query_id"), col("cand_id"))
         .agg(sum(col("term").cast("decimal(18,6)")).as("score"))
         .withColumn("rnk1", row_number().over(wBm))
         .filter(col("rnk1") <= 10)
         .select(col("query_id"), col("cand_id"), col("rnk1"))
-      // TF-IDF cosine over the same postings: w = tf·ln(N/df)
-      val widf = dfreq.crossJoin(broadcast(stats.select(col("nn"))))
-        .select(col("h"),
-          log(col("nn").cast("double") / col("df").cast("double")).as("idf"))
-      val dnorm = post.join(widf, Seq("h"))
+      val dnorm = enriched
         .groupBy(col("cand_id"))
-        .agg(sum(round(pow(col("tf").cast("double") * col("idf"), 2), 6)
+        .agg(sum(round(pow(col("wd"), 2), 6)
           .cast("decimal(18,6)")).as("n2"))
         .select(col("cand_id"), sqrt(col("n2").cast("double")).as("nd"))
       val qvec = qpost.join(broadcast(widf), Seq("h"))
@@ -594,10 +614,9 @@ object TextQueries extends QueryPack {
         .select(col("query_id"), sqrt(col("n2").cast("double")).as("nq"))
       val wCos = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
-      val cosr = post.join(widf, Seq("h"))
+      val cosr = enriched
         .join(broadcast(qvec), Seq("h"))
-        .withColumn("prod",
-          round(col("wq") * (col("tf").cast("double") * col("idf")), 6))
+        .withColumn("prod", round(col("wq") * col("wd"), 6))
         .groupBy(col("query_id"), col("cand_id"))
         .agg(sum(col("prod").cast("decimal(18,6)")).as("dot"))
         .join(dnorm, Seq("cand_id"))
