@@ -494,7 +494,13 @@ object TextQueries extends QueryPack {
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("doc_id"), explode(col("th")).as("h"))
         .localCheckpoint(true) // postings, doc lengths, query terms
-      val corpus = toks.filter(col("doc_id") % 97 =!= 0)
+      // FIXED query universe (doc_id < 5000 = the full id space at the
+      // largest test SF, so no output changes at any SF): workload is
+      // query-determined, not corpus-proportional — a query set that
+      // grew with the corpus would make the retrieval quadratic by
+      // benchmark construction (the q_ann_pq probe precedent)
+      val isQuery = col("doc_id") % 97 === 0 && col("doc_id") < 5000
+      val corpus = toks.filter(!isQuery)
       val post = corpus.groupBy(col("doc_id").as("cand_id"), col("h"))
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint(true) // dl, df and the term math all read it
@@ -503,7 +509,7 @@ object TextQueries extends QueryPack {
       val dl = post.groupBy(col("cand_id")).agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tdl"))
       val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val qterms = toks.filter(col("doc_id") % 97 === 0)
+      val qterms = toks.filter(isQuery)
         .select(col("doc_id").as("query_id"), col("h")).distinct()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
@@ -559,7 +565,9 @@ object TextQueries extends QueryPack {
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("doc_id"), explode(col("th")).as("h"))
         .localCheckpoint(true) // postings, lengths, norms, query vectors
-      val corpus = toks.filter(col("doc_id") % 97 =!= 0)
+      // FIXED query universe — see q_bm25_topk
+      val isQuery = col("doc_id") % 97 === 0 && col("doc_id") < 5000
+      val corpus = toks.filter(!isQuery)
       val post = corpus.groupBy(col("doc_id").as("cand_id"), col("h"))
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint(true) // df, norms, both scorers
@@ -567,7 +575,7 @@ object TextQueries extends QueryPack {
       val dl = post.groupBy(col("cand_id")).agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tdl"))
       val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val qpost = toks.filter(col("doc_id") % 97 === 0)
+      val qpost = toks.filter(isQuery)
         .groupBy(col("doc_id").as("query_id"), col("h"))
         .agg(count(lit(1)).as("qtf"))
       // per-posting enrichment BEFORE the query fan-out (the
@@ -1460,15 +1468,15 @@ object TextQueries extends QueryPack {
          |  SELECT doc_id, unnest(th) AS h FROM t0
          |), post AS (
          |  SELECT doc_id AS cand_id, h, COUNT(*) AS tf
-         |  FROM p WHERE doc_id % 97 <> 0 GROUP BY 1, 2
+         |  FROM p WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000) GROUP BY 1, 2
          |), dl AS (
          |  SELECT doc_id AS cand_id, COUNT(*) AS dl
-         |  FROM p WHERE doc_id % 97 <> 0 GROUP BY 1
+         |  FROM p WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000) GROUP BY 1
          |), st AS (SELECT COUNT(*) AS nn, SUM(dl) AS tdl FROM dl),
          |dfq AS (SELECT h, COUNT(*) AS df FROM post GROUP BY 1),
          |q AS (
          |  SELECT DISTINCT doc_id AS query_id, h
-         |  FROM p WHERE doc_id % 97 = 0
+         |  FROM p WHERE doc_id % 97 = 0 AND doc_id < 5000
          |), sc AS (
          |  SELECT q.query_id, post.cand_id,
          |    ROUND(ln((CAST(nn - df AS DOUBLE) + 0.5) /
@@ -1497,15 +1505,15 @@ object TextQueries extends QueryPack {
          |  SELECT doc_id, unnest(th) AS h FROM t0
          |), post AS (
          |  SELECT doc_id AS cand_id, h, COUNT(*) AS tf
-         |  FROM p WHERE doc_id % 97 <> 0 GROUP BY 1, 2
+         |  FROM p WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000) GROUP BY 1, 2
          |), dl AS (
          |  SELECT doc_id AS cand_id, COUNT(*) AS dl
-         |  FROM p WHERE doc_id % 97 <> 0 GROUP BY 1
+         |  FROM p WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000) GROUP BY 1
          |), st AS (SELECT COUNT(*) AS nn, SUM(dl) AS tdl FROM dl),
          |dfq AS (SELECT h, COUNT(*) AS df FROM post GROUP BY 1),
          |qpost AS (
          |  SELECT doc_id AS query_id, h, COUNT(*) AS qtf
-         |  FROM p WHERE doc_id % 97 = 0 GROUP BY 1, 2
+         |  FROM p WHERE doc_id % 97 = 0 AND doc_id < 5000 GROUP BY 1, 2
          |), bmsc AS (
          |  SELECT qpost.query_id, post.cand_id,
          |    ROUND(ln((CAST(nn - df AS DOUBLE) + 0.5) /
