@@ -15,6 +15,9 @@ import graft.ml.{GroupedFolds, PercentageCalc}
   * covered in MlSpec — no cross-engine oracle exists for iteratively
   * fitted float coefficients, which is exactly why the NB member
   * matters: it is the trained-and-served model the oracle CAN replay.
+  * q_auc_exact is the evaluation-side twin: tie-corrected Mann–Whitney
+  * ROC-AUC where every term is an exact integer (MLlib's evaluator
+  * stays spec-gated; this one hash-matches cross-engine).
   */
 object MlQueries extends QueryPack {
 
