@@ -164,10 +164,79 @@ object MixtureQueries extends QueryPack {
           (col("full") + when(col("rn") <= col("extra"), 1L).otherwise(0L))
             .cast("long").as("n_repeats"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Distributional distance diagnostic: KL(source ‖ corpus) over
+    // Laplace-smoothed unigram token distributions — the number a
+    // mixture designer reads to see WHICH source is far from the blend
+    // (high KL = distinct vocabulary/frequency profile; reweighting or
+    // a dedicated quota is warranted). Support = the full corpus
+    // vocabulary for every source (absent terms carry the smoothed
+    // 1/(T_s+V) mass — skipping them underestimates KL). Scale shape:
+    // two token-keyed count aggregations; the per-source support frame
+    // is |sources|×|vocab| (vocabulary-bounded, never corpus-sized) —
+    // a cross of the vocab table with the broadcast source-totals dim;
+    // each KL term rounds at 6 dp into a DECIMAL sum.
+    "q_corpus_kl" -> ((s, dir) => {
+      import graft.functions.TextAnalytics.tokenHashesSpark
+      val toks = t(s, dir, "documents")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("source"), explode(col("th")).as("h"))
+        .localCheckpoint(true) // corpus counts + per-source counts
+      val corpus = toks.groupBy(col("h")).agg(count(lit(1)).as("ct"))
+      val cTot = corpus.agg(sum(col("ct")).as("tc"), count(lit(1)).as("vv"))
+      val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("ts"))
+      val cst = toks.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("cst"))
+      corpus.crossJoin(broadcast(srcTot))
+        .join(cst, Seq("source", "h"), "left")
+        .crossJoin(broadcast(cTot))
+        .withColumn("ps", (coalesce(col("cst"), lit(0L)) + 1).cast("double") /
+          (col("ts") + col("vv")).cast("double"))
+        .withColumn("pc", (col("ct") + 1).cast("double") /
+          (col("tc") + col("vv")).cast("double"))
+        .withColumn("term", round(col("ps") * log(col("ps") / col("pc")), 6))
+        .groupBy(col("source"))
+        .agg(max(col("ts")).as("n_tokens"),
+          sum(col("term").cast("decimal(18,6)")).as("klsum"))
+        .select(col("source"), col("n_tokens"),
+          col("klsum").cast("double").as("kl"))
+        .orderBy(col("source"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_corpus_kl" -> {
+      import graft.functions.TextAnalytics.tokenHashesDuck
+      s"""WITH t0 AS (
+         |  SELECT source, ${tokenHashesDuck("text")} AS th FROM documents
+         |), p AS (
+         |  SELECT source, unnest(th) AS h FROM t0
+         |), corpus AS (
+         |  SELECT h, COUNT(*) AS ct FROM p GROUP BY 1
+         |), ctot AS (
+         |  SELECT SUM(ct) AS tc, COUNT(*) AS vv FROM corpus
+         |), stot AS (
+         |  SELECT source, COUNT(*) AS ts FROM p GROUP BY 1
+         |), cst AS (
+         |  SELECT source, h, COUNT(*) AS cst FROM p GROUP BY 1, 2
+         |), sup AS (
+         |  SELECT s.source, s.ts, c.ct, COALESCE(x.cst, 0) AS cst, tc, vv
+         |  FROM corpus c CROSS JOIN stot s
+         |  LEFT JOIN cst x ON x.source = s.source AND x.h = c.h
+         |  CROSS JOIN ctot
+         |), term AS (
+         |  SELECT source, ts,
+         |    ROUND((CAST(cst + 1 AS DOUBLE) / CAST(ts + vv AS DOUBLE)) *
+         |      ln((CAST(cst + 1 AS DOUBLE) / CAST(ts + vv AS DOUBLE)) /
+         |         (CAST(ct + 1 AS DOUBLE) / CAST(tc + vv AS DOUBLE))), 6) AS term
+         |  FROM sup
+         |)
+         |SELECT source, CAST(MAX(ts) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS kl
+         |FROM term GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q_temperature_mix" ->
       """WITH c AS (

@@ -26,6 +26,52 @@ object TextQueries extends QueryPack {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** BM25 (query, cand) scores over the inverted index — the shared
+    * core of q_bm25_topk and q_hard_negatives. Columns: query_id,
+    * cand_id, n_terms, score DECIMAL. FIXED query universe
+    * (doc_id % 97 = 0 AND doc_id < 5000 — the full id space at the
+    * largest test SF, so no output changes at any SF): workload is
+    * query-determined, not corpus-proportional; a query set growing
+    * with the corpus made the scaling probe quadratic by construction
+    * (the q_ann_pq precedent). The BM25 term score is
+    * query-INDEPENDENT (no query-tf weighting), so all math and the
+    * df/dl joins run on the postings-sized frame; the query fan-out
+    * only ever carries the finished 6-dp term into the (query, cand)
+    * aggregation. The vocabulary-sized df dictionary BROADCASTS — a
+    * shuffle join on |vocab| keys is the classic skew trap. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .withColumn("th", expr(tokenHashesSpark("text")))
+      .select(col("doc_id"), explode(col("th")).as("h"))
+      .localCheckpoint(true) // postings, doc lengths, query terms
+    val isQuery = col("doc_id") % 97 === 0 && col("doc_id") < 5000
+    val corpus = toks.filter(!isQuery)
+    val post = corpus.groupBy(col("doc_id").as("cand_id"), col("h"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // dl, df and the term math all read it
+    // doc length = Σ tf over the doc's postings — no second corpus scan
+    val dl = post.groupBy(col("cand_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tdl"))
+    val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val qterms = toks.filter(isQuery)
+      .select(col("doc_id").as("query_id"), col("h")).distinct()
+    val enriched = post.join(dl, Seq("cand_id"))
+      .join(broadcast(dfreq), Seq("h"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term", round(
+        log(((col("nn") - col("df")).cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0) *
+          (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") *
+              col("nn").cast("double") / col("tdl").cast("double"))), 6))
+      .select(col("cand_id"), col("h"), col("term"))
+    enriched.join(broadcast(qterms), Seq("h"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("term").cast("decimal(18,6)")).as("score"))
+  }
+
   // The MinHash/LSH kernel (signatures → bands → candidate pairs →
   // exact-Jaccard verify) lives in operators.DedupIndex — the persisted,
   // incrementally-updatable production form. These thin aliases keep the
@@ -490,58 +536,48 @@ object TextQueries extends QueryPack {
     // aggregation shuffles on (query, cand) — all linear in shared
     // postings.
     "q_bm25_topk" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .withColumn("th", expr(tokenHashesSpark("text")))
-        .select(col("doc_id"), explode(col("th")).as("h"))
-        .localCheckpoint(true) // postings, doc lengths, query terms
-      // FIXED query universe (doc_id < 5000 = the full id space at the
-      // largest test SF, so no output changes at any SF): workload is
-      // query-determined, not corpus-proportional — a query set that
-      // grew with the corpus would make the retrieval quadratic by
-      // benchmark construction (the q_ann_pq probe precedent)
-      val isQuery = col("doc_id") % 97 === 0 && col("doc_id") < 5000
-      val corpus = toks.filter(!isQuery)
-      val post = corpus.groupBy(col("doc_id").as("cand_id"), col("h"))
-        .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true) // dl, df and the term math all read it
-      // doc length = Σ tf over the doc's postings — derived from post,
-      // never a second corpus scan
-      val dl = post.groupBy(col("cand_id")).agg(sum(col("tf")).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tdl"))
-      val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val qterms = toks.filter(isQuery)
-        .select(col("doc_id").as("query_id"), col("h")).distinct()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cand_id"))
-      // the BM25 term score is query-INDEPENDENT (no query-tf
-      // weighting), so all the math and the df/dl joins run on the
-      // postings-sized frame; the query fan-out only ever carries the
-      // finished 6-dp term — the pair-sized frame is projected and
-      // aggregated, never re-joined (an earlier draft paid two
-      // pair-sized shuffles joining df and dl after the fan-out).
-      // dfreq is vocabulary-sized (the standard dictionary asset) and
-      // BROADCASTS — joined by shuffle it hashes the whole postings
-      // table onto |vocab| keys, the classic skew trap
-      val enriched = post.join(dl, Seq("cand_id"))
-        .join(broadcast(dfreq), Seq("h"))
-        .crossJoin(broadcast(stats))
-        .withColumn("term", round(
-          log(((col("nn") - col("df")).cast("double") + 0.5) /
-            (col("df").cast("double") + 0.5) + 1.0) *
-            (col("tf").cast("double") * 2.2) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl").cast("double") *
-                col("nn").cast("double") / col("tdl").cast("double"))), 6))
-        .select(col("cand_id"), col("h"), col("term"))
-      enriched.join(broadcast(qterms), Seq("h"))
-        .groupBy(col("query_id"), col("cand_id"))
-        .agg(count(lit(1)).as("n_terms"),
-          sum(col("term").cast("decimal(18,6)")).as("score"))
+      bm25Scores(s, dir)
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("query_id"), col("cand_id"), col("n_terms"),
           col("score").cast("double").as("bm25"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // HARD-NEGATIVE MINING for retrieval-model training (the DPR recipe,
+    // Karpukhin et al. 2020): a hard negative is a top-BM25 candidate
+    // that is NOT a gold match for the query — lexically close enough to
+    // rank, semantically wrong. Gold here = same (lang, source) as the
+    // query doc (the metadata proxy standing in for labeled relevance).
+    // Take each query's BM25 top-10, drop golds, keep the top-3
+    // survivors with both ranks reported. Scale shape: the top-10 frame
+    // is WORKLOAD-sized (10 rows per query) and BROADCASTS against the
+    // corpus metadata — the corpus is never re-shuffled for the
+    // metadata join.
+    "q_hard_negatives" -> ((s, dir) => {
+      val w10 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id"))
+      val top10 = bm25Scores(s, dir)
+        .withColumn("rnk_all", row_number().over(w10))
+        .filter(col("rnk_all") <= 10)
+      val meta = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val qmeta = meta.select(col("doc_id").as("query_id"),
+        col("lang").as("qlang"), col("source").as("qsource"))
+      val wNeg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rnk_all"))
+      meta.join(broadcast(top10), meta("doc_id") === top10("cand_id"))
+        .join(broadcast(qmeta), Seq("query_id"))
+        .filter(!(col("lang") === col("qlang") &&
+          col("source") === col("qsource")))
+        .withColumn("rnk", row_number().over(wNeg))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("cand_id"),
+          col("score").cast("double").as("bm25"), col("rnk_all"), col("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -1497,6 +1533,53 @@ object TextQueries extends QueryPack {
          |)
          |SELECT query_id, cand_id, n_terms, CAST(score AS DOUBLE) AS bm25, rnk
          |FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // Same BM25 chain; top-10 per query, drop same-(lang, source) golds,
+    // re-rank the survivors.
+    "q_hard_negatives" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM documents
+         |), p AS (
+         |  SELECT doc_id, unnest(th) AS h FROM t0
+         |), post AS (
+         |  SELECT doc_id AS cand_id, h, COUNT(*) AS tf
+         |  FROM p WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000) GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id AS cand_id, COUNT(*) AS dl
+         |  FROM p WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000) GROUP BY 1
+         |), st AS (SELECT COUNT(*) AS nn, SUM(dl) AS tdl FROM dl),
+         |dfq AS (SELECT h, COUNT(*) AS df FROM post GROUP BY 1),
+         |q AS (
+         |  SELECT DISTINCT doc_id AS query_id, h
+         |  FROM p WHERE doc_id % 97 = 0 AND doc_id < 5000
+         |), sc AS (
+         |  SELECT q.query_id, post.cand_id,
+         |    ROUND(ln((CAST(nn - df AS DOUBLE) + 0.5) /
+         |        (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |          * CAST(nn AS DOUBLE) / CAST(tdl AS DOUBLE))), 6) AS term
+         |  FROM post JOIN q USING (h) JOIN dfq USING (h)
+         |    JOIN dl USING (cand_id) CROSS JOIN st
+         |), agg AS (
+         |  SELECT query_id, cand_id,
+         |    SUM(CAST(term AS DECIMAL(18,6))) AS score
+         |  FROM sc GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, cand_id) AS INT) AS rnk_all
+         |  FROM agg QUALIFY rnk_all <= 10
+         |), neg AS (
+         |  SELECT r.query_id, r.cand_id, r.score, r.rnk_all,
+         |    CAST(row_number() OVER (PARTITION BY r.query_id
+         |      ORDER BY r.rnk_all) AS INT) AS rnk
+         |  FROM rk r
+         |  JOIN documents qd ON qd.doc_id = r.query_id
+         |  JOIN documents cd ON cd.doc_id = r.cand_id
+         |  WHERE NOT (qd.lang = cd.lang AND qd.source = cd.source)
+         |)
+         |SELECT query_id, cand_id, CAST(score AS DOUBLE) AS bm25, rnk_all, rnk
+         |FROM neg WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "q_rrf_fusion" ->
       s"""WITH t0 AS (

@@ -368,7 +368,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("BM25 and RRF fusion: query side broadcasts into the postings join; no cartesian") {
-    for (q <- Seq("q_bm25_topk", "q_rrf_fusion")) {
+    for (q <- Seq("q_bm25_topk", "q_rrf_fusion", "q_hard_negatives")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"),
         s"$q: workload-sized query-term side should broadcast:\n$p")
