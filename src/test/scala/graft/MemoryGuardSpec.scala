@@ -29,7 +29,13 @@ class MemoryGuardSpec extends SparkSpec {
     "q_mad_outlier", "q_winsorize", "q_quantiles_scalable", "q_median_scalable",
     // bucketed two-pass global windows (no single-task global sort)
     "q_global_rownum", "q_seq_packing",
-    // per-key event windows (spillable frames) + SpaceSaving sketch
+    // per-key event windows (spillable frames) + SpaceSaving sketch.
+    // The retrieval/DSIR family is deliberately NOT here: their
+    // doc-/pair-keyed hash-agg state is corpus-proportional PER TASK by
+    // design (standard shuffle aggregation — spillable at sane page
+    // sizes, verified sub-linear in wall by the scaling probe, but not
+    // a BOUNDED-task-state claim, and this harness's 512m/2-partition
+    // setting denies even the aggregation's initial page)
     "q_sessionize", "q_rolling_1h", "q_token_topk")
 
   private val K = 16
