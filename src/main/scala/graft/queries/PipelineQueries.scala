@@ -313,10 +313,13 @@ object PipelineQueries extends QueryPack {
             .cast("double") / lit(1000000009.0))), 6))
         .withColumn("neg",
           (-(col("lw") + col("gum").cast("decimal(18,6)"))).cast("double"))
+      // budget denominator = the SCORED population (docs with ≥1
+      // feature), not the raw document count: a null-text doc explodes
+      // to zero features and never enters the ranking, and sizing k by
+      // a count it can't reach would silently under-fill the selection
       graft.operators.GlobalRowNumber
         .withRowNumber(scored, "neg", "rn", Seq("doc_id"))
-        .crossJoin(broadcast(
-          t(s, dir, "documents").agg(count(lit(1)).as("nn"))))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("nn"))))
         .select(col("doc_id"), col("n_feats"),
           col("lw").cast("double").as("logw"), col("gum").as("gumbel"),
           col("rn"), (col("rn") <= expr("nn div 5")).as("selected"))
@@ -493,7 +496,7 @@ object PipelineQueries extends QueryPack {
          |    row_number() OVER (ORDER BY
          |      CAST(-(lw + CAST(gumbel AS DECIMAL(18,6))) AS DOUBLE), doc_id) AS rn
          |  FROM gu
-         |), n AS (SELECT COUNT(*) AS nn FROM documents)
+         |), n AS (SELECT COUNT(*) AS nn FROM gu)
          |SELECT doc_id, n_feats, CAST(lw AS DOUBLE) AS logw, gumbel,
          |  CAST(rn AS BIGINT) AS rn, rn <= nn // 5 AS selected
          |FROM rk CROSS JOIN n ORDER BY doc_id""".stripMargin

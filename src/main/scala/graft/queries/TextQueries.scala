@@ -39,7 +39,25 @@ object TextQueries extends QueryPack {
     * only ever carries the finished 6-dp term into the (query, cand)
     * aggregation. The vocabulary-sized df dictionary BROADCASTS — a
     * shuffle join on |vocab| keys is the classic skew trap. */
-  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+  /** Shared retrieval frames (the ONE implementation of the inverted
+    * index — q_bm25_topk, q_hard_negatives and q_rrf_fusion all build
+    * on it, so a k1/b/universe edit cannot desync them):
+    *  - enriched postings (cand_id, h, term, wd): BM25 term + tf·idf
+    *    weight per posting;
+    *  - qpost (query_id, h, qtf): query term frequencies;
+    *  - widf (h, df, idf): the vocabulary dictionary (broadcast-sized).
+    *
+    * FIXED query universe (doc_id % 97 = 0 AND doc_id < 5000 — the full
+    * id space at the largest test SF, so no output changes at any SF):
+    * workload is query-determined, not corpus-proportional; a query set
+    * growing with the corpus made the scaling probe quadratic by
+    * construction (the q_ann_pq precedent). All score math and the
+    * df/dl joins run on the postings-sized frame BEFORE any query
+    * fan-out (the BM25 term is query-independent), and the
+    * vocabulary-sized dictionary BROADCASTS — a shuffle join on |vocab|
+    * keys is the classic skew trap. */
+  private def retrievalFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val toks = t(s, dir, "documents")
       .withColumn("th", expr(tokenHashesSpark("text")))
       .select(col("doc_id"), explode(col("th")).as("h"))
@@ -53,10 +71,14 @@ object TextQueries extends QueryPack {
     val dl = post.groupBy(col("cand_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tdl"))
     val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val qterms = toks.filter(isQuery)
-      .select(col("doc_id").as("query_id"), col("h")).distinct()
+    val widf = dfreq.crossJoin(broadcast(stats.select(col("nn"))))
+      .select(col("h"), col("df"),
+        log(col("nn").cast("double") / col("df").cast("double")).as("idf"))
+    val qpost = toks.filter(isQuery)
+      .groupBy(col("doc_id").as("query_id"), col("h"))
+      .agg(count(lit(1)).as("qtf"))
     val enriched = post.join(dl, Seq("cand_id"))
-      .join(broadcast(dfreq), Seq("h"))
+      .join(broadcast(widf), Seq("h"))
       .crossJoin(broadcast(stats))
       .withColumn("term", round(
         log(((col("nn") - col("df")).cast("double") + 0.5) /
@@ -65,7 +87,16 @@ object TextQueries extends QueryPack {
           (col("tf").cast("double") + lit(1.2) *
             (lit(0.25) + lit(0.75) * col("dl").cast("double") *
               col("nn").cast("double") / col("tdl").cast("double"))), 6))
-      .select(col("cand_id"), col("h"), col("term"))
+      .withColumn("wd", col("tf").cast("double") * col("idf"))
+      .select(col("cand_id"), col("h"), col("term"), col("wd"))
+    (enriched, qpost, widf)
+  }
+
+  /** BM25 (query, cand) scores: columns query_id, cand_id, n_terms,
+    * score DECIMAL. See [[retrievalFrames]] for the shared core. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val (enriched, qpost, _) = retrievalFrames(s, dir)
+    val qterms = qpost.select(col("query_id"), col("h")).distinct()
     enriched.join(broadcast(qterms), Seq("h"))
       .groupBy(col("query_id"), col("cand_id"))
       .agg(count(lit(1)).as("n_terms"),
@@ -597,46 +628,13 @@ object TextQueries extends QueryPack {
     // broadcasts) run twice plus a (query, cand)-keyed outer join of
     // two top-10 lists — workload-sized, trivially parallel.
     "q_rrf_fusion" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .withColumn("th", expr(tokenHashesSpark("text")))
-        .select(col("doc_id"), explode(col("th")).as("h"))
-        .localCheckpoint(true) // postings, lengths, norms, query vectors
-      // FIXED query universe — see q_bm25_topk
-      val isQuery = col("doc_id") % 97 === 0 && col("doc_id") < 5000
-      val corpus = toks.filter(!isQuery)
-      val post = corpus.groupBy(col("doc_id").as("cand_id"), col("h"))
-        .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true) // df, norms, both scorers
-      // doc length = Σ tf over the doc's postings (no second corpus scan)
-      val dl = post.groupBy(col("cand_id")).agg(sum(col("tf")).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tdl"))
-      val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val qpost = toks.filter(isQuery)
-        .groupBy(col("doc_id").as("query_id"), col("h"))
-        .agg(count(lit(1)).as("qtf"))
-      // per-posting enrichment BEFORE the query fan-out (the
-      // q_bm25_topk restructure): BM25 terms and tf·idf weights are
-      // query-independent, so all joins and math run postings-sized;
-      // the vocabulary-sized df/idf dictionaries BROADCAST (a shuffle
-      // join on |vocab| keys is the classic skew trap)
+      // ONE retrieval core shared with q_bm25_topk/q_hard_negatives
+      // (see retrievalFrames); checkpointed here because BOTH scorers
+      // fan out from the enriched postings
+      val (enriched0, qpost, widf) = retrievalFrames(s, dir)
+      val enriched = enriched0.localCheckpoint(true)
       val wBm = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("score").desc, col("cand_id"))
-      val widf = dfreq.crossJoin(broadcast(stats.select(col("nn"))))
-        .select(col("h"), col("df"),
-          log(col("nn").cast("double") / col("df").cast("double")).as("idf"))
-      val enriched = post.join(dl, Seq("cand_id"))
-        .join(broadcast(widf), Seq("h"))
-        .crossJoin(broadcast(stats))
-        .withColumn("term", round(
-          log(((col("nn") - col("df")).cast("double") + 0.5) /
-            (col("df").cast("double") + 0.5) + 1.0) *
-            (col("tf").cast("double") * 2.2) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl").cast("double") *
-                col("nn").cast("double") / col("tdl").cast("double"))), 6))
-        .withColumn("wd", col("tf").cast("double") * col("idf"))
-        .select(col("cand_id"), col("h"), col("term"), col("wd"))
-        .localCheckpoint(true) // both scorers fan out from here
       val bm = enriched
         .join(broadcast(qpost.select(col("query_id"), col("h"))), Seq("h"))
         .groupBy(col("query_id"), col("cand_id"))

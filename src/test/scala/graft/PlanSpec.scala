@@ -367,19 +367,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("BM25 and RRF fusion: query side broadcasts into the postings join; no cartesian") {
+  test("BM25 and RRF fusion: every token-hash join broadcasts; no cartesian") {
     for (q <- Seq("q_bm25_topk", "q_rrf_fusion", "q_hard_negatives")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"),
         s"$q: workload-sized query-term side should broadcast:\n$p")
+      // the SPECIFIC invariant: no join on the token-hash key `h` may
+      // be a shuffle join — that hashes the whole postings table onto
+      // |vocab| keys (the skew trap). post⋈dl on cand_id may legally
+      // sort-merge; a plain contains(BroadcastHashJoin) would be
+      // satisfied by the dictionary join alone and guard nothing.
+      assert("SortMergeJoin(?:\\w*\\s)*\\[h#".r.findFirstIn(p).isEmpty &&
+        "ShuffledHashJoin(?:\\w*\\s)*\\[h#".r.findFirstIn(p).isEmpty,
+        s"$q: a join on the token-hash key shuffles instead of broadcasting:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q: unexpected cartesian:\n$p")
     }
   }
 
-  test("SemDeDup: within-cluster pairing is an equi-join, never a cartesian") {
+  test("SemDeDup: within-cluster pairing is an equi-join, never a nested loop") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"pair join must key on cluster:\n$p")
+    // the only non-equi predicates (csim priority, vec_id !=) must ride
+    // on the cluster equi-key: any BroadcastNestedLoopJoin means the
+    // equi-key was lost and the pairing went O(n²) across clusters
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair join lost its cluster equi-key:\n$p")
   }
 }

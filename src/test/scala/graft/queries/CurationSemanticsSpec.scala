@@ -45,13 +45,42 @@ class CurationSemanticsSpec extends SparkSpec {
     assert(golds === 0L, s"$golds gold candidates leaked into the negatives")
   }
 
-  test("q_semdedup: keep is exactly the zero-earlier-dup predicate; kept set non-trivial") {
-    val out = graft.SparkEntry.queries("q_semdedup")(spark, dir).collect()
-    out.foreach { r =>
-      assert(r.getBoolean(4) === (r.getLong(3) == 0L),
-        s"keep flag disagrees with n_dup_earlier on vec ${r.getLong(0)}")
+  test("q_semdedup: earlier-dup counts match an independent recomputation from raw vectors") {
+    // NOT a replay of the query's own select: recompute every
+    // within-cluster pairwise cosine from the RAW embeddings in plain
+    // Scala (same fold order and 6-dp half-up rounding as graft_fdot +
+    // r6) and re-derive each member's earlier-priority duplicate count.
+    // Takes the Lloyd cluster assignment and centroid-cosine priority
+    // as given (both independently oracle-checked via the q_ann_ivf
+    // Lloyd chain).
+    def r6d(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
     }
-    val kept = out.count(_.getBoolean(4))
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val out = graft.SparkEntry.queries("q_semdedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    for (members <- out.groupBy(_._2).values) {
+      for ((vid, _, csim, nDup, keep) <- members) {
+        val expected = members.count { case (oid, _, ocsim, _, _) =>
+          oid != vid &&
+            (ocsim < csim || (ocsim == csim && oid < vid)) && {
+              val (a, b) = (vecs(vid), vecs(oid))
+              r6d(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))) >= 0.35
+            }
+        }
+        assert(nDup === expected.toLong,
+          s"vec $vid: n_dup_earlier=$nDup, independent recount=$expected")
+        assert(keep === (expected == 0), s"keep flag wrong on vec $vid")
+      }
+    }
+    val kept = out.count(_._5)
     assert(kept > 0 && kept < out.length,
       s"degenerate keep set $kept of ${out.length} (threshold mis-tuned?)")
   }
