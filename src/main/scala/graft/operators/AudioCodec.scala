@@ -91,22 +91,26 @@ object AudioCodec {
         ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
     def le16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return fail(id)
-    var pos = 12
+    // Cursor is a Long: a junk chunk declaring sz near 2^31 must not wrap
+    // the advance negative and re-enter the loop at a bogus offset — it
+    // walks past b.length and falls out to fail(id) like any corrupt blob.
+    var pos = 12L
     var sampleRate = -1; var channels = -1; var bits = -1
     var dataOff = -1; var dataLen = -1
     while (pos + 8 <= b.length && (sampleRate < 0 || dataOff < 0)) {
-      val t = tag(pos); val sz = le32(pos + 4)
+      val p = pos.toInt
+      val t = tag(p); val sz = le32(p + 4)
       if (sz < 0) return fail(id)
       if (t == "fmt ") {
-        if (sz < 16 || pos + 8 + 16 > b.length) return fail(id)
-        if (le16(pos + 8) != 1) return fail(id) // PCM only
-        channels = le16(pos + 10)
-        sampleRate = le32(pos + 12)
-        bits = le16(pos + 22)
+        if (sz < 16 || p + 8 + 16 > b.length) return fail(id)
+        if (le16(p + 8) != 1) return fail(id) // PCM only
+        channels = le16(p + 10)
+        sampleRate = le32(p + 12)
+        bits = le16(p + 22)
       } else if (t == "data") {
-        dataOff = pos + 8; dataLen = sz
+        dataOff = p + 8; dataLen = sz
       }
-      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      pos += 8L + sz + (sz & 1) // chunks are word-aligned
     }
     if (sampleRate <= 0 || channels != 1 || bits != 16 || dataOff < 0)
       return fail(id)

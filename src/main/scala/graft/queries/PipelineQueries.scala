@@ -212,10 +212,15 @@ object PipelineQueries extends QueryPack {
     // sibling of the PII scan: a row may only be released if its
     // quasi-identifier tuple (lang, source, size bucket) is shared by
     // ≥ k rows. Two-level generalization ladder: fine 100-char buckets,
-    // else coarse 500-char buckets, else suppressed. Shape at 100 TB:
-    // two hash aggregations on the QI keys + two shuffled equi-joins
-    // back — group frames are corpus-cardinality-bounded, never
-    // broadcast, never windowed per row.
+    // else coarse 500-char buckets, else suppressed. The output models a
+    // RELEASE, so the only count emitted is the one for the level that
+    // was actually released (≥ k by construction, NULL when suppressed)
+    // — emitting the raw fine/coarse equivalence-class sizes would leak
+    // exactly the small-group counts suppression is meant to withhold.
+    // Shape at 100 TB: two hash aggregations on the QI keys + two
+    // shuffled equi-joins back — group frames are
+    // corpus-cardinality-bounded, never broadcast, never windowed per
+    // row.
     "q_k_anon" -> ((s, dir) => {
       val k = 5
       val d = t(s, dir, "documents")
@@ -235,9 +240,11 @@ object PipelineQueries extends QueryPack {
         .withColumn("released_bucket",
           when(col("level") === "fine", col("b_fine"))
             .when(col("level") === "coarse", col("b_coarse")))
+        .withColumn("released_n",
+          when(col("level") === "fine", col("n_fine"))
+            .when(col("level") === "coarse", col("n_coarse")))
         .select(col("doc_id"), col("lang"), col("source"),
-          col("released_bucket"), col("level"),
-          col("n_fine"), col("n_coarse"))
+          col("released_bucket"), col("level"), col("released_n"))
         .orderBy(col("doc_id"))
     }),
 
@@ -521,7 +528,8 @@ object PipelineQueries extends QueryPack {
         |  CASE WHEN n_fine >= 5 THEN 'fine'
         |       WHEN n_coarse >= 5 THEN 'coarse'
         |       ELSE 'suppressed' END AS level,
-        |  n_fine, n_coarse
+        |  CASE WHEN n_fine >= 5 THEN n_fine
+        |       WHEN n_coarse >= 5 THEN n_coarse END AS released_n
         |FROM d JOIN fine USING (lang, source, b_fine)
         |  JOIN coarse USING (lang, source, b_coarse)
         |ORDER BY doc_id""".stripMargin,

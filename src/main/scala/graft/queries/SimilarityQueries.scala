@@ -523,12 +523,15 @@ object SimilarityQueries extends QueryPack {
 
     // Strided frame sampling — the audio analog of video frame-sampling:
     // each decodable clip yields exactly maxFrames evenly-spaced probe
-    // samples (stride = ceil(n/8)), a FIXED-size feature regardless of
-    // clip length, so downstream batch shape is bounded at any corpus
-    // scale. posexplode keeps the per-frame ordinal; sample_idx is
-    // recomputed in-plan (integer div) and the oracle replays both the
-    // stride walk and the sample values in closed form.
+    // samples (stride = ceil(n/maxFrames)), a FIXED-size feature
+    // regardless of clip length, so downstream batch shape is bounded at
+    // any corpus scale. posexplode keeps the per-frame ordinal;
+    // sample_idx is recomputed in-plan (integer div, stride interpolated
+    // from AudioCodec.maxFrames so the decoder and this walk cannot
+    // desync) and the oracle replays both the stride walk and the sample
+    // values in closed form.
     "q_audio_frames" -> ((s, dir) => {
+      val mf = graft.operators.AudioCodec.maxFrames
       val blobs = graft.operators.AudioCodec.plantAudio(t(s, dir, "documents"))
       graft.operators.AudioCodec.extractAudioMeta(blobs, "doc_id", "blob")
         .toDF()
@@ -536,7 +539,7 @@ object SimilarityQueries extends QueryPack {
         .select(col("doc_id"), col("n_samples"),
           posexplode(col("frames")).as(Seq("frame_idx", "value")))
         .select(col("doc_id"), col("frame_idx"),
-          expr("frame_idx * ((n_samples + 7) div 8)").as("sample_idx"),
+          expr(s"frame_idx * ((n_samples + ${mf - 1}) div $mf)").as("sample_idx"),
           col("value"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
@@ -933,11 +936,13 @@ object SimilarityQueries extends QueryPack {
         |FROM d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // stride/frame-count literals interpolated from AudioCodec.maxFrames
+    // so a codec retune cannot silently desync decoder, plan and oracle
     "q_audio_frames" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id,
         |    CAST(200 + doc_id % 301 AS BIGINT) AS n,
-        |    (n + 7) // 8 AS stride
+        |    (n + ${graft.operators.AudioCodec.maxFrames - 1}) // ${graft.operators.AudioCodec.maxFrames} AS stride
         |  FROM documents
         |  WHERE doc_id % 19 <> 0
         |)
@@ -945,7 +950,7 @@ object SimilarityQueries extends QueryPack {
         |  CAST(j AS INT) AS frame_idx,
         |  CAST(j * stride AS BIGINT) AS sample_idx,
         |  CAST(((doc_id * 7919 + j * stride * 104729) % 65536) - 32768 AS INT) AS value
-        |FROM d, unnest(generate_series(0, 7)) AS t(j)
+        |FROM d, unnest(generate_series(0, ${graft.operators.AudioCodec.maxFrames - 1})) AS t(j)
         |WHERE j * stride < n
         |ORDER BY doc_id, frame_idx""".stripMargin,
 

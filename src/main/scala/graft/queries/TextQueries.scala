@@ -26,19 +26,6 @@ object TextQueries extends QueryPack {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** BM25 (query, cand) scores over the inverted index — the shared
-    * core of q_bm25_topk and q_hard_negatives. Columns: query_id,
-    * cand_id, n_terms, score DECIMAL. FIXED query universe
-    * (doc_id % 97 = 0 AND doc_id < 5000 — the full id space at the
-    * largest test SF, so no output changes at any SF): workload is
-    * query-determined, not corpus-proportional; a query set growing
-    * with the corpus made the scaling probe quadratic by construction
-    * (the q_ann_pq precedent). The BM25 term score is
-    * query-INDEPENDENT (no query-tf weighting), so all math and the
-    * df/dl joins run on the postings-sized frame; the query fan-out
-    * only ever carries the finished 6-dp term into the (query, cand)
-    * aggregation. The vocabulary-sized df dictionary BROADCASTS — a
-    * shuffle join on |vocab| keys is the classic skew trap. */
   /** Shared retrieval frames (the ONE implementation of the inverted
     * index — q_bm25_topk, q_hard_negatives and q_rrf_fusion all build
     * on it, so a k1/b/universe edit cannot desync them):

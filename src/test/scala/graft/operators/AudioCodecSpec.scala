@@ -65,6 +65,25 @@ class AudioCodecSpec extends SparkSpec {
       AudioCodec.AudioMeta(11L, "wav", 0, 0, 0L, 0L, 0L, 0, Nil, ok = false))
   }
 
+  test("junk chunk with a near-2^31 declared size flags, never indexes negatively") {
+    // valid RIFF/WAVE header + one junk chunk whose declared size would
+    // wrap an Int cursor negative (Int.MaxValue - 4): the walk must run
+    // off the end and flag, not throw ArrayIndexOutOfBoundsException
+    val huge = "RIFFxxxxWAVE".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](0xfb.toByte, 0xff.toByte, 0xff.toByte, 0x7f) ++
+      Array.fill[Byte](16)(0)
+    assert(!AudioCodec.decode(12L, huge).ok)
+    // and spliced BEFORE a real fmt/data pair it must still flag (the
+    // wrapped cursor would otherwise re-read the early header bytes)
+    val base = AudioCodec.encodeWav(8000, 4, s)
+    val spliced = base.take(12) ++
+      "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f) ++
+      base.drop(12)
+    assert(!AudioCodec.decode(13L, spliced).ok)
+  }
+
   test("planted fixtures decode end-to-end over the documents table") {
     val docs = Tables(spark, sf("sf0.001"), "documents")
     val metas = AudioCodec.extractAudioMeta(
