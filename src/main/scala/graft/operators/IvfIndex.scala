@@ -36,6 +36,17 @@ object IvfIndex {
     * vectors, the size of a dim table) + per-vector cell assignment. */
   final case class Index(centers: Seq[(Int, Array[Float])], assignments: DataFrame)
 
+  /** Scale-adaptive cluster count: k = ceil(n / targetCell), clamped.
+    * This is the published SemDeDup prescription — k grows with the
+    * corpus so expected cluster size stays ~targetCell and
+    * within-cluster pair work is n·targetCell, never n²/k with a frozen
+    * k. Integer-exact (no float log), so a SQL oracle recomputes the
+    * same k from its own count(*). */
+  def adaptiveK(n: Long, targetCell: Long = 64L, minK: Int = 2,
+      maxK: Int = 1 << 20): Int =
+    math.min(maxK.toLong, math.max(minK.toLong,
+      (n + targetCell - 1) / targetCell)).toInt
+
   /** MLlib k-means|| build (see class doc for the launcher caveat). */
   def build(embeddings: DataFrame, k: Int, seed: Long = 42L,
       maxIter: Int = 20): Index = {

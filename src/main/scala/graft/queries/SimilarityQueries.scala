@@ -126,7 +126,7 @@ object SimilarityQueries extends QueryPack {
     * every CTE name — PqIndex's oracle replays m INDEPENDENT subspace
     * Lloyd builds in one WITH chain (src = the sliced subvector CTE,
     * pfx = s0_…s3_). */
-  private def lloydDuck(k: Int, iters: Int, src: String = "embeddings",
+  private def lloydDuck(k: String, iters: Int, src: String = "embeddings",
       pfx: String = ""): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
@@ -346,16 +346,19 @@ object SimilarityQueries extends QueryPack {
     // closure; an earlier components-based draft paid an eager
     // fixpoint loop per run for semantics the paper doesn't ask for.
     // Scale shape: within-cluster pairing is the published method's
-    // cost model — k grows with the corpus so cluster size n/k stays
-    // bounded and pair work is n·(n/k), never n²; cross-cluster
-    // near-dups are the method's documented recall trade-off. The
-    // DuckDB twin replays Lloyd, the same within-cluster pairs and the
-    // same greedy EXISTS.
+    // cost model — k is SCALE-ADAPTIVE (IvfIndex.adaptiveK: ceil(n/64),
+    // one count over the already-eager Lloyd build's input) so expected
+    // cluster size stays ~64 and pair work is n·64, never n²/k with a
+    // frozen k; cross-cluster near-dups are the method's documented
+    // recall trade-off. The DuckDB twin recomputes the same k from its
+    // own count(*) (subquery LIMIT in the Lloyd init), then replays
+    // Lloyd, the same within-cluster pairs and the same greedy EXISTS.
     "q_semdedup" -> ((s, dir) => {
       GraftExtensions.register(s)
       import s.implicits._
       val e = t(s, dir, "embeddings")
-      val index = graft.operators.IvfIndex.buildLloyd(e, k = 8, iters = 3)
+      val k = graft.operators.IvfIndex.adaptiveK(e.count())
+      val index = graft.operators.IvfIndex.buildLloyd(e, k = k, iters = 3)
       val cents = index.centers.map { case (i, a) => (i, a.toSeq) }
         .toDF("cluster", "centroid")
         .select(col("cluster"), col("centroid").cast("array<float>").as("centroid"))
@@ -699,7 +702,7 @@ object SimilarityQueries extends QueryPack {
         s"""sub$s AS (
            |  SELECT vec_id, embedding[${s * sub + 1}:${(s + 1) * sub}] AS embedding
            |  FROM embeddings
-           |)""".stripMargin + ",\n" + lloydDuck(k, 3, s"sub$s", s"s${s}_")
+           |)""".stripMargin + ",\n" + lloydDuck(k.toString, 3, s"sub$s", s"s${s}_")
       }.mkString(",\n")
       val hists = (0 until m).map { s =>
         s"SELECT $s AS s, cluster AS code, COUNT(*) AS n_members FROM s${s}_afin GROUP BY cluster"
@@ -734,7 +737,7 @@ object SimilarityQueries extends QueryPack {
     // inputs, so order and ties agree; rounding to 6 dp happens after,
     // in the projection, exactly like the Spark side.
     "q_ann_ivf" ->
-      s"""WITH ${lloydDuck(8, 3)},
+      s"""WITH ${lloydDuck("8", 3)},
          |probes AS (
          |  SELECT vec_id AS probe_id, embedding AS pe
          |  FROM embeddings WHERE vec_id % 20 = 0
@@ -762,11 +765,15 @@ object SimilarityQueries extends QueryPack {
          |FROM ranked WHERE rnk <= 3
          |ORDER BY probe_id, rnk""".stripMargin,
 
-    // SemDeDup replay: the q_ann_ivf Lloyd chain, centroid-cosine per
-    // member, the same within-cluster directed earlier-priority pairs,
-    // and the paper's greedy EXISTS drop rule.
+    // SemDeDup replay: the scale-adaptive k (same ceil(n/64) clamp as
+    // IvfIndex.adaptiveK, recomputed from DuckDB's own count(*)), the
+    // q_ann_ivf Lloyd chain at that k, centroid-cosine per member, the
+    // same within-cluster directed earlier-priority pairs, and the
+    // paper's greedy EXISTS drop rule.
     "q_semdedup" ->
-      s"""WITH ${lloydDuck(8, 3)},
+      s"""WITH ${lloydDuck(
+             "(SELECT least(1048576, greatest(2, (count(*) + 63) // 64)) FROM embeddings)",
+             3)},
          |cs AS (
          |  SELECT a.vec_id, a.cluster, a.embedding,
          |    ${dotDuck("a.embedding", "a.embedding")} AS n2,
@@ -799,7 +806,7 @@ object SimilarityQueries extends QueryPack {
         s"""sub$s AS (
            |  SELECT vec_id, embedding[${s * sub + 1}:${(s + 1) * sub}] AS embedding
            |  FROM embeddings
-           |)""".stripMargin + ",\n" + lloydDuck(k, 3, s"sub$s", s"s${s}_")
+           |)""".stripMargin + ",\n" + lloydDuck(k.toString, 3, s"sub$s", s"s${s}_")
       }.mkString(",\n")
       val encs = (0 until m).map { s =>
         s"SELECT $s AS s, vec_id, cluster AS code FROM s${s}_afin"
@@ -841,7 +848,7 @@ object SimilarityQueries extends QueryPack {
     },
 
     "q_ivf_probe_stats" ->
-      s"""WITH ${lloydDuck(8, 3)},
+      s"""WITH ${lloydDuck("8", 3)},
          |probes AS (
          |  SELECT vec_id AS probe_id, embedding AS pe
          |  FROM embeddings WHERE vec_id % 20 = 0
