@@ -138,7 +138,16 @@ object IvfIndex {
       .select(col("vec_id"), col("embedding"), col("cluster"))
   }
 
-  private def centersDf(spark: SparkSession,
+  /** Assignment of a (vec_id, embedding) batch against a FROZEN center
+    * set — the index `add` path (FAISS `IndexIVF.add` semantics: the
+    * quantizer does not retrain on ingest). Same argmin + tie-break as
+    * the in-build assignment, so an added vector lands exactly where a
+    * from-scratch assignment against the same centroids would put it. */
+  def assignFrozen(e: DataFrame,
+      centers: Seq[(Int, Array[Float])]): DataFrame =
+    assign(e.sparkSession, e.select(col("vec_id"), col("embedding")), centers)
+
+  private[operators] def centersDf(spark: SparkSession,
       centers: Seq[(Int, Array[Float])]): DataFrame = {
     import spark.implicits._
     centers.map { case (i, a) => (i, a.toSeq) }.toDF("cluster", "centroid")
