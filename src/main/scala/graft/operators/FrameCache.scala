@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once-per-JVM cache of NAMED parquet frames — the generic form
+  * of the [[DedupIndex.ensure]] / [[VectorIndex.ensureIvf]] pattern, for
+  * derived corpus assets that several queries share but that don't carry
+  * index semantics of their own (e.g. the inverted-index retrieval core:
+  * enriched postings + query terms + idf dictionary, consumed by BM25,
+  * RRF fusion and hard-negative mining).
+  *
+  * The first caller for `key` runs `build` and persists every returned
+  * frame as parquet; every caller — including the builder — consumes the
+  * read-back. Paths (not DataFrames) are cached, so a later caller's own
+  * session does the read. Per-JVM only: a fresh JVM rebuilds, so
+  * regenerated testdata can never be served a stale asset. At 100 TB
+  * the parquet form IS the production artifact — a maintained postings
+  * table a scheduled job refreshes, not a per-query rebuild.
+  */
+object FrameCache {
+
+  private val cache = TrieMap[String, (String, Seq[String])]()
+
+  private def root: String = {
+    val r = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      s"${sys.props("java.io.tmpdir")}/graft-dedup-index")
+    Files.createDirectories(Paths.get(r))
+    r
+  }
+
+  /** Ensure `key`'s frames exist on disk; return them as parquet
+    * read-backs keyed by the names `build` gave them. */
+  def ensure(spark: SparkSession, key: String)
+      (build: => Seq[(String, DataFrame)]): Map[String, DataFrame] = {
+    val (dir, names) = cache.synchronized {
+      cache.getOrElseUpdate(key, {
+        val d = s"$root/${UUID.randomUUID().toString.take(8)}"
+        val frames = build
+        frames.foreach { case (n, df) =>
+          df.write.mode("overwrite").parquet(s"$d/$n")
+        }
+        (d, frames.map(_._1))
+      })
+    }
+    names.map(n => n -> spark.read.parquet(s"$dir/$n")).toMap
+  }
+}
