@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.DedupIndex
+
+/** The streaming curation capstone — the production ingest story in one
+  * foreachBatch pipeline, composing the three individually-proven
+  * pieces: per micro-batch of new documents,
+  *
+  *  1. ADMIT/REJECT against the persisted near-dup index
+  *     ([[decisions]]: a doc is rejected iff it has a verified corpus
+  *     match in the index, or a verified near-dup batch-mate with a
+  *     smaller doc_id — the keep-first rule, decided on DIRECT verified
+  *     pairs, not transitive components, so the decision for a doc
+  *     depends only on already-seen documents and is exactly
+  *     reproducible by a one-shot batch replay);
+  *  2. EXTEND the index with the whole batch — admitted AND rejected
+  *     docs both enter the index (a rejected dup must still block
+  *     future copies of itself), via [[DedupIndex.update]]'s
+  *     broadcast + mini-CC repair, written as the next index VERSION
+  *     ([[StreamingIngestDedup]]'s discipline);
+  *  3. SINK the per-doc decisions exactly-once via
+  *     [[IdempotentSink.replaceBatch]].
+  *
+  * Exactly-once under at-least-once replay: a replayed batch re-reads
+  * its input index version v{b} (never mutated), re-derives the SAME
+  * decisions, dynamically overwrites only its own sink partition, and
+  * idempotently rewrites index version v{b+1}. A crash at any point
+  * between the three writes re-runs the batch to the identical end
+  * state — CurationPipelineSpec proves batch-chain ≡ one-shot rebuild
+  * for BOTH artifacts, with a mid-chain replay included.
+  *
+  * Scale shape per micro-batch: everything is batch-sized or broadcast —
+  * one signature/band pass over the batch, a map-side probe of the
+  * corpus band table, a batch-local self-join, the mini-CC over touched
+  * labels. The corpus is never rescanned; the admit stream and the index
+  * both grow append-only.
+  */
+object CurationPipeline {
+
+  /** Admit/reject decisions for one batch against the CURRENT index:
+    * (doc_id, admitted, match_id, match_jac). `match_id`/`match_jac` =
+    * the best verified corpus match (null for docs new to the corpus);
+    * `admitted` = no corpus match AND no verified batch-mate with a
+    * smaller doc_id. Lazy, batch-sized. */
+  def decisions(spark: SparkSession, ix: DedupIndex.Index, batch: DataFrame,
+      threshold: Double = DedupIndex.defaultJaccard): DataFrame = {
+    val matches = DedupIndex.corpusMatches(spark, ix, batch, threshold)
+      .withColumnRenamed("bid", "doc_id")
+    // verified batch-local pairs come out as (doc_a < doc_b): the larger
+    // id of every pair is the duplicate under keep-first
+    val bBands = DedupIndex.bandTable(DedupIndex.signatures(batch))
+    val bDup = DedupIndex.verifyPairs(
+        DedupIndex.candidatePairs(bBands), DedupIndex.hashedTokset(batch))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+      .withColumn("dup_in_batch", lit(true))
+    batch.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .join(bDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("match_id").isNull && col("dup_in_batch").isNull).as("admitted"),
+        col("match_id"), col("match_jac"))
+  }
+
+  /** One micro-batch, start to finish: decisions → sink → extended
+    * index version. Factored out of the stream so a spec (or a manual
+    * recovery) can replay a batch id directly. */
+  def processBatch(root: String, outPath: String, threshold: Double)
+      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val ix = DedupIndex.load(spark, StreamingIngestDedup.versionDir(root, batchId))
+    IdempotentSink.replaceBatch(
+      decisions(spark, ix, batch, threshold), batchId, outPath)
+    val upd = DedupIndex.update(spark, ix, batch, threshold)
+    DedupIndex.write(DedupIndex.extended(upd, ix),
+      StreamingIngestDedup.versionDir(root, batchId + 1))
+  }
+
+  /** Start the pipeline: `stream` must carry (doc_id, text). The caller
+    * seeds index version v0 under `root` (see [[StreamingIngestDedup]]);
+    * per-doc decisions land under `outPath` partitioned by batch id. */
+  def start(root: String, outPath: String, stream: DataFrame,
+      threshold: Double = DedupIndex.defaultJaccard,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch(processBatch(root, outPath, threshold) _)
+      .trigger(trigger)
+      .start()
+}
