@@ -1,0 +1,91 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.feature.{CountVectorizer, PCA, StandardScaler, Tokenizer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Model-QUALITY tolerance gate (ref: modelling_1 cells 10/16-18 and 31
+  * print accuracy/ROC alongside the fits; modelling_2 mirrors it) — the
+  * gradient-fitted pipelines can't be hash-oracled (float LBFGS), so
+  * this spec pins fitted QUALITY bands that a silent feature-stage
+  * regression (dead tokenizer, collapsed counts, scaler or PCA
+  * breakage) must trip even though every plan guard still passes.
+  *
+  * Task choice is deliberate. The gate needs a label the TEXT features
+  * genuinely determine, so that healthy ≫ broken with a wide margin:
+  * long-vs-short document (label = token count above the train median,
+  * fed ONLY the raw text) is linearly separable through
+  * Tokenizer → CountVectorizer → StandardScaler → PCA → LR — healthy
+  * accuracy ≈ 1.0, any dead stage collapses to the ~0.5 majority floor.
+  * The two weak candidates are documented out: the events purchase
+  * label is independent of its features by fixture construction
+  * (corr ≈ 0.02), and the lang label's token-frequency signal is so
+  * faint that even the exact integer Naive Bayes (q_nb_lang) scores
+  * 0.30/0.42 at sf0.001/sf0.01 against a 0.36/0.39 majority floor — on
+  * either task a BROKEN pipeline predicting the majority class would
+  * pass any honest band, so neither can gate anything.
+  */
+class ModelQualitySpec extends SparkSpec {
+
+  /** text-only features → binary label through the full modelling_1
+    * pipeline shape (count-vector in place of the numeric assembler). */
+  private def lengthPipeline: Pipeline = {
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("toks")
+    val cv = new CountVectorizer().setInputCol("toks").setOutputCol("counts")
+      .setVocabSize(64)
+    val scaler = new StandardScaler()
+      .setInputCol("counts").setOutputCol("features_std")
+      .setWithMean(true).setWithStd(true)
+    val pca = new PCA().setInputCol("features_std").setOutputCol("features")
+      .setK(8)
+    val lr = Pipelines.balancedLr(weightCol = "class_weight")
+    new Pipeline().setStages(Array(tok, cv, scaler, pca, lr))
+  }
+
+  private def labeled(): (DataFrame, DataFrame) = {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).as("n_toks"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val median = train.stat.approxQuantile("n_toks", Array(0.5), 0.0)(0)
+    def lab(df: DataFrame) = df
+      .withColumn("label", (col("n_toks") > median).cast("double"))
+      .select(col("doc_id"), col("text"), col("label"))
+    (lab(train), lab(docs.filter(col("doc_id") % 5 === 0)))
+  }
+
+  test("separable text task: accuracy and AUC inside the pinned bands, far above the majority floor") {
+    val (train0, test) = labeled()
+    val train = Pipelines.withBalancedWeights(train0)
+    val preds = lengthPipeline.fit(train).transform(test)
+    val acc = Pipelines.accuracy(preds)
+    val auc = Pipelines.auc(preds)
+    val majority = {
+      val n = test.count().toDouble
+      val pos = test.filter(col("label") === 1.0).count().toDouble
+      math.max(pos, n - pos) / n
+    }
+    info(f"acc=$acc%.4f auc=$auc%.4f majority=$majority%.4f")
+    // healthy pipeline ≈ 1.0; a dead stage collapses to ~majority —
+    // the 0.90 floor leaves headroom for MLlib kernel changes while
+    // staying far above any broken outcome
+    assert(acc >= 0.90, f"accuracy $acc%.4f out of band — feature pipeline regressed")
+    assert(auc >= 0.95, f"AUC $auc%.4f out of band — feature pipeline regressed")
+    assert(acc > majority + 0.2)
+  }
+
+  test("seeded refit reproduces plays-pipeline metrics exactly (determinism gate)") {
+    val data = Pipelines.eventFeatures(Tables(spark, sf("sf0.001"), "events"))
+    val (train, test) = GroupedFolds.groupSplit(data, "user_id", 0.8, seed = 11L)
+    def fitOnce(): (Double, Double) = {
+      val w = Pipelines.withBalancedWeights(train)
+      val (pipe, _) = Pipelines.playsPipelineAuto(w)
+      val preds = pipe.fit(w).transform(test)
+      (Pipelines.auc(preds), Pipelines.accuracy(preds))
+    }
+    assert(fitOnce() === fitOnce())
+  }
+}
