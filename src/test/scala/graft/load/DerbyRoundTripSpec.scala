@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.BeforeAndAfterAll
 
 import graft.SparkSpec
-import graft.load.JdbcSink.{Derby, TableSpec}
+import graft.load.JdbcSink.TableSpec
 
 /** K4–K6 executed against a LIVE database: Derby embedded (ships with
   * Spark for the Hive metastore, so it is on the classpath with zero extra
@@ -19,10 +19,21 @@ import graft.load.JdbcSink.{Derby, TableSpec}
 class DerbyRoundTripSpec extends SparkSpec with BeforeAndAfterAll {
   import spark.implicits._
 
-  private val url = "jdbc:derby:memory:graftdb;create=true"
+  // Live override (README "Live-I/O readiness" smoke 3): point
+  // GRAFT_JDBC_URL at a real Postgres and the SAME suite runs there —
+  // dialect, driver and credentials all follow the URL. Default is the
+  // embedded-Derby round trip that needs no environment at all.
+  private val url = sys.env.getOrElse("GRAFT_JDBC_URL",
+    "jdbc:derby:memory:graftdb;create=true")
+  private val dialect: JdbcSink.Dialect =
+    if (url.startsWith("jdbc:postgresql")) JdbcSink.Postgres else JdbcSink.Derby
   private val props = {
     val p = new Properties()
-    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    if (dialect == JdbcSink.Postgres) {
+      p.setProperty("driver", "org.postgresql.Driver")
+      sys.env.get("GRAFT_JDBC_USER").foreach(p.setProperty("user", _))
+      sys.env.get("GRAFT_JDBC_PASSWORD").foreach(p.setProperty("password", _))
+    } else p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     p
   }
 
@@ -42,7 +53,7 @@ class DerbyRoundTripSpec extends SparkSpec with BeforeAndAfterAll {
     checks = Seq("minutes <= 90"))
 
   private def exec(sql: String): Unit = {
-    val conn = DriverManager.getConnection(url)
+    val conn = DriverManager.getConnection(url, props)
     try { val st = conn.createStatement(); st.execute(sql); st.close() }
     finally conn.close()
   }
@@ -55,7 +66,7 @@ class DerbyRoundTripSpec extends SparkSpec with BeforeAndAfterAll {
     JdbcSink.registerDerbyDialect()
     // FK-safe create order: parents first
     JdbcSink.loadOrder(Seq(fixtures, teams))
-      .foreach(s => exec(JdbcSink.createTableDdl(s, Derby)))
+      .foreach(s => exec(JdbcSink.createTableDdl(s, dialect)))
   }
 
   test("emitted DDL executes and FK-ordered Spark JDBC load round-trips") {
@@ -100,8 +111,8 @@ class DerbyRoundTripSpec extends SparkSpec with BeforeAndAfterAll {
         StructField("gameweek_now", StringType),
         StructField("username", StringType))),
       primaryKey = Nil)
-    exec(JdbcSink.createTableDdl(statuses, Derby))
-    exec(JdbcSink.createTableDdl(record, Derby))
+    exec(JdbcSink.createTableDdl(statuses, dialect))
+    exec(JdbcSink.createTableDdl(record, dialect))
 
     val now = java.sql.Timestamp.valueOf("2026-08-12 10:00:00")
     val summary = Seq(("10", "a", ""), ("11", "d", "knock"))
