@@ -514,6 +514,35 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // PQ incremental ingest — the compression twin of q_ann_index_update:
+    // codebooks train (and persist) on the 90% base corpus, the 10%
+    // batch is ENCODED against the FROZEN codebooks (VectorIndex.addPq —
+    // FAISS IndexPQ.add semantics; m broadcast-assign passes over the
+    // batch only). Output is the columnar code table (vec_id, s, code)
+    // for base ∪ batch; the oracle recomputes everything from scratch —
+    // replays all four base-corpus subspace Lloyds, re-derives base
+    // codes from the final assignments, and assigns each batch subvector
+    // against the final subspace centroids — so the hash proves an added
+    // vector compresses to exactly the codes a from-scratch encode
+    // against the same codebooks would give it.
+    "q_pq_index_update" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 10 =!= 0)
+      val batch = e.filter(col("vec_id") % 10 === 0)
+      val (cb, baseCodes) = graft.operators.VectorIndex.ensurePq(s, s"$dir#pqBase90", {
+        val book = graft.operators.PqIndex.train(base, m = 4, k = 16, iters = 3)
+        (book, graft.operators.PqIndex.encode(base, book))
+      })
+      val added = graft.operators.VectorIndex.addPq(cb, batch)
+      baseCodes.withColumn("src", lit("base"))
+        .unionByName(added.withColumn("src", lit("batch")))
+        .select(col("vec_id"), col("src"),
+          posexplode(col("codes")).as(Seq("s", "code")))
+        .select(col("vec_id"), col("s"), col("code"), col("src"))
+        .orderBy(col("vec_id"), col("s"))
+    }),
+
     // REAL multimodal decode — the family's former thinnest member, now
     // decoding two actual public image formats (PPM P6 + 24bpp BMP) in
     // pure JVM: deterministic planted fixtures (dims and every pixel
@@ -933,6 +962,39 @@ object SimilarityQueries extends QueryPack {
          |UNION ALL
          |SELECT vec_id, cluster, 'batch' AS src FROM badd
          |ORDER BY vec_id""".stripMargin,
+
+    // From-scratch recomputation of the PQ incremental-add result:
+    // replay the four base-corpus subspace Lloyds, take base codes from
+    // the final assignments, assign batch subvectors against the final
+    // subspace centroids (the frozen-codebook add contract).
+    "q_pq_index_update" -> {
+      val m = 4; val k = 16; val sub = 16
+      val subs = (0 until m).map { j =>
+        s"""bsub$j AS (
+           |  SELECT vec_id, embedding[${j * sub + 1}:${(j + 1) * sub}] AS embedding
+           |  FROM embeddings WHERE vec_id % 10 <> 0
+           |)""".stripMargin + ",\n" + lloydDuck(k.toString, 3, s"bsub$j", s"b${j}_")
+      }.mkString(",\n")
+      val baseCodes = (0 until m).map { j =>
+        s"SELECT vec_id, $j AS s, cluster AS code, 'base' AS src FROM b${j}_afin"
+      }.mkString("\n  UNION ALL ")
+      val batchCodes = (0 until m).map { j =>
+        s"""SELECT vec_id, $j AS s, cluster AS code, 'batch' AS src FROM (
+           |    SELECT e.vec_id, c.cluster,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${dotDuck("c.cent", "c.cent")} - 2 * ${dotDuck("e.embedding", "c.cent")},
+           |        c.cluster) AS rn
+           |    FROM (SELECT vec_id, embedding[${j * sub + 1}:${(j + 1) * sub}] AS embedding
+           |          FROM embeddings WHERE vec_id % 10 = 0) e
+           |      CROSS JOIN b${j}_c3 c) WHERE rn = 1""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $subs
+         |SELECT vec_id, CAST(s AS INT) AS s, code, src FROM (
+         |  $baseCodes
+         |  UNION ALL $batchCodes
+         |)
+         |ORDER BY vec_id, s""".stripMargin
+    },
 
     "q_image_meta" ->
       """WITH d AS (
