@@ -330,7 +330,12 @@ object SimilarityQueries extends QueryPack {
       // scheduled index-maintenance job and the search path
       val index = graft.operators.VectorIndex.ensureIvf(s, s"$dir#ivf8",
         graft.operators.IvfIndex.buildLloyd(e, k = 8, iters = 3))
-      val probes = e.filter(col("vec_id") % 20 === 0)
+      // FIXED probe universe (vec_id < 5000 = the full id space at the
+      // largest test SF, so no output changes at any SF): a probe set
+      // growing with the corpus makes probes×members quadratic by
+      // benchmark construction (the q_ann_pq precedent; the round-8
+      // probe clocked the unpinned form at 14.6× wall at 16× data)
+      val probes = e.filter(col("vec_id") % 20 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       graft.operators.IvfIndex.search(index, probes, topK = 3, nProbe = 2)
         .select(col("probe_id"), col("cand_id"), r6(col("sim")).as("sim"),
@@ -457,7 +462,8 @@ object SimilarityQueries extends QueryPack {
         val book = graft.operators.PqIndex.train(e, m = 4, k = 16, iters = 3)
         (book, graft.operators.PqIndex.encode(e, book))
       })
-      val probes = e.filter(col("vec_id") % 20 === 0)
+      // FIXED probe universe — see q_ann_ivf
+      val probes = e.filter(col("vec_id") % 20 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       graft.operators.PqIndex.codeStats(cb, enc, probes)
         .orderBy(col("s"), col("code"))
@@ -478,7 +484,8 @@ object SimilarityQueries extends QueryPack {
       val e = t(s, dir, "embeddings")
       val index = graft.operators.VectorIndex.ensureIvf(s, s"$dir#ivf8",
         graft.operators.IvfIndex.buildLloyd(e, k = 8, iters = 3))
-      val probes = e.filter(col("vec_id") % 20 === 0)
+      // FIXED probe universe — see q_ann_ivf
+      val probes = e.filter(col("vec_id") % 20 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       graft.operators.IvfIndex.probeStats(index, probes, nProbe = 2)
         .orderBy(col("probe_id"), col("cell_rnk"))
@@ -791,7 +798,8 @@ object SimilarityQueries extends QueryPack {
       }.mkString("\n  UNION ALL ")
       s"""WITH $subs,
          |probes AS (
-         |  SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+         |  SELECT vec_id AS probe_id, embedding FROM embeddings
+         |  WHERE vec_id % 20 = 0 AND vec_id < 5000
          |), hist AS (
          |  $hists
          |), adc AS (
@@ -814,7 +822,7 @@ object SimilarityQueries extends QueryPack {
       s"""WITH ${lloydDuck("8", 3)},
          |probes AS (
          |  SELECT vec_id AS probe_id, embedding AS pe
-         |  FROM embeddings WHERE vec_id % 20 = 0
+         |  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 5000
          |), cells AS (
          |  SELECT probe_id, cluster FROM (
          |    SELECT p.probe_id, c.cluster,
@@ -925,7 +933,7 @@ object SimilarityQueries extends QueryPack {
       s"""WITH ${lloydDuck("8", 3)},
          |probes AS (
          |  SELECT vec_id AS probe_id, embedding AS pe
-         |  FROM embeddings WHERE vec_id % 20 = 0
+         |  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 5000
          |), cells AS (
          |  SELECT probe_id, cluster, CAST(rn AS INT) AS cell_rnk FROM (
          |    SELECT p.probe_id, c.cluster,
