@@ -393,4 +393,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"pair join lost its cluster equi-key:\n$p")
   }
+
+  test("persisted-index consumers scan the parquet artifact, never the build lineage") {
+    // VectorIndex.ensure* / FrameCache.ensure land under the shared index
+    // root (…/graft-dedup-index/…): every consumer's EXECUTED plan must
+    // read that parquet back — a plan whose scans all point at the raw
+    // tables means the query silently rebuilt the asset in-line and the
+    // round-8 repricing regressed. CartesianProduct stays banned (the
+    // frozen-centroid assigns are broadcast nested-loop by design —
+    // bounded by the driver-tiny centroid table — never a cartesian).
+    for (q <- Seq("q_ann_ivf", "q_ivf_probe_stats", "q_semdedup",
+        "q_ann_pq", "q_pq_code_stats", "q_ann_index_update",
+        "q_pq_index_update", "q_bm25_topk", "q_rrf_fusion",
+        "q_hard_negatives")) {
+      val p = plan(q)
+      // q_semdedup localCheckpoints the member frame it builds FROM the
+      // read-back, so its final plan roots at the materialized RDD — the
+      // checkpoint node is the accepted evidence there (build-once
+      // provenance is pinned separately by VectorIndexSpec)
+      assert(p.contains("graft-dedup-index") || p.contains("ExistingRDD"),
+        s"$q does not scan the persisted artifact:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: unexpected cartesian:\n$p")
+    }
+  }
 }
