@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{IvfIndex, VectorIndex}
+
+/** Streaming VECTOR ingest — the ANN twin of [[CurationPipeline]]: new
+  * embedding micro-batches are assigned against the FROZEN persisted
+  * quantizer ([[VectorIndex.addIvf]], FAISS IndexIVF.add semantics) and
+  * land APPEND-ONLY.
+  *
+  * Layout under `root` (the production shape — the corpus vector table
+  * is never rewritten per batch):
+  *
+  *  - `v0/` — the seed index ([[VectorIndex.writeIvf]]: centroids +
+  *    base vectors), written once by the caller;
+  *  - `delta{b+1}/` — micro-batch b's assigned vectors, one parquet
+  *    directory per batch. The index "as of batch b" is centroids +
+  *    v0/vectors ∪ delta1..b — a multi-path parquet scan, exactly how a
+  *    vector store accumulates segments between quantizer retrains.
+  *
+  * Because the quantizer is frozen, per-batch assignment is
+  * ORDER-INDEPENDENT: the chain of N micro-batches lands on the
+  * identical final index as one-shot assignment of all N batches —
+  * VectorIngestSpec proves it, replay included. Exactly-once comes from
+  * the same discipline as the rest of the streaming family: batch b
+  * reads only immutable inputs (centroids + its own rows) and
+  * idempotently overwrites only its own outputs (`delta{b+1}` and its
+  * `_batch_id` sink partition).
+  *
+  * Scale shape per micro-batch: one broadcast of the driver-tiny
+  * centroid table against the batch — no corpus scan, no shuffle of
+  * anything corpus-sized, ever.
+  */
+object VectorIngest {
+
+  def deltaDir(root: String, v: Long): String = s"$root/delta$v"
+
+  /** The index as of `upTo` applied batches: frozen centroids from v0 +
+    * the base vectors and every existing delta ≤ upTo. */
+  def loadVersion(spark: SparkSession, root: String, upTo: Long): IvfIndex.Index = {
+    val seed = VectorIndex.loadIvf(spark, s"$root/v0")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = (1L to upTo).map(deltaDir(root, _))
+      .filter(d => fs.exists(new Path(d)))
+    if (deltas.isEmpty) seed
+    else IvfIndex.Index(seed.centers,
+      seed.assignments.unionByName(spark.read.parquet(deltas: _*)))
+  }
+
+  /** One micro-batch: assign against the frozen quantizer, sink the
+    * (vec_id, cluster) decisions exactly-once, append the delta.
+    * Factored out so a spec (or manual recovery) can replay a batch. */
+  def processBatch(root: String, outPath: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // only the centroids matter for the add — earlier deltas are not read
+    val seed = VectorIndex.loadIvf(spark, s"$root/v0")
+    val added = VectorIndex.addIvf(spark, seed, batch)
+    IdempotentSink.replaceBatch(
+      added.select("vec_id", "cluster"), batchId, outPath)
+    added.write.mode("overwrite").parquet(deltaDir(root, batchId + 1))
+  }
+
+  /** Start the ingest: `stream` must carry (vec_id, embedding). The
+    * caller seeds `v0` (see [[VectorIndex.writeIvf]]). */
+  def start(root: String, outPath: String, stream: DataFrame,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch(processBatch(root, outPath) _)
+      .trigger(trigger)
+      .start()
+}
