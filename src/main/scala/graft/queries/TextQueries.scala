@@ -1110,6 +1110,54 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet perplexity-percentile selection (Wenzek et al. 2020) — the
+    // published head/middle/tail split the CCNet pipeline actually
+    // trains on: per LANGUAGE, docs rank by LM score (mean bigram
+    // log-prob — q_lm_score's exact chain; higher = more probable =
+    // cleaner) and split into three equal percentile buckets; training
+    // keeps head(+middle), the tail is the noisy web residue. Ordering
+    // is total (rounded score desc, doc_id), so ntile is engine-exact.
+    // Scale shape: the count tables shuffle exactly as q_lm_score; the
+    // only addition is one window per language partition — and at
+    // 100 TB a per-language window over all docs is the documented
+    // cost of exact percentiles (CCNet itself batches this; the
+    // sampled-boundary GroupQuantiles pattern is the approximate
+    // alternative if the window ever dominates).
+    "q_ppl_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = t(s, dir, "documents")
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "CASE WHEN size(th) >= 2 THEN transform(sequence(1, size(th) - 1), " +
+            s"i -> struct(element_at(th, i) AS h1, " +
+            s"(element_at(th, i) * 31 + element_at(th, i + 1)) % $P AS bg)) " +
+            "ELSE CAST(array() AS ARRAY<STRUCT<h1: BIGINT, bg: BIGINT>>) END"))
+          .as("p"))
+        .select(col("doc_id"), col("lang"), col("p.h1").as("h1"), col("p.bg").as("bg"))
+        .localCheckpoint(true)
+      val uni = pairs.groupBy(col("h1")).agg(count(lit(1)).as("cx"))
+      val big = pairs.groupBy(col("h1"), col("bg")).agg(count(lit(1)).as("cxy"))
+      val scored = pairs
+        .join(big, Seq("h1", "bg"))
+        .join(uni, Seq("h1"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(round(log(col("cxy").cast("double") / col("cx")), 6)
+            .cast("decimal(18,6)")).as("s"))
+        .select(col("doc_id"), col("lang"),
+          r6(col("s").cast("double") / col("n_bigrams")).as("lm_avg"))
+      scored
+        .withColumn("bucket", ntile(3).over(Window.partitionBy(col("lang"))
+          .orderBy(col("lm_avg").desc, col("doc_id"))))
+        .withColumn("tier",
+          when(col("bucket") === 1, lit("head"))
+            .when(col("bucket") === 2, lit("middle"))
+            .otherwise(lit("tail")))
+        .select(col("doc_id"), col("lang"), col("lm_avg"), col("bucket"),
+          col("tier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark DECONTAMINATION — the published n-gram-overlap rule for
     // keeping eval data out of training corpora: a training doc is
     // contaminated if any of its 8-token grams appears in the eval set's
@@ -1997,6 +2045,41 @@ object TextQueries extends QueryPack {
          |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS lm_avg
          |FROM p JOIN big USING (h1, bg) JOIN uni USING (h1)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ppl_buckets" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, lang, ${tokenHashesDuck("text")} AS th FROM documents
+         |), p AS (
+         |  SELECT doc_id, lang,
+         |    unnest(CASE WHEN len(th) >= 2 THEN
+         |      list_transform(generate_series(1, len(th) - 1), i -> th[i])
+         |      ELSE [] END) AS h1,
+         |    unnest(CASE WHEN len(th) >= 2 THEN
+         |      list_transform(generate_series(1, len(th) - 1),
+         |        i -> (th[i] * 31 + th[i + 1]) % $P)
+         |      ELSE [] END) AS bg
+         |  FROM th
+         |), uni AS (
+         |  SELECT h1, COUNT(*) AS cx FROM p GROUP BY h1
+         |), big AS (
+         |  SELECT h1, bg, COUNT(*) AS cxy FROM p GROUP BY h1, bg
+         |), scored AS (
+         |  SELECT doc_id, lang,
+         |    ROUND(CAST(SUM(CAST(ROUND(ln(CAST(cxy AS DOUBLE) / cx), 6)
+         |      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS lm_avg
+         |  FROM p JOIN big USING (h1, bg) JOIN uni USING (h1)
+         |  GROUP BY doc_id, lang
+         |), tiled AS (
+         |  SELECT doc_id, lang, lm_avg,
+         |    CAST(ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY lm_avg DESC, doc_id) AS INT) AS bucket
+         |  FROM scored
+         |)
+         |SELECT doc_id, lang, lm_avg, bucket,
+         |  CASE WHEN bucket = 1 THEN 'head'
+         |       WHEN bucket = 2 THEN 'middle'
+         |       ELSE 'tail' END AS tier
+         |FROM tiled ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH th AS (
