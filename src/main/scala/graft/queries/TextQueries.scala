@@ -1115,14 +1115,20 @@ object TextQueries extends QueryPack {
     // trains on: per LANGUAGE, docs rank by LM score (mean bigram
     // log-prob — q_lm_score's exact chain; higher = more probable =
     // cleaner) and split into three equal percentile buckets; training
-    // keeps head(+middle), the tail is the noisy web residue. Ordering
-    // is total (rounded score desc, doc_id), so ntile is engine-exact.
-    // Scale shape: the count tables shuffle exactly as q_lm_score; the
-    // only addition is one window per language partition — and at
-    // 100 TB a per-language window over all docs is the documented
-    // cost of exact percentiles (CCNet itself batches this; the
-    // sampled-boundary GroupQuantiles pattern is the approximate
-    // alternative if the window ever dominates).
+    // keeps head(+middle), the tail is the noisy web residue.
+    // Scale shape: the count tables shuffle exactly as q_lm_score — and
+    // the per-language rank deliberately does NOT use a per-lang window
+    // (language cardinality is tiny, so `ntile OVER (PARTITION BY
+    // lang)` funnels ~n/|langs| rows through single tasks — at 100 TB
+    // each language IS a 20 TB partition). Instead the rank uses the
+    // GlobalRowNumber decomposition generalized to a partition key:
+    // equi-depth buckets on the (negated) score are monotone in rank
+    // within every language, so per-(lang, bucket) local windows plus a
+    // per-lang prefix sum over the (lang, bucket) COUNT table (the only
+    // per-lang window, |langs|·64 rows) reproduce the exact rank, and
+    // ntile derives from (rank, per-lang count) in closed form —
+    // identical to the oracle's plain ntile because the order
+    // (rounded score desc, doc_id) is total.
     "q_ppl_buckets" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val pairs = t(s, dir, "documents")
@@ -1146,9 +1152,31 @@ object TextQueries extends QueryPack {
             .cast("decimal(18,6)")).as("s"))
         .select(col("doc_id"), col("lang"),
           r6(col("s").cast("double") / col("n_bigrams")).as("lm_avg"))
-      scored
-        .withColumn("bucket", ntile(3).over(Window.partitionBy(col("lang"))
-          .orderBy(col("lm_avg").desc, col("doc_id"))))
+        // rank DESC by score = rank ASC by its negation
+        .withColumn("__neg", -col("lm_avg"))
+      val bucketed = graft.operators.RangeBuckets
+        .withEquiDepthBucket(scored, "__neg", "__b", 64)
+      val counts = bucketed.groupBy(col("lang"), col("__b"))
+        .agg(count(lit(1)).as("__c"))
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts
+        .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+        .select(col("lang"), col("__b"), col("__off"))
+      val ntot = counts.groupBy(col("lang")).agg(sum(col("__c")).as("__n"))
+      val wLoc = Window.partitionBy(col("lang"), col("__b"))
+        .orderBy(col("__neg"), col("doc_id"))
+      bucketed
+        .join(broadcast(offsets), Seq("lang", "__b"))
+        .join(broadcast(ntot), Seq("lang"))
+        .withColumn("rn", col("__off") + row_number().over(wLoc))
+        // SQL-standard ntile(3) from (rank, n): the first n mod 3 tiles
+        // carry ceil(n/3) rows, the rest floor(n/3)
+        .withColumn("bucket", expr(
+          "CAST(CASE WHEN rn <= ((__n div 3) + 1) * (__n % 3) " +
+            "THEN (rn - 1) div ((__n div 3) + 1) + 1 " +
+            "ELSE (__n % 3) + (rn - ((__n div 3) + 1) * (__n % 3) - 1) " +
+            "div greatest(__n div 3, 1) + 1 END AS INT)"))
         .withColumn("tier",
           when(col("bucket") === 1, lit("head"))
             .when(col("bucket") === 2, lit("middle"))

@@ -328,6 +328,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ppl buckets: no whole-language window — per-lang windows only see the count table") {
+    // language cardinality is tiny, so a `PARTITION BY lang` window over
+    // doc rows funnels ~n/|langs| rows through single tasks; the rank
+    // must stay decomposed per (lang, bucket), with the lone
+    // lang-partitioned window running over the (lang, bucket) COUNT
+    // table (|langs|·nb rows)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("q_ppl_buckets")(spark, dir)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val langOnly = plan.collect {
+      case w: WindowExec if w.partitionSpec.size == 1 &&
+        w.partitionSpec.head.toString.contains("lang") => w
+    }
+    assert(langOnly.size <= 1, s"more than one lang-partitioned window:\n$plan")
+    langOnly.foreach { w =>
+      assert(w.child.toString.contains("HashAggregate"),
+        s"lang-partitioned window over raw doc rows, not the count table:\n$w")
+    }
+  }
+
   test("kneser-ney LM: type total broadcasts; corpus is never cartesian-joined") {
     val p = plan("q_lm_kneser")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
