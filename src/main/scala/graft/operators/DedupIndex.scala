@@ -1,10 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
-import java.util.UUID
-
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -155,29 +150,18 @@ object DedupIndex {
 
   // ---- build-once-per-JVM cache ---------------------------------------
 
-  // key → persisted dir. Paths (not DataFrames) are cached so a later
-  // caller's own session does the read — DataFrames must not outlive
-  // the session that created them. Per-JVM only: a fresh JVM rebuilds,
-  // so regenerated testdata can never be served a stale index.
-  private val cache = TrieMap[String, String]()
-
-  private def indexRoot: String = {
-    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      s"${sys.props("java.io.tmpdir")}/graft-dedup-index")
-    Files.createDirectories(Paths.get(root))
-    root
-  }
-
   /** Build-once-per-JVM: the first caller for `key` builds + persists;
-    * everyone (including the builder) consumes the parquet read-back. */
+    * everyone (including the builder) consumes the parquet read-back.
+    * Paths (not DataFrames) are cached so a later caller's own session
+    * does the read — DataFrames must not outlive the session that
+    * created them. Per-JVM only: a fresh JVM rebuilds, so regenerated
+    * testdata can never be served a stale index. Dir allocation and the
+    * SPARK_GRAFT_INDEX_DIR root live in the ONE shared implementation,
+    * [[FrameCache.ensureDir]]. */
   def ensure(spark: SparkSession, key: String, docs: => DataFrame,
       threshold: Double = defaultJaccard): Index = {
-    val dir = cache.synchronized {
-      cache.getOrElseUpdate(key, {
-        val d = s"$indexRoot/${UUID.randomUUID().toString.take(8)}"
-        write(buildFrames(spark, docs, threshold), d)
-        d
-      })
+    val dir = FrameCache.ensureDir(key) { d =>
+      write(buildFrames(spark, docs, threshold), d)
     }
     load(spark, dir)
   }

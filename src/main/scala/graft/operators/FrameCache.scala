@@ -25,13 +25,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object FrameCache {
 
   private val cache = TrieMap[String, (String, Seq[String])]()
+  private val dirs = TrieMap[String, String]()
 
-  private def root: String = {
+  /** Resolved persistence root — SPARK_GRAFT_INDEX_DIR or the tmpdir
+    * default. ONE resolution shared by every ensure-style cache in the
+    * codebase ([[DedupIndex.ensure]], [[VectorIndex]], this object);
+    * the historical `graft-dedup-index` default name is kept so
+    * existing deployments and the plan guards keep matching. */
+  def root: String = {
     val r = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
       s"${sys.props("java.io.tmpdir")}/graft-dedup-index")
     Files.createDirectories(Paths.get(r))
     r
   }
+
+  /** Build-once-per-JVM DIRECTORY for `key`: the first caller runs
+    * `build` against a fresh dir under [[root]]; every caller gets the
+    * path. The primitive under [[ensure]] and the index caches —
+    * callers own the layout inside the dir. */
+  def ensureDir(key: String)(build: String => Unit): String =
+    dirs.synchronized {
+      dirs.getOrElseUpdate(key, {
+        val d = s"$root/${UUID.randomUUID().toString.take(8)}"
+        build(d)
+        d
+      })
+    }
 
   /** Ensure `key`'s frames exist on disk; return them as parquet
     * read-backs keyed by the names `build` gave them. */

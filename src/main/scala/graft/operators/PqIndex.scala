@@ -57,8 +57,9 @@ object PqIndex {
     Codebooks(m, sub, books)
   }
 
-  /** All codebook entries as a broadcastable frame (s, code, centroid). */
-  private def entriesDf(spark: SparkSession, cb: Codebooks): DataFrame = {
+  /** All codebook entries as a broadcastable frame (s, code, centroid) —
+    * also the persisted `codebooks/` layout ([[VectorIndex.writePq]]). */
+  private[operators] def entriesDf(spark: SparkSession, cb: Codebooks): DataFrame = {
     import spark.implicits._
     cb.books.flatMap { case (s, centers) =>
       centers.map { case (code, arr) => (s, code, arr.toSeq) }

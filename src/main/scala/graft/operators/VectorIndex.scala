@@ -1,10 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
-import java.util.UUID
-
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -53,25 +48,10 @@ import graft.expressions.GraftExtensions
   */
 object VectorIndex {
 
-  // ---- persistence roots (the DedupIndex pattern) ---------------------
-
-  private val cache = TrieMap[String, String]()
-
-  private def indexRoot: String = {
-    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      s"${sys.props("java.io.tmpdir")}/graft-dedup-index")
-    Files.createDirectories(Paths.get(root))
-    root
-  }
+  // ---- persistence root (one shared implementation: FrameCache) ------
 
   private def ensureDir(key: String)(build: String => Unit): String =
-    cache.synchronized {
-      cache.getOrElseUpdate(key, {
-        val d = s"$indexRoot/${UUID.randomUUID().toString.take(8)}"
-        build(d)
-        d
-      })
-    }
+    FrameCache.ensureDir(key)(build)
 
   // ---- IVF ------------------------------------------------------------
 
@@ -117,13 +97,7 @@ object VectorIndex {
   // ---- PQ -------------------------------------------------------------
 
   def writePq(cb: PqIndex.Codebooks, codes: DataFrame, dir: String): Unit = {
-    val spark = codes.sparkSession
-    import spark.implicits._
-    cb.books.flatMap { case (s, centers) =>
-      centers.map { case (code, arr) => (s, code, arr.toSeq) }
-    }.toDF("s", "code", "centroid")
-      .select(col("s"), col("code"),
-        col("centroid").cast("array<float>").as("centroid"))
+    PqIndex.entriesDf(codes.sparkSession, cb)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.select(col("vec_id"), col("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
@@ -134,6 +108,7 @@ object VectorIndex {
   def loadPq(spark: SparkSession, dir: String): (PqIndex.Codebooks, DataFrame) = {
     val rows = spark.read.parquet(s"$dir/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, s"empty PQ codebooks under $dir — partial or corrupt index")
     val books = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, rs) =>
       (s, rs.sortBy(_._2).map(r => (r._2, r._3)).toSeq)
     }

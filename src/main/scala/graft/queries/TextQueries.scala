@@ -1154,8 +1154,12 @@ object TextQueries extends QueryPack {
           r6(col("s").cast("double") / col("n_bigrams")).as("lm_avg"))
         // rank DESC by score = rank ASC by its negation
         .withColumn("__neg", -col("lm_avg"))
+      // checkpointed: the bucket table feeds counts/offsets AND the
+      // final rank join — one materialization also pins the sampled
+      // boundary array so both consumers see identical buckets
       val bucketed = graft.operators.RangeBuckets
         .withEquiDepthBucket(scored, "__neg", "__b", 64)
+        .localCheckpoint(true)
       val counts = bucketed.groupBy(col("lang"), col("__b"))
         .agg(count(lit(1)).as("__c"))
       val wOff = Window.partitionBy(col("lang")).orderBy(col("__b"))

@@ -69,14 +69,34 @@ object CurationPipeline {
 
   /** One micro-batch, start to finish: decisions → sink → extended
     * index version. Factored out of the stream so a spec (or a manual
-    * recovery) can replay a batch id directly. */
+    * recovery) can replay a batch id directly.
+    *
+    * The decision frame derives from [[DedupIndex.update]]'s OWN
+    * artifacts (its checkpointed corpus matches and its batch
+    * band/tokset frames) rather than calling [[decisions]] — which
+    * would probe the corpus band table and re-verify every pair a
+    * second time per micro-batch. [[decisions]] remains the standalone
+    * (and spec-oracle) form; both produce identical rows because
+    * `Update.corpusMatches` is exactly `corpusMatches(ix, batch)`. */
   def processBatch(root: String, outPath: String, threshold: Double)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val ix = DedupIndex.load(spark, StreamingIngestDedup.versionDir(root, batchId))
-    IdempotentSink.replaceBatch(
-      decisions(spark, ix, batch, threshold), batchId, outPath)
     val upd = DedupIndex.update(spark, ix, batch, threshold)
+    val bDup = DedupIndex.verifyPairs(
+        DedupIndex.candidatePairs(upd.batchBands), upd.batchToksets)
+      .filter(col("jac") >= threshold)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+      .withColumn("dup_in_batch", lit(true))
+    val dec = batch.select(col("doc_id"))
+      .join(upd.corpusMatches.withColumnRenamed("bid", "doc_id"),
+        Seq("doc_id"), "left")
+      .join(bDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("match_id").isNull && col("dup_in_batch").isNull).as("admitted"),
+        col("match_id"), col("match_jac"))
+    IdempotentSink.replaceBatch(dec, batchId, outPath)
     DedupIndex.write(DedupIndex.extended(upd, ix),
       StreamingIngestDedup.versionDir(root, batchId + 1))
   }

@@ -59,9 +59,16 @@ object VectorIngest {
     // only the centroids matter for the add — earlier deltas are not read
     val seed = VectorIndex.loadIvf(spark, s"$root/v0")
     val added = VectorIndex.addIvf(spark, seed, batch)
+    // delta first, sink from its read-back: the assignment executes ONCE
+    // and sink/delta can never diverge (a lazy `added` reused for both
+    // writes would recompute the broadcast-assign per write)
+    val delta = deltaDir(root, batchId + 1)
+    added.write.mode("overwrite").parquet(delta)
+    // a REPLAYED batch overwrites its delta in place — drop any cached
+    // file listing before re-reading it for the sink
+    spark.catalog.refreshByPath(delta)
     IdempotentSink.replaceBatch(
-      added.select("vec_id", "cluster"), batchId, outPath)
-    added.write.mode("overwrite").parquet(deltaDir(root, batchId + 1))
+      spark.read.parquet(delta).select("vec_id", "cluster"), batchId, outPath)
   }
 
   /** Start the ingest: `stream` must carry (vec_id, embedding). The

@@ -434,9 +434,12 @@ class PlanSpec extends SparkSpec {
       // q_semdedup localCheckpoints the member frame it builds FROM the
       // read-back, so its final plan roots at the materialized RDD — the
       // checkpoint node is the accepted evidence there (build-once
-      // provenance is pinned separately by VectorIndexSpec)
-      assert(p.contains("graft-dedup-index") || p.contains("ExistingRDD"),
-        s"$q does not scan the persisted artifact:\n$p")
+      // provenance is pinned separately by VectorIndexSpec). The root is
+      // resolved exactly as the caches resolve it, so the guard also
+      // holds under a SPARK_GRAFT_INDEX_DIR override.
+      val root = graft.operators.FrameCache.root
+      assert(p.contains(root) || p.contains("ExistingRDD"),
+        s"$q does not scan the persisted artifact under $root:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q: unexpected cartesian:\n$p")
     }
   }
