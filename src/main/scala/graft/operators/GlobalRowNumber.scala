@@ -46,4 +46,48 @@ object GlobalRowNumber {
       .withColumn(rnCol, col("__off") + row_number().over(wLoc))
       .drop("__bucket", "__off")
   }
+
+  /** Per-key generalization of [[withRowNumber]] — the exact value of
+    * `row_number() OVER (PARTITION BY keys ORDER BY value, tieBreak)`
+    * WITHOUT a per-key window over the data rows. A low-cardinality
+    * partition key (language, domain, market segment) makes the plain
+    * window a handful of giant tasks: at 100 TB a dominant language is
+    * ONE 20+ TB sort task. Here the same sampled equi-depth buckets
+    * split every key's rows across ~nb tasks: the bucket index is
+    * monotone in the value WITHIN ANY KEY, so per-(key, bucket) local
+    * windows plus a per-key prefix sum over the (key, bucket) COUNT
+    * table (|keys|·nb rows — the only per-key window in the plan)
+    * reproduce the exact per-key rank. First built inline for CCNet
+    * perplexity buckets (q_ppl_buckets); promoted to an operator so
+    * every per-key-rank consumer shares one audited decomposition.
+    *
+    * The bucketed frame feeds both the count table and the final rank
+    * join WITHOUT a checkpoint: the seeded boundary sample is
+    * deterministic over a deterministic input partitioning, so both
+    * branches compute identical buckets (same guarantee the global
+    * [[withRowNumber]] has relied on since round 4). Callers whose `df`
+    * is an expensive derivation should checkpoint it themselves before
+    * calling — that is a recompute-cost decision, not a correctness one.
+    *
+    * `tieBreak` must make (value, tieBreak...) unique within a key for
+    * the numbering to be deterministic.
+    */
+  def withKeyedRowNumber(df: DataFrame, keys: Seq[String], valueCol: String,
+      rnCol: String, tieBreak: Seq[String], nb: Int = 64): DataFrame = {
+    val bucketed = RangeBuckets
+      .withEquiDepthBucket(df, valueCol, "__bucket", nb)
+    val keyCols = keys.map(col)
+    val wOff = Window.partitionBy(keyCols: _*).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed
+      .groupBy(keyCols :+ col("__bucket"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(keyCols :+ col("__bucket") :+ col("__off"): _*)
+    val wLoc = Window.partitionBy(keyCols :+ col("__bucket"): _*)
+      .orderBy(col(valueCol) +: tieBreak.map(col): _*)
+    bucketed.join(broadcast(offsets), keys :+ "__bucket")
+      .withColumn(rnCol, col("__off") + row_number().over(wLoc))
+      .drop("__bucket", "__off")
+  }
 }

@@ -161,16 +161,22 @@ object PipelineQueries extends QueryPack {
     // Training-mixture rebalancing: downsample every language to the
     // smallest language's count, selecting rows by a portable overflow-
     // safe key hash (see q_stratified_sample) so the kept set is identical
-    // across engines, runs and partitionings. The per-lang row_number is
-    // the only shuffle; the min-count frame is a broadcast scalar.
+    // across engines, runs and partitionings. The per-lang rank does NOT
+    // use a per-lang window over document rows — at 100 TB a dominant
+    // language (English ≈ half a web corpus) would be ONE window task.
+    // GlobalRowNumber.withKeyedRowNumber decomposes it: equi-depth
+    // buckets on the hash + per-(lang, bucket) local windows + a
+    // per-lang prefix over the (lang, bucket) count table — exact same
+    // rank (order is total), every task ~n/64 rows regardless of
+    // language skew. The min-count frame is a broadcast scalar.
     "q_lang_rebalance" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"))
         .withColumn("h", expr("doc_id % 1000000007 * 2654435761 % 1000000007"))
       val m = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .agg(min(col("cnt")).as("m"))
-      d.withColumn("rn", row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      graft.operators.GlobalRowNumber
+        .withKeyedRowNumber(d, Seq("lang"), "h", "rn", Seq("doc_id"))
         .crossJoin(broadcast(m))
         .filter(col("rn") <= col("m"))
         .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
@@ -381,15 +387,36 @@ object PipelineQueries extends QueryPack {
 
     // Rank-family window functions: percent_rank / cume_dist / ntile over
     // a unique ordering (ties broken by key, so every value is engine-
-    // portable). One shuffle on the partition key, one sort.
+    // portable). c_mktsegment has 5 values, so the naive
+    // `OVER (PARTITION BY c_mktsegment)` is five giant window tasks at
+    // 100× — instead the whole family derives in closed form from the
+    // (rank, per-key count) pair: the exact rank comes from
+    // GlobalRowNumber.withKeyedRowNumber (equi-depth buckets + count-
+    // table prefix; the only c_mktsegment-partitioned window runs over
+    // the 5·64-row count table), then with a UNIQUE ordering
+    // percent_rank = (rn-1)/(n-1), cume_dist = rn/n, and ntile(t) is
+    // the SQL-standard fill rule (first n mod t tiles get ⌈n/t⌉ rows).
+    // Identical doubles to the built-ins: the same two longs divide in
+    // IEEE double on both paths.
     "q_window_ranks" -> ((s, dir) => {
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, dir, "customer")
+      val d = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val ntot = d.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("__n"))
+      graft.operators.GlobalRowNumber
+        .withKeyedRowNumber(d, Seq("c_mktsegment"), "c_acctbal", "rn",
+          Seq("c_custkey"))
+        .join(broadcast(ntot), Seq("c_mktsegment"))
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-          r6(percent_rank().over(w)).as("pctrank"),
-          r6(cume_dist().over(w)).as("cumedist"),
-          ntile(4).over(w).cast("long").as("quartile"))
+          r6(when(col("__n") === 1, lit(0.0))
+            .otherwise((col("rn") - 1).cast("double") / (col("__n") - 1)))
+            .as("pctrank"),
+          r6(col("rn").cast("double") / col("__n")).as("cumedist"),
+          expr(
+            """CAST(CASE WHEN rn <= ((__n div 4) + 1) * (__n % 4)
+              |  THEN (rn - 1) div ((__n div 4) + 1) + 1
+              |  ELSE (__n % 4) + (rn - ((__n div 4) + 1) * (__n % 4) - 1)
+              |    div greatest(__n div 4, 1) + 1 END AS BIGINT)""".stripMargin)
+            .as("quartile"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -400,8 +427,12 @@ object PipelineQueries extends QueryPack {
     // (per-lang downsample to the smallest post-dedup language by
     // portable hash order) → whitespace normalization. Every stage is
     // deterministic, so the five-stage composite still hash-matches the
-    // chained-CTE oracle; at 100 TB this whole pipeline is two shuffles
-    // (fingerprint, lang window) plus map stages.
+    // chained-CTE oracle. The rebalance rank uses the same
+    // GlobalRowNumber.withKeyedRowNumber decomposition as
+    // q_lang_rebalance — a plain per-lang window here would make each
+    // surviving language ONE task at 100 TB; the decomposed form's
+    // heaviest shuffles are the 16-byte fingerprint exchange and the
+    // ~n/64-row per-(lang, bucket) local sorts.
     "q_curation_pipeline" -> ((s, dir) => {
       val quality = t(s, dir, "documents")
         .filter(col("n_chars") >= 150 && col("n_chars") <= 10000 &&
@@ -414,10 +445,10 @@ object PipelineQueries extends QueryPack {
         .filter(col("rn_fp") === 1)
       val m = deduped.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .agg(min(col("cnt")).as("m"))
-      deduped
+      val withH = deduped
         .withColumn("h", expr("doc_id % 1000000007 * 2654435761 % 1000000007"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      graft.operators.GlobalRowNumber
+        .withKeyedRowNumber(withH, Seq("lang"), "h", "rn", Seq("doc_id"))
         .crossJoin(broadcast(m))
         .filter(col("rn") <= col("m"))
         .select(col("doc_id"), col("lang"), col("source"),

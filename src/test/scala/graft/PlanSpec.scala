@@ -328,28 +328,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("ppl buckets: no whole-language window — per-lang windows only see the count table") {
-    // language cardinality is tiny, so a `PARTITION BY lang` window over
-    // doc rows funnels ~n/|langs| rows through single tasks; the rank
-    // must stay decomposed per (lang, bucket), with the lone
-    // lang-partitioned window running over the (lang, bucket) COUNT
-    // table (|langs|·nb rows)
+  // Low-cardinality partition keys (language, market segment) make a
+  // plain `PARTITION BY key` window over data rows a handful of giant
+  // tasks — at 100 TB a dominant language is ONE window task. Every
+  // per-key-rank consumer must stay decomposed per (key, bucket), with
+  // the lone key-partitioned window running over the (key, bucket)
+  // COUNT table (|keys|·nb rows).
+  private def assertNoWholeKeyWindow(q: String, key: String): Unit = {
     import org.apache.spark.sql.execution.window.WindowExec
-    val plan = SparkEntry.queries("q_ppl_buckets")(spark, dir)
+    val plan = SparkEntry.queries(q)(spark, dir)
       .queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
       case p => p
     }
-    val langOnly = plan.collect {
+    val keyOnly = plan.collect {
       case w: WindowExec if w.partitionSpec.size == 1 &&
-        w.partitionSpec.head.toString.contains("lang") => w
+        w.partitionSpec.head.toString.contains(key) => w
     }
-    assert(langOnly.size <= 1, s"more than one lang-partitioned window:\n$plan")
-    langOnly.foreach { w =>
+    assert(keyOnly.size <= 1, s"$q: more than one $key-partitioned window:\n$plan")
+    keyOnly.foreach { w =>
       assert(w.child.toString.contains("HashAggregate"),
-        s"lang-partitioned window over raw doc rows, not the count table:\n$w")
+        s"$q: $key-partitioned window over raw data rows, not the count table:\n$w")
     }
+  }
+
+  test("ppl buckets: no whole-language window — per-lang windows only see the count table") {
+    assertNoWholeKeyWindow("q_ppl_buckets", "lang")
+  }
+
+  test("lang rebalance + curation pipeline: per-lang rank stays decomposed") {
+    // the round-8 verdict's last two 100×-scale-killers: both rebalance
+    // stages now route through GlobalRowNumber.withKeyedRowNumber
+    assertNoWholeKeyWindow("q_lang_rebalance", "lang")
+    assertNoWholeKeyWindow("q_curation_pipeline", "lang")
+  }
+
+  test("window ranks: percent_rank/cume_dist/ntile derive from the count table") {
+    // 5 segment values → the built-in rank family would be five giant
+    // tasks; the closed-form derivation's only c_mktsegment-partitioned
+    // window is the bucket-count prefix sum
+    assertNoWholeKeyWindow("q_window_ranks", "c_mktsegment")
   }
 
   test("kneser-ney LM: type total broadcasts; corpus is never cartesian-joined") {
@@ -438,8 +457,15 @@ class PlanSpec extends SparkSpec {
       // resolved exactly as the caches resolve it, so the guard also
       // holds under a SPARK_GRAFT_INDEX_DIR override.
       val root = graft.operators.FrameCache.root
-      assert(p.contains(root) || p.contains("ExistingRDD"),
-        s"$q does not scan the persisted artifact under $root:\n$p")
+      // the ExistingRDD escape hatch is q_semdedup's alone — accepting
+      // it for the other nine would let a localCheckpoint-rooted plan
+      // pass even if it silently rebuilt the asset inline
+      if (q == "q_semdedup")
+        assert(p.contains(root) || p.contains("ExistingRDD"),
+          s"$q does not scan the persisted artifact under $root:\n$p")
+      else
+        assert(p.contains(root),
+          s"$q does not scan the persisted artifact under $root:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q: unexpected cartesian:\n$p")
     }
   }
