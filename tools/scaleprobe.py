@@ -17,6 +17,16 @@ not the algorithm. Instead each replica k gets
    the dimensions (cosine(original, replica) ~= 0 -> no manufactured
    similar pairs; intra-replica structure intact);
  - orders / lineitem: key offsets (as before).
+
+SPROBE_SKEW=1 adds a SKEWED-replica mode: ~90% of document replicas
+additionally collapse onto ONE hot (lang, source) key — the "English is
+half the web corpus" shape. Text perturbation is unchanged, so content-
+keyed families (minhash bands, simhash tables, fingerprints) see no
+manufactured duplicate pairs; only the partition-key distribution skews.
+A query whose plan ranks/aggregates per lang or per domain through a
+single-task window degrades toward the FULL data factor times the hot
+share under this probe; the decomposed (key, bucket) forms stay flat.
+Results recorded in BASELINE.md next to the uniform probe.
 """
 import json
 import os
@@ -31,7 +41,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
+SKEW = os.environ.get("SPROBE_SKEW", "") not in ("", "0")
+
+# skew mode default: the per-key rank/agg family (where a hot language
+# or domain would serialize a naive plan) plus the content-keyed dedup
+# family (whose keys are hash-derived and must stay flat regardless)
+SKEW_QUERIES = ("q_lang_rebalance,q_curation_pipeline,q_ppl_buckets,"
+                "q_domain_cap,q_value_counts,q_mode,q_lang_id,"
+                "q_dedup_exact,q_dedup_minhash_lsh,q_simhash_pairs,"
+                "q_token_topk,q_stratified_sample")
+
 QUERIES = os.environ.get("SPROBE_QUERIES",
+           SKEW_QUERIES if SKEW else
            "q_quality_score,q_lang_id,q_token_topk,q_dedup_exact,"
            "q_ks_test,q_spearman,q_agg_groupsum,"
            "q_tfidf,q_pmi_bigrams,q_doc_chunks,q_seq_packing,"
@@ -57,8 +78,13 @@ def replica_select(table, i, src):
     off = 100_000_000 * i
     if table == "documents":
         shifted = ALPHA[i:] + ALPHA[:i]  # Caesar shift by i
+        hot = ""
+        if SKEW and i % 10 != 0:
+            # ~90% of replicas collapse onto one hot (lang, source) key;
+            # text stays perturbed, so only the key distribution skews
+            hot = ", 'en' AS lang, 'hotsite' AS source"
         return (f"SELECT * REPLACE (doc_id + {off} AS doc_id, "
-                f"translate(text, '{ALPHA}', '{shifted}') AS text) "
+                f"translate(text, '{ALPHA}', '{shifted}') AS text{hot}) "
                 f"FROM read_parquet('{src}')")
     if table == "embeddings":
         # flip a replica-specific pseudo-random half of the dims (j is
@@ -128,7 +154,7 @@ def main():
     ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
     results = {}
     for k in ks:
-        dest = f"/tmp/scale{k}x"
+        dest = f"/tmp/{'skew' if SKEW else 'scale'}{k}x"
         build(k, dest)
         results[k] = bench(dest)
         print(f"scale {k}x done", file=sys.stderr)
