@@ -71,9 +71,22 @@ object GlobalRowNumber {
     *
     * `tieBreak` must make (value, tieBreak...) unique within a key for
     * the numbering to be deterministic.
+    *
+    * `descending = true` ranks by `valueCol` DESC (ties still ascending
+    * on `tieBreak`) — the `ORDER BY v DESC, id` shape of keep-the-best
+    * capping (domain caps, quality top-k per key). Implemented by
+    * negating the value into a scratch column, so it requires a numeric
+    * `valueCol`; the bucket boundaries are sampled on the negated value
+    * and stay equi-depth.
     */
   def withKeyedRowNumber(df: DataFrame, keys: Seq[String], valueCol: String,
-      rnCol: String, tieBreak: Seq[String], nb: Int = 64): DataFrame = {
+      rnCol: String, tieBreak: Seq[String], nb: Int = 64,
+      descending: Boolean = false): DataFrame = {
+    if (descending) {
+      val negged = df.withColumn("__negv", negate(col(valueCol)))
+      return withKeyedRowNumber(negged, keys, "__negv", rnCol, tieBreak, nb)
+        .drop("__negv")
+    }
     val bucketed = RangeBuckets
       .withEquiDepthBucket(df, valueCol, "__bucket", nb)
     val keyCols = keys.map(col)

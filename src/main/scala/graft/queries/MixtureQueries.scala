@@ -148,17 +148,20 @@ object MixtureQueries extends QueryPack {
     // for the first (alloc mod n) docs in portable-hash order — the
     // deterministic stand-in for "sample the fractional epoch uniformly".
     // The allocation frame broadcasts; the only corpus-sized work is the
-    // count agg and one per-language rank window.
+    // count agg and the per-language rank. That rank does NOT use a
+    // per-lang window over document rows — at 100 TB the head language
+    // would be ONE window task; GlobalRowNumber.withKeyedRowNumber
+    // decomposes it per (lang, bucket), same exact rank (hash order is
+    // total), every task ~n/64 rows regardless of language skew.
     "q_mix_materialize" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       val sizes = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       val alloc = unimax(sizes)
         .select(col("lang"), expr("alloc div n").as("full"),
           expr("alloc % n").as("extra"))
-      docs
-        .withColumn("h", expr(docHash))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      graft.operators.GlobalRowNumber
+        .withKeyedRowNumber(docs.withColumn("h", expr(docHash)),
+          Seq("lang"), "h", "rn", Seq("doc_id"))
         .join(broadcast(alloc), Seq("lang"))
         .select(col("doc_id"), col("lang"),
           (col("full") + when(col("rn") <= col("extra"), 1L).otherwise(0L))

@@ -189,11 +189,14 @@ object PipelineQueries extends QueryPack {
     // is synthesized per doc (q_url_parse's provenance convention, plus a
     // rotating subdomain so host ≠ domain), the host comes from Spark's
     // parse_url kernel, the registrable domain from a suffix regex, and
-    // selection is ONE rank window over the domain key — highest-quality
-    // (longest) docs survive, ties by doc_id. The oracle re-derives the
-    // domain directly from `source`, so the parse_url→regexp chain is
-    // pinned against an independent derivation. At 100 TB: one window
-    // shuffle on the domain key, nothing else.
+    // selection is a per-domain rank — highest-quality (longest) docs
+    // survive, ties by doc_id. The oracle re-derives the domain directly
+    // from `source`, so the parse_url→regexp chain is pinned against an
+    // independent derivation. Web corpora are domain-skewed, so the rank
+    // does NOT use a per-domain window over document rows (a hot domain
+    // would be ONE giant task at 100 TB): withKeyedRowNumber's
+    // descending mode decomposes it per (domain, bucket) on -n_chars —
+    // exact same rank, every task ~n/64 rows regardless of domain skew.
     "q_domain_cap" -> ((s, dir) => {
       val k = 15
       val d = t(s, dir, "documents")
@@ -206,11 +209,11 @@ object PipelineQueries extends QueryPack {
         .withColumn("host", parse_url(col("url"), lit("HOST")))
         .withColumn("domain",
           regexp_extract(col("host"), "([^.]+\\.example\\.org)$", 1))
-      d.withColumn("rnk", row_number().over(
-          Window.partitionBy(col("domain"))
-            .orderBy(col("n_chars").desc, col("doc_id"))))
-        .select(col("doc_id"), col("domain"), col("rnk"),
-          (col("rnk") <= k).as("kept"))
+      graft.operators.GlobalRowNumber
+        .withKeyedRowNumber(d, Seq("domain"), "n_chars", "rnk",
+          Seq("doc_id"), descending = true)
+        .select(col("doc_id"), col("domain"),
+          col("rnk").cast("int").as("rnk"), (col("rnk") <= k).as("kept"))
         .orderBy(col("doc_id"))
     }),
 

@@ -12,11 +12,18 @@ import graft.QueryKit._
   * sessionization pattern (streaming-adjacent, ref has none — this is the
   * batch form of the Structured Streaming session window).
   *
-  * Scale notes: every window partitions by a high-cardinality key (user,
-  * customer, segment) → one hash shuffle + per-partition sort; identical
-  * plan shape on a 1000-executor cluster. No global (unpartitioned)
-  * windows except the bounded league-table (W4), whose input is already
-  * aggregated to dimension size.
+  * Scale notes: every window over data rows partitions by a
+  * high-cardinality key (user, customer, nation×segment) or by a
+  * (key, equi-depth bucket) pair → one hash shuffle + bounded
+  * per-partition sorts; identical plan shape on a 1000-executor
+  * cluster. Low-cardinality keys (the 5-value market segment,
+  * event_type) never get whole-partition windows: aggregate frames
+  * (group sums, min_by/max_by ends, bucket firsts) are computed with
+  * groupBy and broadcast back, and offset functions decompose per
+  * (key, bucket) with a boundary handoff (q_window_lead). The only
+  * unpartitioned windows run over dimension-sized aggregates (W4
+  * league table, bucket-count offset tables). PlanSpec's skew-key
+  * sweep enforces this for every query in the surface.
   */
 object WindowQueries extends QueryPack {
 
@@ -39,12 +46,36 @@ object WindowQueries extends QueryPack {
     }),
 
     // W2 — lead with default (ref: quantile upper bound, EDA cell 26).
+    // c_mktsegment has 5 values, so a plain per-segment window is five
+    // giant tasks at 100 TB. Offset functions decompose over the same
+    // equi-depth buckets as GlobalRowNumber: global order (bal, key) =
+    // (bucket, bal, key) because the bucket index is monotone in the
+    // value, so lead is bucket-local everywhere EXCEPT the last row of
+    // each (segment, bucket) — and that row's successor is the first
+    // value of the segment's next non-empty bucket, a one-row-per-
+    // (segment, bucket) boundary handoff computed on the count-table-
+    // sized firsts frame and broadcast back. (The first value of a
+    // bucket in (bal, key) order is just min(bal) — ties share the
+    // value.) c_acctbal is non-null in the schema; RangeBuckets drops
+    // null sort values, same as a window over a null-free column.
     "q_window_lead" -> ((s, dir) => {
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, dir, "customer")
+      val c = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-        .withColumn("next_bal", lead(col("c_acctbal"), 1, 9999).over(w))
+      val b = graft.operators.RangeBuckets
+        .withEquiDepthBucket(c, "c_acctbal", "__b", 64)
+      val wLoc = Window.partitionBy(col("c_mktsegment"), col("__b"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wSeg = Window.partitionBy(col("c_mktsegment")).orderBy(col("__b"))
+      val nexts = b.groupBy(col("c_mktsegment"), col("__b"))
+        .agg(min(col("c_acctbal")).as("bfirst"))
+        .withColumn("bnext", lead(col("bfirst"), 1).over(wSeg))
+        .select(col("c_mktsegment"), col("__b"), col("bnext"))
+      b.withColumn("ll", lead(col("c_acctbal"), 1).over(wLoc))
+        .join(broadcast(nexts), Seq("c_mktsegment", "__b"))
+        .withColumn("next_bal",
+          coalesce(col("ll"), col("bnext"), lit(9999).cast("double")))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("next_bal"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -76,15 +107,24 @@ object WindowQueries extends QueryPack {
         .orderBy(col("c_mktsegment"))
     }),
 
-    // A5 — group-total normalization as a window (ref: PercentageCalc,
+    // A5 — group-total normalization (ref: PercentageCalc,
     // modelling/helpers.py:30-69: value / (group_sum / constant)).
+    // event_type is low-cardinality, so the whole-partition sum window
+    // would be a handful of giant tasks at 100 TB; the scale-safe (and
+    // strictly cheaper) form aggregates the sums — the shuffle carries
+    // |event_type| partial sums, not the rows — and broadcast-joins
+    // them back. DECIMAL sums are order-independent, so the value is
+    // bit-identical to the window form the oracle keeps.
     "q_window_norm" -> ((s, dir) => {
-      val w = Window.partitionBy(col("event_type"))
-      t(s, dir, "events")
+      val e = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
+      val totals = e.groupBy(col("event_type"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("__tot"))
+      e.join(broadcast(totals), Seq("event_type"))
         .withColumn("pct_of_type",
-          r6(col("value") / (sum(col("value").cast(DecimalType(18, 2))).over(w)
-            .cast(DoubleType) / lit(15))))
+          r6(col("value") / (col("__tot").cast(DoubleType) / lit(15))))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("pct_of_type"))
         .orderBy(col("event_id"))
     }),
 
@@ -103,20 +143,27 @@ object WindowQueries extends QueryPack {
 
     // A7 — two-tier group-mean imputation (ref: modelling/helpers.py
     // :97-106: team+pos+bin mean, then pos+bin mean). Nulls injected on
-    // c_custkey%10 to exercise both tiers.
+    // c_custkey%10 to exercise both tiers. Tier 1 windows on the
+    // high-cardinality (nation, segment) key — fine at scale; tier 2's
+    // key is the 5-value segment alone, so its mean comes from a
+    // groupBy aggregate broadcast-joined back (the whole-partition
+    // window would be five giant tasks at 100 TB). DECIMAL sums keep
+    // the value bit-identical to the oracle's window form.
     "q_group_impute" -> ((s, dir) => {
       val w1 = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
-      val w2 = Window.partitionBy(col("c_mktsegment"))
-      t(s, dir, "customer")
+      val c = t(s, dir, "customer")
         .withColumn("bal",
           when(col("c_custkey") % 10 === 0, lit(null).cast("double"))
             .otherwise(col("c_acctbal")))
+      val segMean = c.groupBy(col("c_mktsegment"))
+        .agg((sum(col("bal").cast(DecimalType(18, 2))).cast(DoubleType) /
+          count(col("bal"))).as("__seg_mean"))
+      c.join(broadcast(segMean), Seq("c_mktsegment"))
         .withColumn("bal_imputed",
           r4(coalesce(col("bal"),
             sum(col("bal").cast(DecimalType(18, 2))).over(w1).cast(DoubleType) /
               count(col("bal")).over(w1),
-            sum(col("bal").cast(DecimalType(18, 2))).over(w2).cast(DoubleType) /
-              count(col("bal")).over(w2))))
+            col("__seg_mean"))))
         .select(col("c_custkey"), col("bal"), col("bal_imputed"))
         .orderBy(col("c_custkey"))
     }),
@@ -140,15 +187,21 @@ object WindowQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
-    // first_value / last_value over the full partition frame.
+    // first_value / last_value over the full partition frame. The
+    // unbounded frame on the 5-value segment key would be five giant
+    // tasks at 100 TB; first/last in (c_custkey) order are exactly
+    // min_by/max_by on the key — one aggregate shuffle carrying
+    // |segment| rows, broadcast-joined back. c_custkey is unique, so
+    // the pick is deterministic.
     "q_first_last" -> ((s, dir) => {
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      t(s, dir, "customer")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val ends = c.groupBy(col("c_mktsegment"))
+        .agg(min_by(col("c_acctbal"), col("c_custkey")).as("first_bal"),
+          max_by(col("c_acctbal"), col("c_custkey")).as("last_bal"))
+      c.join(broadcast(ends), Seq("c_mktsegment"))
         .select(col("c_custkey"), col("c_mktsegment"),
-          first(col("c_acctbal")).over(w).as("first_bal"),
-          last(col("c_acctbal")).over(w).as("last_bal"))
+          col("first_bal"), col("last_bal"))
         .orderBy(col("c_custkey"))
     }),
 

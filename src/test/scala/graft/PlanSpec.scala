@@ -353,6 +353,51 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  // The enforcement SWEEP for the rule above: hand-enumerated pins missed
+  // consumers twice (q_ppl_buckets's shape survived in q_lang_rebalance;
+  // q_lang_rebalance's fix missed q_mix_materialize one file away), so
+  // the guard iterates EVERY declared query. A WindowExec whose partition
+  // spec references ONLY known skewable/low-cardinality keys may not run
+  // over raw data rows: its child subtree must contain an aggregate (the
+  // count/offset table of a GlobalRowNumber-style decomposition, or a
+  // dimension-sized groupBy frame) or a WindowGroupLimit (rank<=k pushed
+  // into partial mode bounds each task's rows per key before the
+  // shuffle). Windows keyed by (skewKey, __bucket) pass automatically —
+  // the bucket column is not in the skew set — which is exactly the
+  // decomposed form. Key set: the 100-TB skew candidates in this schema
+  // (a dominant language/domain/source is ONE task under a plain window;
+  // segment/type/flag have ≤7 values).
+  test("sweep: every skew-keyed window in every declared query runs over a bounded frame") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val skewable = Set("lang", "source", "domain", "c_mktsegment",
+      "event_type", "l_returnflag", "o_orderpriority", "o_orderstatus")
+    def bounded(p: SparkPlan): Boolean = p.collectFirst {
+      case a: BaseAggregateExec => a
+      case g: WindowGroupLimitExec => g
+    }.isDefined
+    val offenders = Seq.newBuilder[String]
+    for ((name, mk) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = mk(spark, dir).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.foreach {
+        case w: WindowExec if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(_.references.forall(r => skewable(r.name))) &&
+            !bounded(w.child) =>
+          offenders += s"$name: ${w.partitionSpec.mkString(", ")}-partitioned " +
+            "window over raw data rows"
+        case _ => ()
+      }
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty,
+      s"skew-keyed whole-partition windows over raw rows:\n${bad.mkString("\n")}")
+  }
+
   test("ppl buckets: no whole-language window — per-lang windows only see the count table") {
     assertNoWholeKeyWindow("q_ppl_buckets", "lang")
   }
@@ -362,6 +407,13 @@ class PlanSpec extends SparkSpec {
     // stages now route through GlobalRowNumber.withKeyedRowNumber
     assertNoWholeKeyWindow("q_lang_rebalance", "lang")
     assertNoWholeKeyWindow("q_curation_pipeline", "lang")
+  }
+
+  test("mix materialize + domain cap: per-key rank stays decomposed") {
+    // the round-9 verdict's missed consumers — same machinery, asserted
+    // the same way (and swept above so the NEXT consumer can't slip by)
+    assertNoWholeKeyWindow("q_mix_materialize", "lang")
+    assertNoWholeKeyWindow("q_domain_cap", "domain")
   }
 
   test("window ranks: percent_rank/cume_dist/ntile derive from the count table") {
