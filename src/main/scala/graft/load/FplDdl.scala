@@ -113,4 +113,25 @@ object FplDdl {
   val all: Seq[TableSpec] = Seq(
     fixtures, playersFull, playersFuture, playersPast, playersPrevSeasons,
     playersSummary, leagueTable, teamResults, gameweeks, positions, teams)
+
+  /** K5 — append-only status history (ref: etl/load.py:404-435
+    * players_statuses: the summary snapshot stamped with gameweek_now +
+    * load_datetime). Columns match [[JdbcSink.statusSnapshot]]'s
+    * projection. NOT in [[all]]: history tables are never
+    * batch-overwritten. Declared WITHOUT the ref's FKs deliberately:
+    * the ref's very first reload runs `DROP TABLE players_summary
+    * CASCADE` (etl/load.py:45-52), which silently destroys those FK
+    * constraints while keeping the history table — so their production
+    * steady state IS constraint-free, and declaring them here would
+    * make any overwrite of the parents impossible without dropping the
+    * history (Derby has no CASCADE). */
+  val playersStatuses: TableSpec = TableSpec("players_statuses",
+    f("load_datetime" -> ts, "gameweek_now" -> str, "player_id" -> str,
+      "status" -> str, "news" -> str),
+    primaryKey = Nil)
+
+  /** K6 — one-row-per-load audit record (ref: etl/load.py:466-472). */
+  val record: TableSpec = TableSpec("record",
+    f("load_datetime" -> ts, "gameweek_now" -> str, "username" -> str),
+    primaryKey = Seq("load_datetime"))
 }

@@ -70,7 +70,16 @@ object JdbcSink {
       (cols ++ pk ++ fks ++ checks).mkString(",\n") :+ ")").mkString("\n")
   }
 
-  def dropDdl(spec: TableSpec): String = s"DROP TABLE IF EXISTS ${spec.name} CASCADE"
+  def dropDdl(spec: TableSpec): String = dropDdl(spec, Postgres)
+
+  /** Dialect-aware drop: Derby has neither IF EXISTS nor CASCADE, so the
+    * caller drops children-first (reverse [[loadOrder]]) and treats
+    * SQLState 42Y55 (no such table) as the IF EXISTS no-op — see
+    * [[graft.EtlRun]]. */
+  def dropDdl(spec: TableSpec, dialect: Dialect): String = dialect match {
+    case Postgres => s"DROP TABLE IF EXISTS ${spec.name} CASCADE"
+    case Derby => s"DROP TABLE ${spec.name}"
+  }
 
   /** FK-safe load order: parents before children (topological sort; ref
     * encodes this as comment-ordered code, etl/load.py:111-462). */

@@ -56,11 +56,27 @@ object NestedCV {
         .setFoldCol("__ncv_fold")
         .setSeed(seed + i)
       val model = cv.fit(trainFolded)
-      val metrics = model.avgMetrics.zipWithIndex
+      // NaN-safe argmax: a grid point whose metric is NaN (degenerate
+      // fold, undefined AUC) must lose to any real score — maxBy/minBy
+      // over raw doubles would let NaN win the comparison chain and
+      // silently report a garbage "best". All-NaN is an error, not a pick.
+      val metrics = model.avgMetrics.zipWithIndex.filterNot(_._1.isNaN)
+      require(metrics.nonEmpty,
+        s"outer split $i: every grid point's CV metric is NaN — " +
+          "the evaluator produced no usable score on any fold")
       val best = grid(
         (if (evaluator.isLargerBetter) metrics.maxBy(_._1)
          else metrics.minBy(_._1))._2)
-      val score = evaluator.evaluate(model.bestModel.transform(test))
+      // CrossValidator's own bestModel pick ranks NaN LARGEST (Scala
+      // TotalOrdering), so when any metric is NaN its bestModel may be
+      // the garbage point — refit at the NaN-safe params instead. The
+      // healthy path (no NaN anywhere) keeps the already-fitted model.
+      val scored =
+        if (model.avgMetrics.exists(_.isNaN))
+          estimator.copy(best).fit(trainFolded)
+            .asInstanceOf[org.apache.spark.ml.Transformer]
+        else model.bestModel
+      val score = evaluator.evaluate(scored.transform(test))
       val trainG = train.select(col(groupCol)).distinct()
       val testG = test.select(col(groupCol)).distinct()
       OuterScore(i, best, score,

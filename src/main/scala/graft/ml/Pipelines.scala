@@ -1,10 +1,12 @@
 package graft.ml
 
 import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
 import org.apache.spark.ml.feature.{PCA, StandardScaler, UnivariateFeatureSelector, VectorAssembler}
 import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.tuning.ParamGridBuilder
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -113,6 +115,83 @@ object Pipelines {
       case -1 => dim
       case i => i + 1
     }
+  }
+
+  /** The POINTS pipeline — modelling_2's tree-ensemble recipe (ref:
+    * modelling/modelling_2_player_points.ipynb cells 17/20: Pipeline =
+    * PercentageCalc → StandardScaler → PCA(n_components=0.95) →
+    * SelectKBest(f_classif) → classifier), composed as MLlib stages
+    * with the notebook's param grid, ready to hand to
+    * [[NestedCV.crossValScorerGrouped]] (the notebook's
+    * cross_val_scorer_grouped, cell 15).
+    *
+    * Classifier mapping: "rf" → RandomForestClassifier (the notebook's
+    * RandomForestClassifier(n_estimators=100), grid max_depth ×
+    * max_features → maxDepth × featureSubsetStrategy, cell 20);
+    * "gbt" → GBTClassifier (the XGBClassifier stand-in — MLlib's
+    * gradient-boosted trees are the same model family; xgboost itself
+    * is not an MLlib estimator), grid over maxDepth.
+    *
+    * PCA k is chosen from explained variance on `train` exactly like
+    * [[playsPipelineAuto]] (sklearn's fractional n_components has no
+    * MLlib equivalent); `selectK` caps at k since the selector runs on
+    * the PCA output. `pctByGroup` optionally prepends the notebook's
+    * PercentageCalc stage (fit per training fold, so refits inside CV
+    * re-learn totals on fold data only — the leak-avoidance reason it
+    * lives INSIDE the ref pipeline); the normalized variables must then
+    * be part of `inputCols`.
+    *
+    * `numTrees`/`gbtIters` default far below the notebook's 100 to keep
+    * the nested-CV fit count tractable on test fixtures; production
+    * callers pass the real budget. */
+  def pointsPipeline(train: DataFrame,
+      inputCols: Array[String] = Array("value", "hour_sin", "hour_cos"),
+      classifier: String = "rf",
+      selectK: Int = 2,
+      numTrees: Int = 20,
+      gbtIters: Int = 10,
+      varianceThreshold: Double = 0.95,
+      pctByGroup: Option[String] = None,
+      pctVariables: Array[String] = Array("value"),
+      seed: Long = 42L): (Pipeline, Array[ParamMap]) = {
+    val pct = pctByGroup.map(g => new PercentageCalc()
+      .setByGroup(g).setVariables(pctVariables).setConstant(15.0))
+    val assembler = new VectorAssembler()
+      .setInputCols(inputCols).setOutputCol("features_raw")
+    val scaler = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features_std")
+      .setWithMean(true).setWithStd(true)
+    val prepStages = pct.toArray[org.apache.spark.ml.PipelineStage] ++
+      Array[org.apache.spark.ml.PipelineStage](assembler, scaler)
+    val prep = new Pipeline().setStages(prepStages).fit(train)
+    val k = pcaKForVariance(prep.transform(train), "features_std",
+      varianceThreshold)
+    val pca = new PCA()
+      .setInputCol("features_std").setOutputCol("features_pca").setK(k)
+    val sel = selectKBest(math.min(selectK, k),
+      inputCol = "features_pca", outputCol = "features")
+    val (clf, grid) = classifier match {
+      case "rf" =>
+        val rf = new RandomForestClassifier()
+          .setNumTrees(numTrees).setSeed(seed).setFeaturesCol("features")
+        (rf: org.apache.spark.ml.PipelineStage,
+          new ParamGridBuilder()
+            .addGrid(rf.maxDepth, Array(2, 4))
+            .addGrid(rf.featureSubsetStrategy, Array("auto", "0.5"))
+            .build())
+      case "gbt" =>
+        val gbt = new GBTClassifier()
+          .setMaxIter(gbtIters).setSeed(seed).setFeaturesCol("features")
+        (gbt: org.apache.spark.ml.PipelineStage,
+          new ParamGridBuilder()
+            .addGrid(gbt.maxDepth, Array(2, 4))
+            .build())
+      case other => throw new IllegalArgumentException(
+        s"classifier must be 'rf' or 'gbt', got '$other'")
+    }
+    val stages = prepStages ++ Array[org.apache.spark.ml.PipelineStage](
+      pca, sel, clf)
+    (new Pipeline().setStages(stages), grid)
   }
 
   /** playsPipeline with PCA k chosen from explained variance on `train`

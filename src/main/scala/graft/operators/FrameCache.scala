@@ -26,6 +26,27 @@ object FrameCache {
 
   private val cache = TrieMap[String, (String, Seq[String])]()
   private val dirs = TrieMap[String, String]()
+  // one lock PER KEY: two different assets may build concurrently (a
+  // JVM-global lock would serialize, e.g., the postings build behind an
+  // unrelated index build); two callers of the SAME key still get
+  // exactly one build. TrieMap.getOrElseUpdate is atomic.
+  private val locks = TrieMap[String, Object]()
+
+  private def lockFor(key: String): Object =
+    locks.getOrElseUpdate(key, new Object)
+
+  /** Best-effort removal of a partially-written build dir so a failed
+    * build never leaves garbage a retry could half-read; uses the active
+    * session's Hadoop conf when present (the root may be non-local). */
+  private def cleanup(dir: String): Unit =
+    try {
+      val conf = SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(conf).delete(p, true)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Resolved persistence root — SPARK_GRAFT_INDEX_DIR or the tmpdir
     * default. ONE resolution shared by every ensure-style cache in the
@@ -44,27 +65,39 @@ object FrameCache {
     * path. The primitive under [[ensure]] and the index caches —
     * callers own the layout inside the dir. */
   def ensureDir(key: String)(build: String => Unit): String =
-    dirs.synchronized {
-      dirs.getOrElseUpdate(key, {
-        val d = s"$root/${UUID.randomUUID().toString.take(8)}"
-        build(d)
-        d
-      })
+    lockFor(s"dir#$key").synchronized {
+      dirs.get(key) match {
+        case Some(d) => d
+        case None =>
+          val d = s"$root/${UUID.randomUUID().toString.take(8)}"
+          try build(d)
+          catch { case e: Throwable => cleanup(d); throw e }
+          dirs.put(key, d)
+          d
+      }
     }
 
   /** Ensure `key`'s frames exist on disk; return them as parquet
-    * read-backs keyed by the names `build` gave them. */
+    * read-backs keyed by the names `build` gave them. A build that
+    * throws caches NOTHING and deletes its partial dir — the next
+    * caller retries from scratch. */
   def ensure(spark: SparkSession, key: String)
       (build: => Seq[(String, DataFrame)]): Map[String, DataFrame] = {
-    val (dir, names) = cache.synchronized {
-      cache.getOrElseUpdate(key, {
-        val d = s"$root/${UUID.randomUUID().toString.take(8)}"
-        val frames = build
-        frames.foreach { case (n, df) =>
-          df.write.mode("overwrite").parquet(s"$d/$n")
-        }
-        (d, frames.map(_._1))
-      })
+    val (dir, names) = lockFor(s"ensure#$key").synchronized {
+      cache.get(key) match {
+        case Some(v) => v
+        case None =>
+          val d = s"$root/${UUID.randomUUID().toString.take(8)}"
+          val v = try {
+            val frames = build
+            frames.foreach { case (n, df) =>
+              df.write.mode("overwrite").parquet(s"$d/$n")
+            }
+            (d, frames.map(_._1))
+          } catch { case e: Throwable => cleanup(d); throw e }
+          cache.put(key, v)
+          v
+      }
     }
     names.map(n => n -> spark.read.parquet(s"$dir/$n")).toMap
   }

@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 
 /** REAL multimodal decode — a pure-JVM image codec for two trivial
-  * public formats, replacing the fingerprint-only path of
-  * [[MultimodalStub]] with actual pixel decoding (no external codec
-  * libraries needed):
+  * public formats, with actual pixel decoding and no external codec
+  * libraries needed (this retired the early fingerprint-only
+  * MultimodalStub; its batching contract lives on below):
   *
   *  - **PPM P6** (netpbm): ASCII header `P6 <w> <h> <maxval>` with
   *    `#` comments, then w·h·3 raw RGB bytes;
@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * 100 TB a corrupt blob must cost one flagged row, not a task retry.
   *
   * Execution shape is per-partition ([[extractImageMeta]],
-  * mapPartitions) so a heavier codec would amortize init across a
-  * batch — the same contract MultimodalStubSpec pins for the stub.
+  * mapPartitions, NOT a per-row UDF) so a heavier codec initializes
+  * once per batch of rows — the multimodal batching contract every
+  * decode/extract stage in this codebase follows (see also
+  * [[AudioCodec.extractAudioMeta]] and the frame-sampling query).
   * Both encoders exist so tests and the declared q_image_meta query can
   * PLANT deterministic fixtures: pixel byte i (row-major, top-down,
   * RGB order) of image `id` is `(id·31 + i) mod 256`, which a SQL
@@ -283,9 +285,9 @@ object ImageCodec {
     }
   }
 
-  /** Per-partition real decode over (idCol long, blobCol binary) — the
-    * batch shape of [[MultimodalStub.extractFeatures]] with the stub
-    * swapped for the actual codec. */
+  /** Per-partition real decode over (idCol long, blobCol binary):
+    * mapPartitions so a heavier codec's init cost amortizes across the
+    * batch of rows — never a per-row UDF. */
   def extractImageMeta(df: DataFrame, idCol: String, blobCol: String): Dataset[ImageMeta] = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -628,11 +628,11 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
-    // Multimodal plumbing: opaque binary payload + typed metadata columns.
-    // The real decode (image/audio libs) is stubbed behind a deterministic
-    // byte-level "feature extractor" (see graft.operators.MultimodalStub
-    // for the mapPartitions variant); the Spark-side schema / batch shape
-    // is what this query locks down.
+    // Multimodal plumbing: opaque binary payload + typed metadata columns
+    // — the Spark-side schema / batch shape contract, locked down here
+    // with byte-level features; the REAL decoders live in
+    // graft.operators.{ImageCodec, AudioCodec} (mapPartitions, so codec
+    // init amortizes per batch of rows).
     "q_multimodal_meta" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("blob", expr("encode(text, 'UTF-8')"))

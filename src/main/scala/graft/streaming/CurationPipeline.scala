@@ -103,12 +103,26 @@ object CurationPipeline {
 
   /** Start the pipeline: `stream` must carry (doc_id, text). The caller
     * seeds index version v0 under `root` (see [[StreamingIngestDedup]]);
-    * per-doc decisions land under `outPath` partitioned by batch id. */
+    * per-doc decisions land under `outPath` partitioned by batch id.
+    *
+    * Exactly-once across JVM CRASHES requires `checkpointLocation`: the
+    * checkpoint persists source offsets, so a restarted query resumes
+    * at the first uncommitted batch with the SAME batch ids, and
+    * [[processBatch]]'s idempotent writes (sink partition overwrite,
+    * index version rewrite) land on the same targets — the class-doc
+    * replay argument then covers crash recovery end to end. Without it
+    * (None — ad-hoc/test runs) offsets are in-memory only: replay-
+    * idempotence holds within one run, but a crashed query restarts
+    * from scratch with fresh batch ids; that contract is the CALLER's. */
   def start(root: String, outPath: String, stream: DataFrame,
       threshold: Double = DedupIndex.defaultJaccard,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    stream.writeStream
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpointLocation: Option[String] = None,
+      queryName: Option[String] = None): StreamingQuery = {
+    val w0 = stream.writeStream
       .foreachBatch(processBatch(root, outPath, threshold) _)
       .trigger(trigger)
-      .start()
+    val w1 = checkpointLocation.fold(w0)(w0.option("checkpointLocation", _))
+    queryName.fold(w1)(w1.queryName).start()
+  }
 }

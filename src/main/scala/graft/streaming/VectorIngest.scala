@@ -39,12 +39,25 @@ object VectorIngest {
   def deltaDir(root: String, v: Long): String = s"$root/delta$v"
 
   /** The index as of `upTo` applied batches: frozen centroids from v0 +
-    * the base vectors and every existing delta ≤ upTo. */
+    * the base vectors and every delta ≤ upTo. A missing TRAILING delta
+    * is fine (fewer batches have landed than asked for); an INTERNAL
+    * gap — delta d absent while some delta d' > d exists — means a
+    * batch's vectors were lost or deleted, and silently unioning around
+    * it would serve an index that is missing data while claiming
+    * version `upTo`. That is corruption, not laziness: fail loudly. */
   def loadVersion(spark: SparkSession, root: String, upTo: Long): IvfIndex.Index = {
     val seed = VectorIndex.loadIvf(spark, s"$root/v0")
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val deltas = (1L to upTo).map(deltaDir(root, _))
-      .filter(d => fs.exists(new Path(d)))
+    val present = (1L to upTo).map(v => v -> fs.exists(new Path(deltaDir(root, v))))
+    val lastPresent = present.collect { case (v, true) => v }.lastOption.getOrElse(0L)
+    val gaps = present.collect { case (v, false) if v < lastPresent => v }
+    if (gaps.nonEmpty)
+      throw new IllegalStateException(
+        s"delta chain under $root has internal gaps: missing " +
+          gaps.map(deltaDir(root, _)).mkString(", ") +
+          s" while ${deltaDir(root, lastPresent)} exists — " +
+          "the index would silently drop those batches' vectors")
+    val deltas = present.collect { case (v, true) => deltaDir(root, v) }
     if (deltas.isEmpty) seed
     else IvfIndex.Index(seed.centers,
       seed.assignments.unionByName(spark.read.parquet(deltas: _*)))
@@ -72,11 +85,24 @@ object VectorIngest {
   }
 
   /** Start the ingest: `stream` must carry (vec_id, embedding). The
-    * caller seeds `v0` (see [[VectorIndex.writeIvf]]). */
+    * caller seeds `v0` (see [[VectorIndex.writeIvf]]).
+    *
+    * Exactly-once across JVM CRASHES requires `checkpointLocation`: the
+    * checkpoint is where Structured Streaming persists source offsets,
+    * so a restarted query resumes at the first uncommitted batch with
+    * the SAME batch ids and [[processBatch]]'s idempotent writes land
+    * on the same delta/sink partitions. Without it (None — ad-hoc/test
+    * runs) offsets live only in memory: replay-idempotence still holds
+    * within one run, but a crash restarts the stream from scratch with
+    * fresh batch ids, and that contract is on the CALLER. */
   def start(root: String, outPath: String, stream: DataFrame,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    stream.writeStream
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpointLocation: Option[String] = None,
+      queryName: Option[String] = None): StreamingQuery = {
+    val w0 = stream.writeStream
       .foreachBatch(processBatch(root, outPath) _)
       .trigger(trigger)
-      .start()
+    val w1 = checkpointLocation.fold(w0)(w0.option("checkpointLocation", _))
+    queryName.fold(w1)(w1.queryName).start()
+  }
 }

@@ -40,4 +40,54 @@ class FrameCacheSpec extends SparkSpec {
     val b = ensure(s"spec#fc2#$k")("t").head.getInt(0)
     assert(builds === 2 && a === 1 && b === 2)
   }
+
+  test("a failed build caches nothing and cleans its partial dir; the retry rebuilds") {
+    val key = s"spec#fcfail#${System.nanoTime()}"
+    var attempts = 0
+    def ensure(fail: Boolean) = FrameCache.ensure(spark, key) {
+      attempts += 1
+      val ok = Seq("good" -> (1L to 5L).toDF("x"))
+      if (fail)
+        // fail AFTER the first frame wrote: the partial dir must go away
+        ok :+ ("bad" -> spark.sql("SELECT raise_error('boom') AS x"))
+      else ok
+    }
+    val before = new java.io.File(FrameCache.root).list().toSet
+    intercept[Exception] { ensure(fail = true) }
+    // nothing cached, no orphan build dir left behind
+    assert(new java.io.File(FrameCache.root).list().toSet === before)
+    val got = ensure(fail = false)
+    assert(attempts === 2, "failed build was cached")
+    assert(got("good").count() === 5L)
+  }
+
+  test("two different keys build CONCURRENTLY (per-key locks, no global serialization)") {
+    // build A blocks until build B has started: under the old JVM-global
+    // lock this deadlocks-by-timeout; with per-key locks both proceed
+    val k = System.nanoTime()
+    val bStarted = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      FrameCache.ensure(spark, s"spec#fcc-b#$k") {
+        bStarted.countDown()
+        Seq("t" -> Seq(1).toDF("b"))
+      }
+      ()
+    })
+    @volatile var bStartedWhileAHeld = false
+    val a = new Thread(() => {
+      FrameCache.ensure(spark, s"spec#fcc-a#$k") {
+        t.start()
+        // A's build WAITS for B's build to begin — only possible if B's
+        // ensure is not queued behind A's lock
+        bStartedWhileAHeld =
+          bStarted.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        Seq("t" -> Seq(2).toDF("b"))
+      }
+      ()
+    })
+    a.start(); a.join(60000); t.join(60000)
+    assert(!a.isAlive && !t.isAlive)
+    assert(bStartedWhileAHeld,
+      "key B's build never started while key A held its build lock")
+  }
 }

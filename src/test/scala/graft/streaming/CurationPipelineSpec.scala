@@ -120,4 +120,52 @@ class CurationPipelineSpec extends SparkSpec {
       .orderBy(col("doc_id")).collect().toSeq
     assert(replayAssign === rebuiltAssign)
   }
+
+  test("checkpointed restart resumes with the same batch ids — no duplicate decisions, index chain continues") {
+    import spark.implicits._
+    def mk(ids: Seq[Long]) = ids
+      .map(i => (i, s"entirely unique curation document number $i " +
+        s"with content token$i filler$i payload$i"))
+      .toDF("doc_id", "text")
+    val p0 = mk(1L to 20L)
+    val p1 = mk(21L to 30L)
+    val p2 = mk(31L to 40L)
+
+    val root = Files.createTempDirectory("graft-cp-ck-root").toString
+    val out = Files.createTempDirectory("graft-cp-ck-out").toString + "/decisions"
+    val ckpt = Files.createTempDirectory("graft-cp-ckpt").toString
+    DedupIndex.write(DedupIndex.buildFrames(spark, p0),
+      StreamingIngestDedup.versionDir(root, 0))
+
+    val streamDir = Files.createTempDirectory("graft-cp-ck-stream").toString
+    def mkStream = spark.readStream
+      .schema(p1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+
+    // run 1 drains batch file 1 (batchId 0 → index v1), then terminates
+    // with its offset committed to the checkpoint
+    oneFileInto(p1, streamDir, "batch-0001.parquet")
+    CurationPipeline.start(root, out, mkStream,
+      checkpointLocation = Some(ckpt), queryName = Some("cp-restart"))
+      .awaitTermination(180000)
+    assert(spark.read.parquet(out).count() === p1.count())
+
+    // restart from the same checkpoint with one new file: it runs as
+    // batchId 1 (reads index v1, writes v2); batch 0 is not re-decided
+    oneFileInto(p2, streamDir, "batch-0002.parquet")
+    CurationPipeline.start(root, out, mkStream, checkpointLocation = Some(ckpt))
+      .awaitTermination(180000)
+    spark.catalog.refreshByPath(out)
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() === p1.count() + p2.count(),
+      "restart duplicated or dropped decision rows")
+    assert(sunk.select("doc_id").distinct().count() === sunk.count())
+    // all-unique docs: everything admitted; the index chain reached v2
+    assert(sunk.filter(!col("admitted")).count() === 0)
+    val v2 = DedupIndex.load(spark, StreamingIngestDedup.versionDir(root, 2))
+    assert(DedupIndex.assign(
+      p0.unionByName(p1).unionByName(p2).select(col("doc_id")), v2.labels)
+      .count() === 40L)
+  }
 }

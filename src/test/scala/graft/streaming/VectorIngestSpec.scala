@@ -79,4 +79,75 @@ class VectorIngestSpec extends SparkSpec {
     assert(replayedFinal.assignments.count() === e.count())
     assert(assignMap(replayedFinal.assignments) === finalAssign)
   }
+
+  test("checkpointed restart resumes at the first uncommitted batch with the same batch ids") {
+    GraftExtensions.register(spark)
+    val e = Tables(spark, sf("sf0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val b1 = e.filter(col("vec_id") % 20 === 0)
+    val b2 = e.filter(col("vec_id") % 20 === 10)
+
+    val root = Files.createTempDirectory("graft-vi-ck-root").toString
+    val out = Files.createTempDirectory("graft-vi-ck-out").toString + "/assign"
+    val ckpt = Files.createTempDirectory("graft-vi-ckpt").toString
+    VectorIndex.writeIvf(IvfIndex.buildLloyd(base, k = 4, iters = 2), s"$root/v0")
+
+    val streamDir = Files.createTempDirectory("graft-vi-ck-stream").toString
+    def mkStream = spark.readStream
+      .schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    def delta(v: Long) = Paths.get(VectorIngest.deltaDir(root, v))
+
+    // run 1: only batch file 1 exists; AvailableNow drains it and stops —
+    // the "crash" is the query ending with offsets committed to the
+    // checkpoint
+    oneFileInto(b1, streamDir, "batch-0001.parquet")
+    VectorIngest.start(root, out, mkStream,
+      checkpointLocation = Some(ckpt), queryName = Some("vi-restart"))
+      .awaitTermination(180000)
+    assert(spark.read.parquet(out).count() === b1.count())
+    assert(Files.exists(delta(1)) && !Files.exists(delta(2)))
+
+    // run 2 from the SAME checkpoint: only the new file is an
+    // uncommitted offset, and it gets the NEXT batch id (1 → delta2) —
+    // batch 0 is not reprocessed, the sink gains no duplicates
+    oneFileInto(b2, streamDir, "batch-0002.parquet")
+    VectorIngest.start(root, out, mkStream, checkpointLocation = Some(ckpt))
+      .awaitTermination(180000)
+    spark.catalog.refreshByPath(out)
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() === b1.count() + b2.count(),
+      "restart duplicated or dropped sink rows")
+    assert(sunk.select("vec_id").distinct().count() === sunk.count())
+    assert(Files.exists(delta(2)), "resumed batch did not continue the id chain")
+    assert(VectorIngest.loadVersion(spark, root, 2).assignments.count() ===
+      base.count() + b1.count() + b2.count())
+  }
+
+  test("loadVersion: internal delta gap fails loudly; missing tail is fine") {
+    GraftExtensions.register(spark)
+    val e = Tables(spark, sf("sf0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val root = Files.createTempDirectory("graft-vi-gap-root").toString
+    val out = Files.createTempDirectory("graft-vi-gap-out").toString + "/assign"
+    VectorIndex.writeIvf(IvfIndex.buildLloyd(base, k = 4, iters = 2), s"$root/v0")
+    VectorIngest.processBatch(root, out)(e.filter(col("vec_id") % 20 === 0), 0L)
+    VectorIngest.processBatch(root, out)(e.filter(col("vec_id") % 20 === 10), 1L)
+
+    // tail beyond the applied chain: deltas 1..2 exist, upTo = 5 loads
+    val tolerant = VectorIngest.loadVersion(spark, root, 5)
+    assert(tolerant.assignments.count() === e.count())
+
+    // internal gap: delta1 deleted while delta2 remains — refusing beats
+    // serving an index that silently lost a batch
+    val d1 = new org.apache.hadoop.fs.Path(VectorIngest.deltaDir(root, 1))
+    d1.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(d1, true)
+    val ex = intercept[IllegalStateException] {
+      VectorIngest.loadVersion(spark, root, 2)
+    }
+    assert(ex.getMessage.contains("delta1"))
+  }
 }

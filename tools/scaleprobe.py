@@ -47,9 +47,9 @@ SKEW = os.environ.get("SPROBE_SKEW", "") not in ("", "0")
 # or domain would serialize a naive plan) plus the content-keyed dedup
 # family (whose keys are hash-derived and must stay flat regardless)
 SKEW_QUERIES = ("q_lang_rebalance,q_curation_pipeline,q_ppl_buckets,"
-                "q_domain_cap,q_value_counts,q_mode,q_lang_id,"
-                "q_dedup_exact,q_dedup_minhash_lsh,q_simhash_pairs,"
-                "q_token_topk,q_stratified_sample")
+                "q_mix_materialize,q_domain_cap,q_value_counts,q_mode,"
+                "q_lang_id,q_dedup_exact,q_dedup_minhash_lsh,"
+                "q_simhash_pairs,q_token_topk,q_stratified_sample")
 
 QUERIES = os.environ.get("SPROBE_QUERIES",
            SKEW_QUERIES if SKEW else
