@@ -192,6 +192,65 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher document-quality rules (Rae et al. 2021, Appendix A1.1) —
+    // the PUBLISHED curation gate, distinct from q_quality_score's
+    // generic heuristics: word-count bounds [50, 100k], mean word
+    // length [3, 10], symbol-to-word ratio (# + ellipsis) ≤ 0.1,
+    // bullet-start lines ≤ 90%, ellipsis-end lines ≤ 30%, words with an
+    // alphabetic character ≥ 80%, and ≥ 2 distinct members of the
+    // 8-stopword set. The synthetic corpus is single-line prose, so
+    // bullet/ellipsis lines and symbol runs are PLANTED on
+    // deterministic ids (the q_pii_scan convention) to exercise the
+    // line rules against known ground truth. Scale shape: map-only —
+    // one projection pass, no shuffle before the presentation sort.
+    // Every ratio is ONE pinned 6-dp division and `passes` gates on the
+    // ROUNDED values, so both engines decide boundaries identically.
+    "q_gopher_rules" -> ((s, dir) => {
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      t(s, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(
+            "\n- first bullet item\n- second bullet item\nto be continued..."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("\n#### $$$ ####"))
+            .otherwise(lit(""))))
+        .withColumn("words", split(col("txt"), "\\s+"))
+        .withColumn("lines", split(col("txt"), "\n"))
+        .withColumn("n_words", size(col("words")))
+        .withColumn("mean_word_len", r6(
+          length(regexp_replace(col("txt"), "\\s", "")).cast("double") /
+            col("n_words")))
+        .withColumn("symbol_ratio", r6(
+          (expr("length(txt) - length(replace(txt, '#', ''))") +
+            expr("(length(txt) - length(replace(txt, '...', ''))) div 3"))
+            .cast("double") / col("n_words")))
+        .withColumn("frac_bullet_lines", r6(
+          expr("size(filter(lines, l -> l LIKE '- %'))").cast("double") /
+            size(col("lines"))))
+        .withColumn("frac_ellipsis_lines", r6(
+          expr("size(filter(lines, l -> l LIKE '%...'))").cast("double") /
+            size(col("lines"))))
+        .withColumn("frac_alpha_words", r6(
+          expr("size(filter(words, w -> w rlike '[a-z]'))").cast("double") /
+            col("n_words")))
+        .withColumn("n_stop_distinct",
+          stops.map(w => col("txt").rlike(s"\\b$w\\b").cast("int"))
+            .reduce(_ + _))
+        .withColumn("passes",
+          col("n_words").between(50, 100000) &&
+            col("mean_word_len").between(3, 10) &&
+            col("symbol_ratio") <= 0.1 &&
+            col("frac_bullet_lines") <= 0.9 &&
+            col("frac_ellipsis_lines") <= 0.3 &&
+            col("frac_alpha_words") >= 0.8 &&
+            col("n_stop_distinct") >= 2)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("frac_bullet_lines"),
+          col("frac_ellipsis_lines"), col("frac_alpha_words"),
+          col("n_stop_distinct"), col("passes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID: marker-vocabulary scoring + first-wins argmax; all five
     // scores come from the single tokenstats pass.
     "q_lang_id" -> ((s, dir) => {
@@ -1338,6 +1397,52 @@ object TextQueries extends QueryPack {
          |  CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 400 THEN 'medium'
          |       ELSE 'long' END AS len_bin
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" -> {
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val stopSum = stops
+        .map(w => s"CAST(regexp_matches(txt, '\\b$w\\b') AS INT)")
+        .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- first bullet item' ||
+         |      chr(10) || '- second bullet item' || chr(10) || 'to be continued...'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN chr(10) || '#### ${"$$$"} ####'
+         |      ELSE '' END AS txt
+         |  FROM documents
+         |), e AS (
+         |  SELECT doc_id, txt,
+         |    regexp_split_to_array(txt, '\\s+') AS words,
+         |    string_split(txt, chr(10)) AS lines
+         |  FROM d
+         |), f AS (
+         |  SELECT doc_id,
+         |    CAST(len(words) AS INT) AS n_words,
+         |    ROUND(CAST(length(regexp_replace(txt, '\\s', '', 'g')) AS DOUBLE)
+         |      / len(words), 6) AS mean_word_len,
+         |    ROUND(CAST(length(txt) - length(replace(txt, '#', ''))
+         |      + (length(txt) - length(replace(txt, '...', ''))) // 3 AS DOUBLE)
+         |      / len(words), 6) AS symbol_ratio,
+         |    ROUND(CAST(len(list_filter(lines, l -> l LIKE '- %')) AS DOUBLE)
+         |      / len(lines), 6) AS frac_bullet_lines,
+         |    ROUND(CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+         |      / len(lines), 6) AS frac_ellipsis_lines,
+         |    ROUND(CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+         |      AS DOUBLE) / len(words), 6) AS frac_alpha_words,
+         |    $stopSum AS n_stop_distinct
+         |  FROM e
+         |)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         |  frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
+         |  n_stop_distinct,
+         |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+         |   AND symbol_ratio <= 0.1 AND frac_bullet_lines <= 0.9
+         |   AND frac_ellipsis_lines <= 0.3 AND frac_alpha_words >= 0.8
+         |   AND n_stop_distinct >= 2) AS passes
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     "q_lang_id" -> {
       val scores = langMarkers

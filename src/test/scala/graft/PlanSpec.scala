@@ -296,12 +296,14 @@ class PlanSpec extends SparkSpec {
       s"adjacency/degree exchanges recomputed per iteration:\n$p")
   }
 
-  test("PII scan is map-only: no exchange before the presentation sort") {
-    val p = plan("q_pii_scan")
-    // exactly one exchange — the rangepartitioning for the final ORDER BY
-    val exchanges = "Exchange".r.findAllIn(p).size -
-      "ReusedExchange".r.findAllIn(p).size
-    assert(exchanges == 1, s"expected only the final sort exchange:\n$p")
+  test("PII scan and Gopher rules are map-only: no exchange before the presentation sort") {
+    for (q <- Seq("q_pii_scan", "q_gopher_rules")) {
+      val p = plan(q)
+      // exactly one exchange — the rangepartitioning for the final ORDER BY
+      val exchanges = "Exchange".r.findAllIn(p).size -
+        "ReusedExchange".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q: expected only the final sort exchange:\n$p")
+    }
   }
 
   test("corpus shuffle: the only global window runs over the bucket-count table") {
@@ -367,7 +369,11 @@ class PlanSpec extends SparkSpec {
   // decomposed form. Key set: the 100-TB skew candidates in this schema
   // (a dominant language/domain/source is ONE task under a plain window;
   // segment/type/flag have ≤7 values).
-  test("sweep: every skew-keyed window in every declared query runs over a bounded frame") {
+  // The same sweep also bans GLOBAL (empty-partition-spec) windows over
+  // raw rows across the entire surface — the single-task-sort shape —
+  // subsuming the per-query global-window pins above for every future
+  // query.
+  test("sweep: every skew-keyed or global window in every declared query runs over a bounded frame") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -390,6 +396,11 @@ class PlanSpec extends SparkSpec {
             !bounded(w.child) =>
           offenders += s"$name: ${w.partitionSpec.mkString(", ")}-partitioned " +
             "window over raw data rows"
+        // a window with NO partition key funnels its whole input through
+        // one task — acceptable only over a pre-aggregated (dimension/
+        // bucket-count) frame, never over raw data rows
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          offenders += s"$name: GLOBAL window over raw data rows"
         case _ => ()
       }
     }
