@@ -1,8 +1,10 @@
 package graft.ml
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.graft.GraftParamsIO
 import org.apache.spark.ml.param.{Param, ParamMap, DoubleParam, StringArrayParam}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -21,7 +23,8 @@ import org.apache.spark.sql.types._
   * total for unseen groups — no driver-side state beyond the model's
   * (group → totals) frame, which stays a DataFrame (never collected).
   */
-class PercentageCalc(override val uid: String) extends Estimator[PercentageCalcModel] {
+class PercentageCalc(override val uid: String)
+    extends Estimator[PercentageCalcModel] with MLWritable {
 
   def this() = this(Identifiable.randomUID("pctCalc"))
 
@@ -52,9 +55,14 @@ class PercentageCalc(override val uid: String) extends Estimator[PercentageCalcM
   override def copy(extra: ParamMap): PercentageCalc = defaultCopy(extra)
 
   override def transformSchema(schema: StructType): StructType = schema
+
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit =
+      GraftParamsIO.saveMetadata(PercentageCalc.this, path, sparkSession)
+  }
 }
 
-object PercentageCalc {
+object PercentageCalc extends MLReadable[PercentageCalc] {
   /** Group totals via exact decimal aggregation (scale 10 covers real
     * feature data): a raw double sum depends on partition/accumulation
     * order, which would make the learned totals nondeterministic across
@@ -62,11 +70,19 @@ object PercentageCalc {
   private[ml] def exactSum(v: String) =
     sum(col(v).cast(org.apache.spark.sql.types.DecimalType(28, 10)))
       .cast(org.apache.spark.sql.types.DoubleType)
+
+  override def read: MLReader[PercentageCalc] = new MLReader[PercentageCalc] {
+    override def load(path: String): PercentageCalc =
+      GraftParamsIO.loadAndSetParams(path, sparkSession,
+        classOf[PercentageCalc].getName, uid => new PercentageCalc(uid))
+  }
+
+  override def load(path: String): PercentageCalc = super.load(path)
 }
 
 class PercentageCalcModel(
     override val uid: String,
-    val totals: DataFrame) extends Model[PercentageCalcModel] {
+    val totals: DataFrame) extends Model[PercentageCalcModel] with MLWritable {
 
   final val byGroup: Param[String] =
     new Param(this, "byGroup", "grouping column")
@@ -100,4 +116,31 @@ class PercentageCalcModel(
   }
 
   override def transformSchema(schema: StructType): StructType = schema
+
+  /** Persistence in MLlib's standard stage layout (metadata via the
+    * [[GraftParamsIO]] shim + the learned totals as parquet under
+    * `totals/`), so a fitted `PipelineModel` CONTAINING this stage
+    * round-trips through plain `save`/`PipelineModel.load` — K8 parity
+    * for the points pipeline, whose first stage the ref pickles along
+    * with the rest (modelling_2 cell 17). The totals are written by the
+    * cluster as distributed parquet, not driver-collected. */
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftParamsIO.saveMetadata(PercentageCalcModel.this, path, sparkSession)
+      totals.write.parquet(new Path(path, "totals").toString)
+    }
+  }
+}
+
+object PercentageCalcModel extends MLReadable[PercentageCalcModel] {
+  override def read: MLReader[PercentageCalcModel] = new MLReader[PercentageCalcModel] {
+    override def load(path: String): PercentageCalcModel = {
+      val totals = sparkSession.read.parquet(new Path(path, "totals").toString)
+      GraftParamsIO.loadAndSetParams(path, sparkSession,
+        classOf[PercentageCalcModel].getName,
+        uid => new PercentageCalcModel(uid, totals))
+    }
+  }
+
+  override def load(path: String): PercentageCalcModel = super.load(path)
 }
