@@ -51,6 +51,12 @@ class EtlRunSpec extends SparkSpec with BeforeAndAfterAll {
           case None => respond(ex, 404, """{"detail":"Not found."}""")
         }
       })
+    // a corrupted bootstrap feed: two elements share id 10 → duplicate
+    // players_summary PK, the V1 check the wrapper's --raise-errors
+    // must turn into a run-cancelling failure
+    server.createContext("/corrupt/bootstrap-static/",
+      (ex: HttpExchange) => respond(ex, 200,
+        FplRawFixtures.mainJson.replace("\"id\":11", "\"id\":10")))
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
@@ -112,5 +118,27 @@ class EtlRunSpec extends SparkSpec with BeforeAndAfterAll {
         s"$name after second load")
     assert(spark.read.jdbc(url, "players_statuses", props).count() === 4L)
     assert(spark.read.jdbc(url, "record", props).count() === 2L)
+  }
+
+  test("--raise-errors parity: a failed validation cancels the run before any load") {
+    val failUrl = "jdbc:derby:memory:etlrunfail;create=true"
+    val landing = java.nio.file.Files.createTempDirectory("etlrun-fail").toString
+    val ex = intercept[IllegalStateException] {
+      EtlRun.run(spark, new graft.sources.JdkHttpFetcher(),
+        s"$base/corrupt/bootstrap-static/", s"$base/api/fixtures/",
+        s"$base/api/element-summary/%d/", landing,
+        failUrl, props, JdbcSink.Derby, username = "graft",
+        raiseErrors = true,
+        loadDatetime = Timestamp.valueOf("2024-08-22 10:00:00"), log = _ => ())
+    }
+    // the duplicated element dups several player tables' PKs; whichever
+    // V1 check fires first, it must be a quality failure that aborts
+    assert(ex.getMessage.contains("check failed") &&
+      ex.getMessage.contains("unique PK"), ex.getMessage)
+    // the wrapper's exit-1 chain: the load stage never ran — the target
+    // database has no tables at all
+    intercept[Exception] {
+      spark.read.jdbc(failUrl, "teams", props).count()
+    }
   }
 }
