@@ -268,6 +268,36 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Zipf rank-frequency fit — the corpus-statistics diagnostic a
+    // tokenizer/mixture designer reads before trusting a corpus (natural
+    // text sits near slope −1; a synthetic or template-heavy corpus
+    // shows up immediately as a flat or broken power law). Log-log OLS
+    // of count on rank over the token-count table, the q_linreg_impute
+    // closed form. Scale shape: ONE token-count aggregation over the
+    // corpus; the rank window and the regression run on the VOCAB-sized
+    // frame (bounded by |vocab|, never corpus rows — the global window
+    // sits over the aggregate, which the PlanSpec sweep verifies).
+    "q_zipf_fit" -> ((s, dir) => {
+      import graft.functions.TextAnalytics.tokenHashesSpark
+      val counts = t(s, dir, "documents")
+        .select(explode(expr(tokenHashesSpark("text"))).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      val ranked = counts.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("h"))).cast("double"))
+      ranked.agg(
+          count(lit(1)).as("vocab_size"),
+          sum(col("cnt")).as("n_tokens"),
+          (covar_pop(log(col("cnt")), log(col("rnk"))) /
+            var_pop(log(col("rnk")))).as("slope_raw"),
+          avg(log(col("cnt"))).as("ybar"), avg(log(col("rnk"))).as("xbar"),
+          corr(log(col("rnk")), log(col("cnt"))).as("r"))
+        .select(col("vocab_size"), col("n_tokens"),
+          r6(col("slope_raw")).as("zipf_slope"),
+          r6(col("ybar") - r6(col("slope_raw")) * col("xbar")).as("ln_c"),
+          r6(col("r") * col("r")).as("r2"))
+    }),
+
     // Document fingerprinting: polynomial rolling hash of the full text.
     "q_doc_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1459,6 +1489,25 @@ object TextQueries extends QueryPack {
          |  ${langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")}
          |FROM s ORDER BY doc_id""".stripMargin
     },
+
+    "q_zipf_fit" ->
+      s"""WITH u AS (
+         |  SELECT unnest(${tokenHashesDuck("text")}) AS h FROM documents
+         |), c AS (
+         |  SELECT h, COUNT(*) AS cnt FROM u GROUP BY h
+         |), r AS (
+         |  SELECT cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, h) AS DOUBLE) AS rnk
+         |  FROM c
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |  ROUND(covar_pop(ln(cnt), ln(rnk)) / var_pop(ln(rnk)), 6) AS zipf_slope,
+         |  ROUND(avg(ln(cnt))
+         |    - ROUND(covar_pop(ln(cnt), ln(rnk)) / var_pop(ln(rnk)), 6)
+         |      * avg(ln(rnk)), 6) AS ln_c,
+         |  ROUND(corr(ln(rnk), ln(cnt)) * corr(ln(rnk), ln(cnt)), 6) AS r2
+         |FROM r""".stripMargin,
 
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, ${charHashDuck("text")} AS fp,
