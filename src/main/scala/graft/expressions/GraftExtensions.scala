@@ -62,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_bucket"), BucketBinarySearch.info,
         BucketBinarySearch.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_bloom_contains"), BloomMightContain.info,
+        BloomMightContain.builder))
     ext.injectOptimizerRule(_ => JaccardFusionRule)
   }
 }
@@ -85,6 +88,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_winhash", WindowHash.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_winnow", WinnowFingerprints.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_bucket", BucketBinarySearch.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains", BloomMightContain.builder, "built-in")
     // install the fusion rule too, so both registration paths behave alike.
     // Synchronized: register() is called from concurrent query builds (e.g.
     // PqIndex.train runs per-subspace Lloyd builds in parallel Futures), and

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.QueryKit._
+import graft.operators.SkewJoin
 
 /** Product-analytics and semi-structured coverage: JSON extraction from
   * the events payload column, cohort retention, funnel conversion,
@@ -17,6 +18,60 @@ object AnalyticsQueries extends QueryPack {
     Tables(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TRIANGLE COUNTING on the co-order part graph (vertices = parts,
+    // undirected edge = two parts sharing an order), via the
+    // degree-ordered orientation [Schank & Wagner 2005 / Suri & Vassilvitskii
+    // WWW'11 "Counting Triangles and the Curse of the Last Reducer"]:
+    // every edge is directed from its (degree, id)-smaller endpoint, which
+    // bounds out-degree by O(√m), so the wedge join does O(m^1.5) work
+    // TOTAL and — the point of the orientation — no single high-degree
+    // "last reducer" task: a celebrity vertex's wedges are generated from
+    // its (few) OUT-edges, not its millions of in-edges. All joins are
+    // equi-joins on vertex keys; the pair-generation self-join is bounded
+    // per order by the order's (small, schema-bounded) line count.
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 2 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e0 = li.as("a")
+        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+      val deg = e0.select(col("u").as("x"))
+        .unionAll(e0.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val du = deg.select(col("x").as("u"), col("d").as("du"))
+      val dv = deg.select(col("x").as("v"), col("d").as("dv"))
+      val fwd = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val ori = e0.join(du, "u").join(dv, "v")
+        .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+          when(fwd, col("v")).otherwise(col("u")).as("t"))
+      val da = deg.select(col("x").as("a"), col("d").as("da"))
+      val db = deg.select(col("x").as("b"), col("d").as("db"))
+      val wedges = ori.as("o1").join(ori.as("o2"), col("o1.s") === col("o2.s"))
+        .select(col("o1.t").as("a"), col("o2.t").as("b"))
+        .join(da, "a").join(db, "b")
+        .filter(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")))
+        .select(col("a"), col("b"))
+      val closed = wedges.join(ori,
+        col("a") === col("s") && col("b") === col("t"), "left_semi")
+      closed.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
+    }),
+
+    // Heavy-hitter key diagnostic (operators.SkewJoin.keySkew): top-10
+    // keys by row count with their share of the table — the measurement
+    // that decides whether a join needs salting/AQE skew handling before
+    // you pay for it. One aggregation pass; the global share window runs
+    // over the GROUPED frame (|keys| rows), never raw data — the shape
+    // the PlanSpec sweep enforces engine-wide.
+    "q_skew_diag" -> ((s, dir) =>
+      SkewJoin.keySkew(t(s, dir, "events"), "user_id", topN = 10)),
 
     // Semi-structured extraction: events.props is a JSON string column;
     // pull a typed field out with get_json_object and aggregate on it.
@@ -255,6 +310,43 @@ object AnalyticsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_partkey % 2 = 0
+        |), e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |), deg AS (
+        |  SELECT x, COUNT(*) AS d
+        |  FROM (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+        |  GROUP BY x
+        |), ori AS (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |           THEN e0.u ELSE e0.v END AS s,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |           THEN e0.v ELSE e0.u END AS t
+        |  FROM e0 JOIN deg du ON du.x = e0.u JOIN deg dv ON dv.x = e0.v
+        |), w AS (
+        |  SELECT o1.t AS a, o2.t AS b
+        |  FROM ori o1 JOIN ori o2 ON o1.s = o2.s
+        |  JOIN deg da ON da.x = o1.t JOIN deg db ON db.x = o2.t
+        |  WHERE da.d < db.d OR (da.d = db.d AND o1.t < o2.t)
+        |)
+        |SELECT
+        |  (SELECT COUNT(*) FROM w
+        |   WHERE EXISTS (SELECT 1 FROM ori WHERE ori.s = w.a AND ori.t = w.b))
+        |    AS n_triangles,
+        |  (SELECT COUNT(*) FROM e0) AS n_edges,
+        |  (SELECT COUNT(*) FROM deg) AS n_vertices""".stripMargin,
+
+    "q_skew_diag" ->
+      """WITH c AS (
+        |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, n, round(n / (SELECT SUM(n) FROM c), 6) AS share
+        |FROM c ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+
     "q_json_extract" ->
       """WITH e AS (
         |  SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events

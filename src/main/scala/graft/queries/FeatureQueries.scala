@@ -31,6 +31,38 @@ object FeatureQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // EWMA feature (pandas ewm(span).mean parity, adjust=True): per-user
+    // exponentially weighted value over the event series, with the decay
+    // DEFINED as 64-term (weights beyond (1-α)^63 ≈ 1e-8 are zero by
+    // definition, so this is exact, not an approximation — and both
+    // engines compute the identical truncated form). The numerator is a
+    // Horner fold over the last-64 sliding frame (acc·p + x, oldest →
+    // newest — bit-identical left-fold in Spark's `aggregate` and
+    // DuckDB's `list_reduce`); the denominator is the closed-form
+    // geometric sum from row_number. Scale shape: ONE shuffle on the
+    // high-cardinality user key; the frame is rows-bounded (64), so no
+    // whole-partition state and no per-row frame rescan beyond O(64).
+    "q_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = 0.75 // decay = 1 - α, α = 0.25
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tkey"), col("event_id"))
+      val e = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          Tables.tsMicros.as("tkey"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("xs", collect_list(col("value"))
+          .over(w.rowsBetween(-63, 0)))
+      e.withColumn("num",
+          expr("aggregate(xs, 0.0D, (acc, x) -> acc * 0.75D + x)"))
+        .withColumn("den",
+          (lit(1.0) - pow(lit(p), least(col("rn"), lit(64)))) / lit(0.25))
+        .select(col("event_id"), col("user_id"),
+          r6(col("num") / col("den")).as("ewma"))
+        .orderBy(col("event_id"))
+    }),
+
     // A4 — per-segment decile buckets of customer balance.
     "q_quantile_buckets" -> ((s, dir) => {
       Features.quantileBuckets(
@@ -167,6 +199,22 @@ object FeatureQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS tkey, value
+        |  FROM events WHERE value IS NOT NULL
+        |), f AS (
+        |  SELECT event_id, user_id,
+        |    row_number() OVER w AS rn,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY tkey, event_id
+        |      ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tkey, event_id)
+        |)
+        |SELECT event_id, user_id,
+        |  round(list_reduce(xs, (acc, x) -> acc * CAST(0.75 AS DOUBLE) + x)
+        |    / ((1 - power(CAST(0.75 AS DOUBLE), least(rn, 64))) / 0.25), 6) AS ewma
+        |FROM f ORDER BY event_id""".stripMargin,
+
     "q_lag_features" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS tkey, value, event_type FROM events

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.QueryKit._
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.expressions.GraftExtensions
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 
 /** Join coverage (SURVEY.md §2.5): outer joins, semi/anti, intersect,
   * role-playing self joins, theta/cartesian, and the as-of join.
@@ -179,6 +180,63 @@ object JoinQueries extends QueryPack {
     // merge users trip over when NaN keys vanish from an inner join.
     // Still a hash-partitionable equi-join (null is just one more key
     // value), so the plan is identical to a plain join at any scale.
+    // SALTED skewed equi-join (operators.SkewJoin): events joined to a
+    // tiny per-type dim on event_type — a handful of key values, each
+    // owning a fat slice of a 100 TB fact table, exactly the shape where
+    // a plain shuffle join serializes each hot key into ONE reducer.
+    // saltedJoin spreads every key over 8 reducers by joining on
+    // (key, salt) with the dim replicated 8×; the salt is internal and
+    // dropped, so the result — and the oracle — is the plain join. The
+    // post-join per-type aggregate is safe on the same grounds: partial
+    // aggregation combines each reducer's slice before the final 5-row
+    // exchange. (AQE skew-split is the automatic alternative; salting is
+    // the explicit form that also works for broadcast-ineligible builds.)
+    "q_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = t(s, dir, "events")
+        .select(col("event_type")).distinct()
+        .withColumn("type_weight", length(col("event_type")).cast("long"))
+      SkewJoin.saltedJoin(ev, dim, "event_type", salts = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)") * col("type_weight"))
+            .cast("double").as("weighted_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // BLOOM-PREFILTERED semi join (expressions.BloomMightContain): the
+    // platinum-customer key set is assumed too large to broadcast as a
+    // hash relation at 100 TB, but its ~10-bits/key bloom fits in every
+    // executor. The filter is built DISTRIBUTED (stat.bloomFilter is a
+    // treeAggregate; only the final sketch reaches the driver), embedded
+    // as a plan literal, and probes orders BEFORE the join's exchange —
+    // the shuffle then moves only might-match rows (~fpp overshoot). The
+    // exact semi join afterwards removes false positives, which is why
+    // this hash-matches the plain semi-join oracle at any fpp. Spark's
+    // own InjectRuntimeFilter produces this exact shape but is internal
+    // and gated on 10 GB scans; this is the explicit, always-on form.
+    "q_bloom_prefilter" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val platinum = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"))
+      // 100k capacity covers every test SF; 2% fpp ≈ 8 bits/key ≈ 100 KB
+      // literal. At real scale: size from an approx count of the build.
+      val bf = platinum.stat.bloomFilter("c_custkey", 100000L, 0.02)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      val o = t(s, dir, "orders")
+        .filter(call_function("graft_bloom_contains",
+          lit(bytes), col("o_custkey")))
+      o.join(platinum, o("o_custkey") === platinum("c_custkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q_nullsafe_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .withColumn("k",
@@ -198,6 +256,26 @@ object JoinQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_salted_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(length(event_type) AS BIGINT) AS type_weight
+        |  FROM events
+        |)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2)) * dim.type_weight) AS DOUBLE)
+        |    AS weighted_value
+        |FROM events e JOIN dim ON e.event_type = dim.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_bloom_prefilter" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_acctbal > 9000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_nullsafe_join" ->
       """WITH o AS (
         |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL

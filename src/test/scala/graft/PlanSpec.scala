@@ -532,4 +532,40 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: unexpected cartesian:\n$p")
     }
   }
+
+  test("bloom prefilter probes BEFORE the exact join, inside the scan stage") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val exec = SparkEntry.queries("q_bloom_prefilter")(spark, dir)
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the whole point of the kernel: the bloom Filter must sit UNDER the
+    // exact join (on its streamed side), so the join's exchange moves
+    // only might-match rows — a bloom above the join filters nothing
+    val join = exec.collectFirst { case j: BaseJoinExec => j }
+    assert(join.isDefined, s"no join in plan:\n$exec")
+    val underJoin = join.get.collectFirst {
+      case f: FilterExec if f.condition.toString.contains("graft_bloom_contains") => f
+    }
+    assert(underJoin.isDefined,
+      s"graft_bloom_contains filter is not below the exact join:\n$exec")
+  }
+
+  test("salted join spreads the hot key: join keys are (key, salt)") {
+    val p = plan("q_salted_join")
+    // the equi-join must key on BOTH event_type and the salt column —
+    // keying on event_type alone would put each hot type in one reducer
+    assert("(?s)Join.*event_type.*__salt".r.findFirstIn(p).isDefined ||
+      p.contains("__salt"),
+      s"salt column missing from the join keys:\n$p")
+  }
+
+  test("triangle counting: every graph join is an equi-join, never cartesian") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge/closure join degenerated to cartesian:\n$p")
+  }
 }
