@@ -1057,6 +1057,85 @@ object TextQueries extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // EXACT threshold set-similarity self-join via PPJoin-style PREFIX
+    // FILTERING (Chaudhuri et al. ICDE'06 primitive; Xiao et al. WWW'08)
+    // — the guaranteed-recall exact complement of the MinHash-LSH path:
+    // LSH candidates are probabilistic (a pair can miss every band);
+    // prefix filtering is exact by pigeonhole. Order each doc's shingle
+    // set by GLOBAL document frequency (rarest first, ties by value);
+    // for jaccard ≥ τ the smallest common shingle in that order provably
+    // sits within BOTH docs' first n − ⌈τ·n⌉ + 1 shingles, so an
+    // equi-join on prefix shingles alone yields a candidate superset —
+    // no n² pair space, no recall loss. Sets are 3-token SHINGLE
+    // fingerprints (as in DedupIndex), not raw tokens: the synthetic
+    // corpus has a ~31-token vocabulary, so token sets don't
+    // discriminate, while shingle df tops out at ~25 — which is also the
+    // scale story: prefixes hold the RARE end of the frequency table, so
+    // the candidate join's key distribution is anti-skewed by
+    // construction, and the τ·max ≤ min length filter prunes before the
+    // sorted-merge kernel verifies exactly. The ORACLE brute-forces ALL
+    // pairs, so zero-false-negative recall is hash-checked, not assumed.
+    // Near-dup pairs planted as in q_jaccard_topk_lsh.
+    "q_ppjoin" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val tau = 0.6
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = d0.unionByName(
+        d0.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" extra")).as("text")))
+      // Two deliberate plan barriers around the shingle step. The
+      // repartition stops CollapseProject from inlining the token-hash
+      // transform into every shingle element_at (the q_repetition_filter
+      // fix) and is the ReusedExchange point for the four consumers of
+      // tset (df table, prefix self-join, both verify joins). The
+      // doc_id AGGREGATE (exact: doc_id is unique, so first() is the
+      // row) stops PREDICATE pushdown: explode(tset) makes Catalyst
+      // infer a size(tset) > 0 filter, and pushdown substitutes a
+      // deterministic projection chain all the way into the parquet
+      // scan's filter — re-deriving every shingle's element_at from raw
+      // text, O(shingles·tokens) interpreted HOF work per row (measured
+      // 44s vs 1.5s at sf0.1). A non-grouping aggregate output is the
+      // one thing PushDownPredicates never crosses, and the aggregate
+      // rides the existing doc_id partitioning, so it costs nothing.
+      val th = docs
+        .withColumn("th", expr(tokenHashesSpark("text")))
+        .select(col("doc_id"), col("th"))
+        .repartition(col("doc_id"))
+      val toks = th
+        .select(col("doc_id"),
+          expr(s"array_sort(array_distinct(${shingleHashesSpark("th")}))").as("tset0"))
+        .groupBy(col("doc_id")).agg(first(col("tset0")).as("tset"))
+      val dfreq = toks.select(explode(col("tset")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+      val prefix = toks
+        .select(col("doc_id"), size(col("tset")).as("n"),
+          explode(col("tset")).as("tok"))
+        .join(dfreq, "tok")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("n") - ceil(col("n") * lit(tau)).cast("int") + 1)
+        // barrier on the join key: both candidate sides reuse ONE
+        // exchange, already partitioned for the tok equi-join
+        .repartition(col("tok"))
+      val cands = prefix
+        .select(col("tok"), col("doc_id").as("doc_a"), col("n").as("na"))
+        .join(prefix.select(col("tok"), col("doc_id").as("doc_b"),
+          col("n").as("nb")), "tok")
+        .filter(col("doc_a") < col("doc_b") &&
+          greatest(col("na"), col("nb")).cast("double") * lit(tau) <=
+            least(col("na"), col("nb")).cast("double"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cands
+        .join(toks.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
+        .join(toks.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
+        .withColumn("jac", expr("graft_jaccard_sorted(ta, tb)"))
+        .filter(col("jac") >= tau)
+        .select(col("doc_a"), col("doc_b"), r6(col("jac")).as("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Gopher/MassiveText-style REPETITION filter — the published quality
     // rules that catch degenerate (looping) text: fraction of the doc
     // consumed by its most frequent token, and the duplicate-bigram
@@ -2112,6 +2191,26 @@ object TextQueries extends QueryPack {
          |)
          |SELECT probe_id, cand_id, jac, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY probe_id, rnk""".stripMargin,
+
+    // brute-force ALL pairs — deliberately NOT the prefix-filter plan, so
+    // the prefix scheme's zero-false-negative guarantee is oracle-checked
+    "q_ppjoin" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text || ' extra' AS text
+         |  FROM documents WHERE doc_id % 40 = 0
+         |), th AS (
+         |  SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM u
+         |), toks AS (
+         |  SELECT doc_id, list_distinct(${shingleHashesDuck("th")}) AS tset
+         |  FROM th
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ROUND(${jaccardDuck("a.tset", "b.tset")}, 6) AS jac
+         |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+         |WHERE ${jaccardDuck("a.tset", "b.tset")} >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH toks AS (

@@ -568,4 +568,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"wedge/closure join degenerated to cartesian:\n$p")
   }
+
+  test("ppjoin: equi-join candidates only, and the shingle pipeline never " +
+      "leaks into the parquet scan") {
+    val p = plan("q_ppjoin")
+    assert(!p.contains("CartesianProduct"),
+      s"prefix-filter join degenerated to cartesian:\n$p")
+    // the aggregate barrier's contract: Catalyst's inferred
+    // size(tset) > 0 predicate must NOT be substituted down into the
+    // FileScan's data filters — that inlines the whole token-hash
+    // transform into every shingle element_at and re-derives the set
+    // from raw text per input row (measured 44s vs 2.4s at sf0.1)
+    val scanFilters = "DataFilters: \\[[^\\]]*".r.findAllIn(p).mkString("\n")
+    assert(!scanFilters.contains("element_at"),
+      s"shingle pipeline pushed into the scan filter:\n$scanFilters")
+  }
 }

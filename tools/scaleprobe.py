@@ -49,7 +49,9 @@ SKEW = os.environ.get("SPROBE_SKEW", "") not in ("", "0")
 SKEW_QUERIES = ("q_lang_rebalance,q_curation_pipeline,q_ppl_buckets,"
                 "q_mix_materialize,q_domain_cap,q_value_counts,q_mode,"
                 "q_lang_id,q_dedup_exact,q_dedup_minhash_lsh,"
-                "q_simhash_pairs,q_token_topk,q_stratified_sample")
+                "q_simhash_pairs,q_token_topk,q_stratified_sample,"
+                # the explicit skew-handling operators themselves
+                "q_salted_join,q_skew_diag")
 
 QUERIES = os.environ.get("SPROBE_QUERIES",
            SKEW_QUERIES if SKEW else
