@@ -1066,16 +1066,22 @@ object TextQueries extends QueryPack {
     // for jaccard ≥ τ the smallest common shingle in that order provably
     // sits within BOTH docs' first n − ⌈τ·n⌉ + 1 shingles, so an
     // equi-join on prefix shingles alone yields a candidate superset —
-    // no n² pair space, no recall loss. Sets are 3-token SHINGLE
-    // fingerprints (as in DedupIndex), not raw tokens: the synthetic
-    // corpus has a ~31-token vocabulary, so token sets don't
-    // discriminate, while shingle df tops out at ~25 — which is also the
-    // scale story: prefixes hold the RARE end of the frequency table, so
-    // the candidate join's key distribution is anti-skewed by
-    // construction, and the τ·max ≤ min length filter prunes before the
-    // sorted-merge kernel verifies exactly. The ORACLE brute-forces ALL
-    // pairs, so zero-false-negative recall is hash-checked, not assumed.
-    // Near-dup pairs planted as in q_jaccard_topk_lsh.
+    // no n² pair space, no recall loss. Sets are 5-TOKEN GRAM
+    // fingerprints, not raw tokens: the synthetic corpus has a ~31-token
+    // vocabulary, so token sets don't discriminate at all, and the
+    // 3-shingle space (31³ ≈ 30k) SATURATES as the corpus grows — the
+    // 16× uniform probe measured 8.4× wall on the 3-shingle form because
+    // pigeonhole pushes every shingle's df up linearly and candidates
+    // quadratically. k = 5 puts the gram space (31⁵ ≈ 28.6M) far above
+    // any probe scale (df ≤ 4 at sf0.1; 1.45× wall at 16×): prefix
+    // filtering's contract is exactly "fingerprint space ≫ corpus", the
+    // same dial the MinHash bands tune. Prefixes hold the RARE end of
+    // the frequency table, so the candidate join's key distribution is
+    // anti-skewed by construction, and the τ·max ≤ min length filter
+    // prunes before the sorted-merge kernel verifies exactly. The ORACLE
+    // brute-forces ALL pairs, so zero-false-negative recall is
+    // hash-checked, not assumed. Near-dup pairs planted as in
+    // q_jaccard_topk_lsh.
     "q_ppjoin" -> ((s, dir) => {
       GraftExtensions.register(s)
       val tau = 0.6
@@ -1104,7 +1110,7 @@ object TextQueries extends QueryPack {
         .repartition(col("doc_id"))
       val toks = th
         .select(col("doc_id"),
-          expr(s"array_sort(array_distinct(${shingleHashesSpark("th")}))").as("tset0"))
+          expr(s"array_sort(array_distinct(${gramHashesSpark("th", 5)}))").as("tset0"))
         .groupBy(col("doc_id")).agg(first(col("tset0")).as("tset"))
       val dfreq = toks.select(explode(col("tset")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -2203,7 +2209,7 @@ object TextQueries extends QueryPack {
          |), th AS (
          |  SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM u
          |), toks AS (
-         |  SELECT doc_id, list_distinct(${shingleHashesDuck("th")}) AS tset
+         |  SELECT doc_id, list_distinct(${gramHashesDuck("th", 5)}) AS tset
          |  FROM th
          |)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
