@@ -60,15 +60,31 @@ object CurateRun {
 
     log(s"Curating $sfDir -> $outDir ...")
     val counts = scala.collection.mutable.ListBuffer[(String, Long)]()
-    def stage(name: String, df: DataFrame): DataFrame = {
-      val n = df.count()
+    val cached = scala.collection.mutable.ListBuffer[DataFrame]()
+    // Each stage is PERSISTED before its audit count: every stage frame
+    // has 2-3 consumers (its count, the next stage, and for `exact` the
+    // index build too), and an uncached lineage would re-run the whole
+    // upstream chain per consumer — O(stages²) corpus passes. Spill-safe
+    // memory-and-disk, released in the finally below. (At true corpus
+    // scale you would checkpoint stages to storage instead; the shape —
+    // one materialization per stage — is the same.)
+    def stage(name: String, df: DataFrame, persist: Boolean = true): DataFrame = {
+      val out = if (persist) {
+        val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached += c
+        c
+      } else df
+      val n = out.count()
       counts += name -> n
       log(f"$name%-12s $n%d docs")
-      df
+      out
     }
+    try {
 
     // ---- ingest + quality gate (the q_curation_pipeline rules) --------
-    val raw = stage("ingested", Tables(spark, sfDir, "documents"))
+    // (raw not persisted: it IS the parquet scan)
+    val raw = stage("ingested", Tables(spark, sfDir, "documents"),
+      persist = false)
     val quality = stage("quality", raw
       .filter(col("n_chars") >= minChars && col("n_chars") <= maxChars &&
         size(split(col("text"), " ")) >= minTokens)
@@ -102,7 +118,7 @@ object CurateRun {
     val m = deduped.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
       .agg(min(col("cnt")).as("m"))
     val withH = deduped
-      .withColumn("h", expr("doc_id % 1000000007 * 2654435761 % 1000000007"))
+      .withColumn("h", expr(QueryKit.idHash()))
     val balanced = stage("rebalanced", GlobalRowNumber
       .withKeyedRowNumber(withH, Seq("lang"), "h", "__rn", Seq("doc_id"))
       .crossJoin(broadcast(m))
@@ -116,13 +132,13 @@ object CurateRun {
     val shardsPath = s"$outDir/shards"
     val ranked = GlobalRowNumber.withRowNumber(
       balanced.withColumn("hkey",
-        expr("doc_id % 1000000007 * 2654435761 % 1000000007")),
+        expr(QueryKit.idHash())),
       "hkey", "__rn", Seq("doc_id"))
       .withColumn("shard", ((col("__rn") - 1) % nShards).cast("int"))
       .withColumn("pos", expr(s"(__rn - 1) div $nShards"))
       .drop("__rn", "h", "hkey")
     ShardedExport.write(ranked, shardsPath, nShards)
-    val exported = stage("exported", spark.read.parquet(shardsPath))
+    stage("exported", spark.read.parquet(shardsPath), persist = false)
 
     // ---- manifest -------------------------------------------------------
     val manifestPath = s"$outDir/manifest"
@@ -132,6 +148,8 @@ object CurateRun {
     manifest.coalesce(1).write.mode("overwrite").parquet(manifestPath)
     log("...curation complete")
     Result(shardsPath, manifestPath, indexDir, counts.toSeq)
+
+    } finally cached.foreach(_.unpersist(blocking = false))
   }
 
   /** CLI: CurateRun <sfDir> <outDir> [nShards] */

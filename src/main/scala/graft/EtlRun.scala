@@ -92,21 +92,32 @@ object EtlRun {
       JdbcSink.dropDdl(s, dialect), Set("42Y55")))
     val counts = ordered.map { spec =>
       exec(url, props, JdbcSink.createTableDdl(spec, dialect))
-      JdbcSink.write(tables(spec.name), url, spec.name,
-        spec.schema.fieldNames.toSeq, props)
-      spec.name -> tables(spec.name).count()
+      // persist around the write + audit-count pair: each table frame is
+      // a JSON-parse + multi-join chain, and an uncached lineage would
+      // execute it twice (once into JDBC, once for the count)
+      val df = tables(spec.name)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        JdbcSink.write(df, url, spec.name,
+          spec.schema.fieldNames.toSeq, props)
+        spec.name -> df.count()
+      } finally df.unpersist(blocking = false)
     }.toMap
     // batch_append pair: statuses history + the one-row audit record
     // (create-if-absent, never dropped by a data overwrite in the ref —
     // dropped above only because this runner owns the whole schema)
+    // persisted for the same reason: written to JDBC, then read again
+    // for gameweek_now below
     val statuses = JdbcSink.statusSnapshot(
       tables("players_summary"), tables("gameweeks"), loadDatetime)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (spec <- Seq(FplDdl.playersStatuses, FplDdl.record))
       execTolerating(url, props,
         JdbcSink.createTableDdl(spec, dialect), Set("X0Y32", "42P07"))
     JdbcSink.write(statuses, url, FplDdl.playersStatuses.name,
       FplDdl.playersStatuses.schema.fieldNames.toSeq, props, SaveMode.Append)
     val gwNow = statuses.select("gameweek_now").head.getString(0)
+    statuses.unpersist(blocking = false)
     JdbcSink.write(
       JdbcSink.auditRow(spark, gwNow, username, loadDatetime),
       url, FplDdl.record.name,

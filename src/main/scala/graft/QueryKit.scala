@@ -36,6 +36,17 @@ object QueryKit {
 
   def r4(c: Column): Column = round(c, 4)
 
+  /** Portable multiplicative-hash permutation key over an integer id —
+    * the deterministic-shuffle discipline (q_corpus_shuffle, mixture
+    * materialization, CurateRun). `id % P` first keeps the product
+    * inside 63 bits; the map is a bijection mod the prime, so ranking
+    * by it IS a permutation. Identical text renders identically in
+    * Spark SQL and DuckDB, so the ONE definition serves both engines —
+    * keep every consumer on this helper or the shuffles silently
+    * diverge. */
+  def idHash(idCol: String = "doc_id"): String =
+    s"$idCol % 1000000007 * 2654435761 % 1000000007"
+
   /** Oracle-side fragments (DuckDB SQL) mirroring the helpers above. */
   object sql {
     def dsum(c: String): String =

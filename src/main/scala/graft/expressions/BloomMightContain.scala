@@ -53,8 +53,13 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   // One deserialization per task/plan instance; the serialized bytes
   // travel inside the literal, so executors rebuild the same filter.
+  // A null literal passes the type check (it's foldable binary) but has
+  // no meaningful semantics — fail with a named error, not the bare NPE
+  // ByteArrayInputStream(null) would throw mid-planning.
   @transient private lazy val bloom: BloomFilter = {
     val bytes = left.eval().asInstanceOf[Array[Byte]]
+    require(bytes != null,
+      "graft_bloom_contains: the bloom sketch literal is null")
     BloomFilter.readFrom(new ByteArrayInputStream(bytes))
   }
 

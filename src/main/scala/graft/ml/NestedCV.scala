@@ -64,15 +64,24 @@ object NestedCV {
       require(metrics.nonEmpty,
         s"outer split $i: every grid point's CV metric is NaN — " +
           "the evaluator produced no usable score on any fold")
-      val best = grid(
+      val bestIdx =
         (if (evaluator.isLargerBetter) metrics.maxBy(_._1)
-         else metrics.minBy(_._1))._2)
+         else metrics.minBy(_._1))._2
+      val best = grid(bestIdx)
       // CrossValidator's own bestModel pick ranks NaN LARGEST (Scala
-      // TotalOrdering), so when any metric is NaN its bestModel may be
-      // the garbage point — refit at the NaN-safe params instead. The
-      // healthy path (no NaN anywhere) keeps the already-fitted model.
+      // TotalOrdering), so when a metric is NaN its bestModel CAN be the
+      // garbage point — but only for larger-is-better evaluators (for
+      // smaller-is-better, NaN-largest loses minBy automatically).
+      // Refit only when CV's own argmax actually landed elsewhere than
+      // the NaN-safe pick; a refit on every NaN would waste a full fit
+      // in the cases where the two picks agree.
+      val cvIdx = {
+        val am = model.avgMetrics.zipWithIndex
+        (if (evaluator.isLargerBetter) am.maxBy(_._1)(Ordering.Double.TotalOrdering)
+         else am.minBy(_._1)(Ordering.Double.TotalOrdering))._2
+      }
       val scored =
-        if (model.avgMetrics.exists(_.isNaN))
+        if (cvIdx != bestIdx)
           estimator.copy(best).fit(trainFolded)
             .asInstanceOf[org.apache.spark.ml.Transformer]
         else model.bestModel

@@ -42,7 +42,7 @@ object MixtureQueries extends QueryPack {
     Tables(s, dir, name)
 
   /** Portable overflow-safe doc hash (same as q_stratified_sample). */
-  private val docHash = "doc_id % 1000000007 * 2654435761 % 1000000007"
+  private val docHash = idHash()
 
   // UniMax allocation over a per-language size frame: input has columns
   // (lang, n); output adds (i, l_total, alloc, capped). Shared by the

@@ -1085,10 +1085,15 @@ object TextQueries extends QueryPack {
     "q_ppjoin" -> ((s, dir) => {
       GraftExtensions.register(s)
       val tau = 0.6
+      // plant offset 1e12, not the family's usual 2e5: the keep-first
+      // aggregate below keys on doc_id, so a planted id COLLIDING with a
+      // real id would make first() pick one of two texts
+      // nondeterministically while the oracle's UNION ALL keeps both —
+      // the offset must clear every conceivable corpus/replica id space
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val docs = d0.unionByName(
         d0.filter(col("doc_id") % 40 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
             concat(col("text"), lit(" extra")).as("text")))
       // Two deliberate plan barriers around the shingle step. The
       // repartition stops CollapseProject from inlining the token-hash
@@ -2204,7 +2209,7 @@ object TextQueries extends QueryPack {
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 200000 AS doc_id, text || ' extra' AS text
+         |  SELECT doc_id + 1000000000000 AS doc_id, text || ' extra' AS text
          |  FROM documents WHERE doc_id % 40 = 0
          |), th AS (
          |  SELECT doc_id, ${tokenHashesDuck("text")} AS th FROM u

@@ -555,12 +555,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("salted join spreads the hot key: join keys are (key, salt)") {
-    val p = plan("q_salted_join")
-    // the equi-join must key on BOTH event_type and the salt column —
-    // keying on event_type alone would put each hot type in one reducer
-    assert("(?s)Join.*event_type.*__salt".r.findFirstIn(p).isDefined ||
-      p.contains("__salt"),
-      s"salt column missing from the join keys:\n$p")
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, HashJoin, SortMergeJoinExec}
+    // structural, not string-contains: a regression that joins on
+    // event_type alone but still PROJECTS __salt must fail here — the
+    // salt has to be one of the equi-join KEYS or each hot type
+    // serializes into one reducer again
+    val exec = SparkEntry.queries("q_salted_join")(spark, dir)
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val join = exec.collectFirst { case j: BaseJoinExec => j }
+    assert(join.isDefined, s"no join in plan:\n$exec")
+    val keys = join.get match {
+      case h: HashJoin => h.leftKeys ++ h.rightKeys
+      case s: SortMergeJoinExec => s.leftKeys ++ s.rightKeys
+      case other => fail(s"unexpected join node: $other")
+    }
+    assert(keys.exists(_.toString.contains("__salt")),
+      s"salt column missing from the join keys ${keys.mkString(", ")}:\n$exec")
+    assert(keys.exists(_.toString.contains("event_type")),
+      s"event_type missing from the join keys ${keys.mkString(", ")}:\n$exec")
   }
 
   test("triangle counting: every graph join is an equi-join, never cartesian") {
