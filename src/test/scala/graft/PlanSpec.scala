@@ -585,6 +585,20 @@ class PlanSpec extends SparkSpec {
       s"wedge/closure join degenerated to cartesian:\n$p")
   }
 
+  test("triangle counting reuses the edge/degree/orientation exchanges") {
+    // e0/deg/ori each feed 3-4 plan branches; the plan is only
+    // 100-TB-sane if AQE reuses their exchanges instead of recomputing
+    // the lineitem self-join per consumer (the q_pagerank precedent:
+    // reuse measured faster than an explicit persist). Reuse only
+    // materializes in the ADAPTIVE executed plan, hence execute-then-
+    // inspect.
+    val df = SparkEntry.queries("q_triangles")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p).size >= 3,
+      s"edge/degree/orientation subtrees recomputed per branch:\n$p")
+  }
+
   test("ppjoin: equi-join candidates only, and the shingle pipeline never " +
       "leaks into the parquet scan") {
     val p = plan("q_ppjoin")
