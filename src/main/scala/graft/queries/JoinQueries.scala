@@ -220,9 +220,17 @@ object JoinQueries extends QueryPack {
       val platinum = t(s, dir, "customer")
         .filter(col("c_acctbal") > 9000)
         .select(col("c_custkey"))
-      // 100k capacity covers every test SF; 2% fpp ≈ 8 bits/key ≈ 100 KB
-      // literal. At real scale: size from an approx count of the build.
-      val bf = platinum.stat.bloomFilter("c_custkey", 100000L, 0.02)
+      // Capacity sized FROM THE DATA: an HLL approx count of the build
+      // side (one tiny aggregate; deterministic) with 2× headroom so the
+      // realized fpp stays at-or-under the nominal 2% even at the HLL's
+      // error bound. A fixed literal capacity either wastes executor
+      // memory (oversized) or silently degrades the prefilter to a
+      // pass-through (undersized — fpp → 1 and the shuffle moves
+      // everything again); correctness is unaffected either way, which
+      // is exactly why the sizing must be engineered, not assumed.
+      val nKeys = math.max(1024L,
+        platinum.agg(approx_count_distinct("c_custkey")).head.getLong(0))
+      val bf = platinum.stat.bloomFilter("c_custkey", 2L * nKeys, 0.02)
       val bytes = {
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
