@@ -172,6 +172,42 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-ish REGEX pre-tokenization counts — the GPT-2 pre-tokenizer's
+    // class structure (maximal letter runs / digit runs / punctuation
+    // runs; the real pattern's " ?" prefix changes token TEXT, not run
+    // boundaries, so per-class counts are identical without it). The
+    // synthetic corpus is pure lowercase words, so mixed content is
+    // PLANTED (versioned-release and phone-ish tails) to give the digit
+    // and punctuation classes real work. Map-only: three
+    // regexp_extract_all passes inside codegen, one exchange for the
+    // presentation sort; Java regex and RE2 agree on these constructs,
+    // which is what keeps the oracle bit-identical.
+    "q_pretokenize" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" release v"), (col("doc_id") % 9).cast("string"),
+              lit("."), (col("doc_id") % 4).cast("string"),
+              lit("-beta!"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" build #"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit(" (stable)"))).otherwise(lit(""))).as("txt"))
+      val words = regexp_extract_all(col("txt"), lit("[a-z]+"), lit(0))
+      val nums = regexp_extract_all(col("txt"), lit("[0-9]+"), lit(0))
+      val punct = regexp_extract_all(col("txt"), lit("[^a-z0-9 ]+"), lit(0))
+      d.select(col("doc_id"),
+          size(words).cast("long").as("n_word"),
+          size(nums).cast("long").as("n_num"),
+          size(punct).cast("long").as("n_punct"),
+          (size(words) + size(nums) + size(punct)).cast("long").as("n_tok"),
+          r6(expr("aggregate(regexp_extract_all(txt, '[a-z]+', 0), 0L, " +
+            "(a, w) -> a + length(w))").cast("double") /
+            greatest(size(words), lit(1)).cast("double")).as("avg_word_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality scoring: length/stopword/type-token-ratio heuristics over
     // the one-pass native token stats (all consumers are GetStructField).
     "q_quality_score" -> ((s, dir) => {
@@ -1499,6 +1535,32 @@ object TextQueries extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesDuck(64, 2L),
+
+    "q_pretokenize" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ' release v' || CAST(doc_id % 9 AS VARCHAR) || '.'
+         |           || CAST(doc_id % 4 AS VARCHAR) || '-beta!'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN ' build #' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |           || ' (stable)'
+         |         ELSE '' END AS txt
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, '[a-z]+')) AS BIGINT) AS n_word,
+         |  CAST(len(regexp_extract_all(txt, '[0-9]+')) AS BIGINT) AS n_num,
+         |  CAST(len(regexp_extract_all(txt, '[^a-z0-9 ]+')) AS BIGINT) AS n_punct,
+         |  CAST(len(regexp_extract_all(txt, '[a-z]+'))
+         |    + len(regexp_extract_all(txt, '[0-9]+'))
+         |    + len(regexp_extract_all(txt, '[^a-z0-9 ]+')) AS BIGINT) AS n_tok,
+         |  ROUND(CAST(list_sum(list_transform(regexp_extract_all(txt, '[a-z]+'),
+         |      w -> length(w))) AS DOUBLE)
+         |    / greatest(len(regexp_extract_all(txt, '[a-z]+')), 1), 6)
+         |    AS avg_word_len
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       s"""SELECT doc_id,

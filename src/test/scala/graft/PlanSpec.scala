@@ -297,7 +297,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("PII scan and Gopher rules are map-only: no exchange before the presentation sort") {
-    for (q <- Seq("q_pii_scan", "q_gopher_rules")) {
+    for (q <- Seq("q_pii_scan", "q_gopher_rules", "q_pretokenize")) {
       val p = plan(q)
       // exactly one exchange — the rangepartitioning for the final ORDER BY
       val exchanges = "Exchange".r.findAllIn(p).size -
