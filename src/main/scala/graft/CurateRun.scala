@@ -130,13 +130,14 @@ object CurateRun {
     // bijection mod the prime), ranked without a single-task sort, laid
     // out as shard=K/part-*.parquet with in-file order = shuffle order.
     val shardsPath = s"$outDir/shards"
+    // `balanced` still carries the rebalance stage's `h` — the SAME
+    // idHash(doc_id) this rank needs — so rank on it directly rather
+    // than recomputing the hash into a second column
     val ranked = GlobalRowNumber.withRowNumber(
-      balanced.withColumn("hkey",
-        expr(QueryKit.idHash())),
-      "hkey", "__rn", Seq("doc_id"))
+      balanced, "h", "__rn", Seq("doc_id"))
       .withColumn("shard", ((col("__rn") - 1) % nShards).cast("int"))
       .withColumn("pos", expr(s"(__rn - 1) div $nShards"))
-      .drop("__rn", "h", "hkey")
+      .drop("__rn", "h")
     ShardedExport.write(ranked, shardsPath, nShards)
     stage("exported", spark.read.parquet(shardsPath), persist = false)
 

@@ -111,13 +111,16 @@ object EtlRun {
     val statuses = JdbcSink.statusSnapshot(
       tables("players_summary"), tables("gameweeks"), loadDatetime)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    for (spec <- Seq(FplDdl.playersStatuses, FplDdl.record))
-      execTolerating(url, props,
-        JdbcSink.createTableDdl(spec, dialect), Set("X0Y32", "42P07"))
-    JdbcSink.write(statuses, url, FplDdl.playersStatuses.name,
-      FplDdl.playersStatuses.schema.fieldNames.toSeq, props, SaveMode.Append)
-    val gwNow = statuses.select("gameweek_now").head.getString(0)
-    statuses.unpersist(blocking = false)
+    val gwNow =
+      try {
+        for (spec <- Seq(FplDdl.playersStatuses, FplDdl.record))
+          execTolerating(url, props,
+            JdbcSink.createTableDdl(spec, dialect), Set("X0Y32", "42P07"))
+        JdbcSink.write(statuses, url, FplDdl.playersStatuses.name,
+          FplDdl.playersStatuses.schema.fieldNames.toSeq, props,
+          SaveMode.Append)
+        statuses.select("gameweek_now").head.getString(0)
+      } finally statuses.unpersist(blocking = false)
     JdbcSink.write(
       JdbcSink.auditRow(spark, gwNow, username, loadDatetime),
       url, FplDdl.record.name,

@@ -40,7 +40,15 @@ case class BloomMightContain(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (BinaryType, LongType) if left.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // catch a null sketch at ANALYSIS: on the interpreted path a null
+        // literal would short-circuit BinaryExpression.eval to null
+        // (silently filtering every row) while the codegen path forces
+        // the lazy bloom and throws — same query, opposite behavior
+        // depending on codegen mode. Foldable ⇒ eval() is safe here.
+        if (left.eval() == null)
+          TypeCheckResult.TypeCheckFailure(
+            "graft_bloom_contains: the bloom sketch literal is null")
+        else TypeCheckResult.TypeCheckSuccess
       case (BinaryType, LongType) =>
         TypeCheckResult.TypeCheckFailure(
           "graft_bloom_contains expects a FOLDABLE bloom literal — " +

@@ -54,10 +54,12 @@ object FeatureQueries extends QueryPack {
         .withColumn("rn", row_number().over(w))
         .withColumn("xs", collect_list(col("value"))
           .over(w.rowsBetween(-63, 0)))
+      // all three uses of the decay derive from `p`, so the constant
+      // cannot drift between numerator fold and denominator sum
       e.withColumn("num",
-          expr("aggregate(xs, 0.0D, (acc, x) -> acc * 0.75D + x)"))
+          expr(s"aggregate(xs, 0.0D, (acc, x) -> acc * ${p}D + x)"))
         .withColumn("den",
-          (lit(1.0) - pow(lit(p), least(col("rn"), lit(64)))) / lit(0.25))
+          (lit(1.0) - pow(lit(p), least(col("rn"), lit(64)))) / lit(1.0 - p))
         .select(col("event_id"), col("user_id"),
           r6(col("num") / col("den")).as("ewma"))
         .orderBy(col("event_id"))
@@ -131,7 +133,7 @@ object FeatureQueries extends QueryPack {
     "q_stratified_sample" -> ((s, dir) => {
       t(s, dir, "orders")
         .withColumn("h",
-          expr("o_orderkey % 1000000007 * 2654435761 % 1000000007 % 100"))
+          expr(s"${idHash("o_orderkey")} % 100"))
         .withColumn("rate",
           when(col("o_orderpriority") === "1-URGENT", 50)
             .when(col("o_orderpriority") === "2-HIGH", 25)
@@ -154,7 +156,7 @@ object FeatureQueries extends QueryPack {
       t(s, dir, "documents")
         .withColumn("w", length(col("text")).cast("double"))
         .withColumn("u",
-          (expr("doc_id % 1000000007 * 2654435761 % 1000000007") + lit(1))
+          (expr(idHash()) + lit(1))
             .cast("double") / lit(1000000008.0))
         // + 0.0 normalizes IEEE −0.0 (u=1 → ln 0, sign depends on the
         // engine's rounding path) to +0.0 on both engines

@@ -172,7 +172,7 @@ object PipelineQueries extends QueryPack {
     "q_lang_rebalance" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"))
-        .withColumn("h", expr("doc_id % 1000000007 * 2654435761 % 1000000007"))
+        .withColumn("h", expr(idHash()))
       val m = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .agg(min(col("cnt")).as("m"))
       graft.operators.GlobalRowNumber
@@ -272,7 +272,7 @@ object PipelineQueries extends QueryPack {
       val d = t(s, dir, "documents")
         .select(col("doc_id"))
         .withColumn("hkey",
-          expr("doc_id % 1000000007 * 2654435761 % 1000000007"))
+          expr(idHash()))
       graft.operators.GlobalRowNumber.withRowNumber(d, "hkey", "rn", Seq("doc_id"))
         .withColumn("shard", ((col("rn") - 1) % 8).cast("int"))
         .withColumn("pos", expr("(rn - 1) div 8"))
@@ -325,7 +325,7 @@ object PipelineQueries extends QueryPack {
         // Gumbel key: u = (h(doc_id)+1)/(P+2) ∈ (0,1) strictly, so both
         // logs are finite; g = −ln(−ln u) rounded at 6 dp
         .withColumn("gum", round(-log(-log(
-          (expr("doc_id % 1000000007 * 2654435761 % 1000000007") + 1)
+          (expr(idHash()) + 1)
             .cast("double") / lit(1000000009.0))), 6))
         .withColumn("neg",
           (-(col("lw") + col("gum").cast("decimal(18,6)"))).cast("double"))
@@ -449,7 +449,7 @@ object PipelineQueries extends QueryPack {
       val m = deduped.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .agg(min(col("cnt")).as("m"))
       val withH = deduped
-        .withColumn("h", expr("doc_id % 1000000007 * 2654435761 % 1000000007"))
+        .withColumn("h", expr(idHash()))
       graft.operators.GlobalRowNumber
         .withKeyedRowNumber(withH, Seq("lang"), "h", "rn", Seq("doc_id"))
         .crossJoin(broadcast(m))

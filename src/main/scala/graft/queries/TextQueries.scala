@@ -943,7 +943,7 @@ object TextQueries extends QueryPack {
         docs.select(col("doc_id"), col("text")))
       val assign = DedupIndex.assign(docs.select(col("doc_id")), ix.labels)
         .withColumn("bucket",
-          expr("cluster_id % 1000000007 * 2654435761 % 1000000007 % 10"))
+          expr(s"${idHash("cluster_id")} % 10"))
         .withColumn("split",
           when(col("bucket") < 8, lit("train"))
             .when(col("bucket") === 8, lit("val"))
@@ -1556,8 +1556,8 @@ object TextQueries extends QueryPack {
          |  CAST(len(regexp_extract_all(txt, '[a-z]+'))
          |    + len(regexp_extract_all(txt, '[0-9]+'))
          |    + len(regexp_extract_all(txt, '[^a-z0-9 ]+')) AS BIGINT) AS n_tok,
-         |  ROUND(CAST(list_sum(list_transform(regexp_extract_all(txt, '[a-z]+'),
-         |      w -> length(w))) AS DOUBLE)
+         |  ROUND(CAST(COALESCE(list_sum(list_transform(
+         |      regexp_extract_all(txt, '[a-z]+'), w -> length(w))), 0) AS DOUBLE)
          |    / greatest(len(regexp_extract_all(txt, '[a-z]+')), 1), 6)
          |    AS avg_word_len
          |FROM d ORDER BY doc_id""".stripMargin,

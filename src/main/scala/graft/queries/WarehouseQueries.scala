@@ -245,7 +245,7 @@ object WarehouseQueries extends QueryPack {
       t(s, dir, "orders")
         .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
         .withColumn("h", expr(
-          """(o_orderkey % 1000000007 * 2654435761 % 1000000007
+          s"""(${idHash("o_orderkey")}
             | + cents % 1000000007 * 1315423911 % 1000000007
             | + ascii(substring(o_orderstatus, 1, 1))) % 1000000007""".stripMargin))
         .groupBy(expr("o_orderkey div 10000").as("range_id"))
