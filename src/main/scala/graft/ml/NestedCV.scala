@@ -68,23 +68,21 @@ object NestedCV {
         (if (evaluator.isLargerBetter) metrics.maxBy(_._1)
          else metrics.minBy(_._1))._2
       val best = grid(bestIdx)
-      // CrossValidator's own bestModel pick ranks NaN LARGEST (Scala
-      // TotalOrdering), so when a metric is NaN its bestModel CAN be the
-      // garbage point — but only for larger-is-better evaluators (for
-      // smaller-is-better, NaN-largest loses minBy automatically).
-      // Refit only when CV's own argmax actually landed elsewhere than
-      // the NaN-safe pick; a refit on every NaN would waste a full fit
-      // in the cases where the two picks agree.
-      val cvIdx = {
-        val am = model.avgMetrics.zipWithIndex
-        (if (evaluator.isLargerBetter) am.maxBy(_._1)(Ordering.Double.TotalOrdering)
-         else am.minBy(_._1)(Ordering.Double.TotalOrdering))._2
-      }
+      // Reuse CrossValidator's own fitted bestModel only when EVERY
+      // argmax convention must land on the same grid point as the
+      // NaN-safe pick above: no NaN anywhere and a strictly unique best
+      // metric. Under ties or NaNs, WHICH point bestModel was fitted
+      // from depends on Spark's internal tie-break / NaN ordering — an
+      // implementation detail we must not re-derive here (it can change
+      // across Spark/Scala versions and the divergence would be silent).
+      // In those degenerate cases pay one refit of the known-good point.
+      val bestMetric = model.avgMetrics(bestIdx)
+      val reuseSafe = !model.avgMetrics.exists(_.isNaN) &&
+        model.avgMetrics.count(_ == bestMetric) == 1
       val scored =
-        if (cvIdx != bestIdx)
-          estimator.copy(best).fit(trainFolded)
-            .asInstanceOf[org.apache.spark.ml.Transformer]
-        else model.bestModel
+        if (reuseSafe) model.bestModel
+        else estimator.copy(best).fit(trainFolded)
+          .asInstanceOf[org.apache.spark.ml.Transformer]
       val score = evaluator.evaluate(scored.transform(test))
       val trainG = train.select(col(groupCol)).distinct()
       val testG = test.select(col(groupCol)).distinct()

@@ -31,11 +31,13 @@ object FeatureQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
-    // EWMA feature (pandas ewm(span).mean parity, adjust=True): per-user
+    // EWMA feature (pandas ewm(span).mean shape, adjust=True): per-user
     // exponentially weighted value over the event series, with the decay
-    // DEFINED as 64-term (weights beyond (1-α)^63 ≈ 1e-8 are zero by
-    // definition, so this is exact, not an approximation — and both
-    // engines compute the identical truncated form). The numerator is a
+    // DEFINED as 64-term. The truncated form is the semantics BOTH
+    // engines compute (parity-exact between Spark and the DuckDB
+    // oracle); versus untruncated pandas it carries ~(0.75)^63 ≈ 1e-8
+    // relative error, which is the accepted contract here, not a claim
+    // of bit-exact pandas parity. The numerator is a
     // Horner fold over the last-64 sliding frame (acc·p + x, oldest →
     // newest — bit-identical left-fold in Spark's `aggregate` and
     // DuckDB's `list_reduce`); the denominator is the closed-form

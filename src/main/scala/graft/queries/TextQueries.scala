@@ -29,8 +29,9 @@ object TextQueries extends QueryPack {
   /** Shared retrieval frames (the ONE implementation of the inverted
     * index — q_bm25_topk, q_hard_negatives and q_rrf_fusion all build
     * on it, so a k1/b/universe edit cannot desync them):
-    *  - enriched postings (cand_id, h, term, wd): BM25 term + tf·idf
-    *    weight per posting;
+    *  - enriched postings (cand_id, h, term6, wd): BM25 term (6-dp value
+    *    scaled to an integer LONG — see the scaled-long note below) and
+    *    tf·idf weight per posting;
     *  - qpost (query_id, h, qtf): query term frequencies;
     *  - widf (h, df, idf): the vocabulary dictionary (broadcast-sized).
     *
@@ -42,7 +43,18 @@ object TextQueries extends QueryPack {
     * df/dl joins run on the postings-sized frame BEFORE any query
     * fan-out (the BM25 term is query-independent), and the
     * vocabulary-sized dictionary BROADCASTS — a shuffle join on |vocab|
-    * keys is the classic skew trap. */
+    * keys is the classic skew trap.
+    *
+    * SCALED-LONG sums: every retrieval aggregate is an exact sum of
+    * 6-dp-rounded values. Summing them as DECIMAL(18,6) (the oracle's
+    * form) costs a per-row Decimal conversion plus Decimal add in the
+    * hot aggregate — measured 2-3x the whole scoring join+agg at sf0.1.
+    * Instead the 6-dp value v is stored/derived as the integer v·1e6 in
+    * a LONG and summed with integer adds; Σ(v·1e6)/1e6 in double equals
+    * CAST(SUM(DECIMAL) AS DOUBLE) exactly (the long sum is the same
+    * rational, ≪ 2^53, and both casts are correctly rounded), and
+    * ordering by the long IS ordering by the decimal. The oracle SQL
+    * keeps the DECIMAL form — the cross-engine hash proves equality. */
   private def retrievalFrames(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     // ensure-cached (FrameCache): tokenize → postings → idf → enriched
@@ -80,22 +92,28 @@ object TextQueries extends QueryPack {
             (col("tf").cast("double") + lit(1.2) *
               (lit(0.25) + lit(0.75) * col("dl").cast("double") *
                 col("nn").cast("double") / col("tdl").cast("double"))), 6))
+        // the 6-dp term, pre-scaled to its LONG form at BUILD time so
+        // the per-query hot path pays zero per-row conversion (term > 0,
+        // and round's output sits within 1e-4 of the integer, so the
+        // +0.5-then-truncate recovers it exactly)
+        .withColumn("term6",
+          (col("term") * lit(1e6) + lit(0.5)).cast("long"))
         .withColumn("wd", col("tf").cast("double") * col("idf"))
-        .select(col("cand_id"), col("h"), col("term"), col("wd"))
+        .select(col("cand_id"), col("h"), col("term6"), col("wd"))
       Seq("enriched" -> enriched, "qpost" -> qpost, "widf" -> widf)
     }
     (f("enriched"), f("qpost"), f("widf"))
   }
 
   /** BM25 (query, cand) scores: columns query_id, cand_id, n_terms,
-    * score DECIMAL. See [[retrievalFrames]] for the shared core. */
+    * score6 (scaled-long — divide by 1e6 in double for the value; order
+    * by it directly). See [[retrievalFrames]] for the shared core. */
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val (enriched, qpost, _) = retrievalFrames(s, dir)
     val qterms = qpost.select(col("query_id"), col("h")).distinct()
     enriched.join(broadcast(qterms), Seq("h"))
       .groupBy(col("query_id"), col("cand_id"))
-      .agg(count(lit(1)).as("n_terms"),
-        sum(col("term").cast("decimal(18,6)")).as("score"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term6")).as("score6"))
   }
 
   // The MinHash/LSH kernel (signatures → bands → candidate pairs →
@@ -689,12 +707,12 @@ object TextQueries extends QueryPack {
     "q_bm25_topk" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("cand_id"))
+        .orderBy(col("score6").desc, col("cand_id"))
       bm25Scores(s, dir)
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("query_id"), col("cand_id"), col("n_terms"),
-          col("score").cast("double").as("bm25"), col("rnk"))
+          (col("score6").cast("double") / lit(1e6)).as("bm25"), col("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -711,7 +729,7 @@ object TextQueries extends QueryPack {
     "q_hard_negatives" -> ((s, dir) => {
       val w10 = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("cand_id"))
+        .orderBy(col("score6").desc, col("cand_id"))
       val top10 = bm25Scores(s, dir)
         .withColumn("rnk_all", row_number().over(w10))
         .filter(col("rnk_all") <= 10)
@@ -728,7 +746,8 @@ object TextQueries extends QueryPack {
         .withColumn("rnk", row_number().over(wNeg))
         .filter(col("rnk") <= 3)
         .select(col("query_id"), col("cand_id"),
-          col("score").cast("double").as("bm25"), col("rnk_all"), col("rnk"))
+          (col("score6").cast("double") / lit(1e6)).as("bm25"),
+          col("rnk_all"), col("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -742,54 +761,66 @@ object TextQueries extends QueryPack {
     // DECIMAL sum, so fusion and final ties are engine-exact. Cosine
     // exactness: per-term weights tf·idf are doubles on identical
     // integer inputs; norm accumulators Σ(w²) and the shared-term dot
-    // Σ(w_q·w_d) round each term at 6 dp into DECIMAL sums before the
-    // single division — partitioning-invariant. Scale shape: identical
-    // to q_bm25_topk (postings shuffle on token hash, query side
-    // broadcasts) run twice plus a (query, cand)-keyed outer join of
-    // two top-10 lists — workload-sized, trivially parallel.
+    // Σ(w_q·w_d) round each term at 6 dp and sum EXACTLY via the
+    // scaled-long form (≡ the oracle's DECIMAL sums — see
+    // retrievalFrames' note) before the single division —
+    // partitioning-invariant. Scale shape: ONE
+    // postings⋈query join (both scorers' inputs — BM25 `term` and
+    // cosine `wd` — live on the same enriched postings row, so one
+    // broadcast join + one two-aggregate groupBy feeds both rankers;
+    // the round-10 form ran the join+agg chain twice and fused the two
+    // top-10 lists with a full-outer join). Both candidate sets are
+    // IDENTICAL by construction (a candidate scores iff it shares ≥1
+    // vocabulary term with the query — the same join), so ranking both
+    // scores over the one scored frame and null-masking ranks > 10
+    // reproduces the two-list outer-join semantics exactly.
     "q_rrf_fusion" -> ((s, dir) => {
       // ONE retrieval core shared with q_bm25_topk/q_hard_negatives
-      // (see retrievalFrames) — already a persisted parquet read-back,
-      // so both scorers fan out from the same materialized postings
-      // without a further checkpoint copy
+      // (see retrievalFrames) — already a persisted parquet read-back
       val (enriched, qpost, widf) = retrievalFrames(s, dir)
-      val wBm = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("score").desc, col("cand_id"))
-      val bm = enriched
-        .join(broadcast(qpost.select(col("query_id"), col("h"))), Seq("h"))
-        .groupBy(col("query_id"), col("cand_id"))
-        .agg(sum(col("term").cast("decimal(18,6)")).as("score"))
-        .withColumn("rnk1", row_number().over(wBm))
-        .filter(col("rnk1") <= 10)
-        .select(col("query_id"), col("cand_id"), col("rnk1"))
+      // Scaled-long sums throughout (see retrievalFrames' note): each
+      // 6-dp-rounded per-row value rides as v·1e6 in a LONG; the +0.5
+      // add before the long cast is exact because round's output sits
+      // within 1e-4 of the integer and every value here is ≥ 0.
+      def scaled6(c: org.apache.spark.sql.Column) =
+        (round(c, 6) * lit(1e6) + lit(0.5)).cast("long")
       val dnorm = enriched
         .groupBy(col("cand_id"))
-        .agg(sum(round(pow(col("wd"), 2), 6)
-          .cast("decimal(18,6)")).as("n2"))
-        .select(col("cand_id"), sqrt(col("n2").cast("double")).as("nd"))
+        .agg(sum(scaled6(pow(col("wd"), 2))).as("n2"))
+        .select(col("cand_id"),
+          sqrt(col("n2").cast("double") / lit(1e6)).as("nd"))
+      // query terms outside the corpus vocabulary can never match a
+      // posting row, so the inner widf join loses no BM25 candidate
+      // either — one query side serves both scorers
       val qvec = qpost.join(broadcast(widf), Seq("h"))
         .select(col("query_id"), col("h"),
           (col("qtf").cast("double") * col("idf")).as("wq"))
-        .localCheckpoint(true) // query norms + dot
+        .localCheckpoint(true) // query norms + the scoring join
       val qnorm = qvec.groupBy(col("query_id"))
-        .agg(sum(round(pow(col("wq"), 2), 6).cast("decimal(18,6)")).as("n2"))
-        .select(col("query_id"), sqrt(col("n2").cast("double")).as("nq"))
+        .agg(sum(scaled6(pow(col("wq"), 2))).as("n2"))
+        .select(col("query_id"),
+          sqrt(col("n2").cast("double") / lit(1e6)).as("nq"))
+      val wBm = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score6").desc, col("cand_id"))
       val wCos = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
-      val cosr = enriched
+      val scored = enriched
         .join(broadcast(qvec), Seq("h"))
-        .withColumn("prod", round(col("wq") * col("wd"), 6))
         .groupBy(col("query_id"), col("cand_id"))
-        .agg(sum(col("prod").cast("decimal(18,6)")).as("dot"))
+        .agg(sum(col("term6")).as("score6"),
+          sum(scaled6(col("wq") * col("wd"))).as("dot6"))
         .join(dnorm, Seq("cand_id"))
         .join(broadcast(qnorm), Seq("query_id"))
-        .withColumn("cos", r6(col("dot").cast("double") / (col("nq") * col("nd"))))
+        .withColumn("cos", r6((col("dot6").cast("double") / lit(1e6)) /
+          (col("nq") * col("nd"))))
+        .withColumn("rnk1", row_number().over(wBm))
         .withColumn("rnk2", row_number().over(wCos))
-        .filter(col("rnk2") <= 10)
-        .select(col("query_id"), col("cand_id"), col("rnk2"))
+        .filter(col("rnk1") <= 10 || col("rnk2") <= 10)
       val wF = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("cand_id"))
-      bm.join(cosr, Seq("query_id", "cand_id"), "full_outer")
+      scored
+        .withColumn("rnk1", when(col("rnk1") <= 10, col("rnk1")))
+        .withColumn("rnk2", when(col("rnk2") <= 10, col("rnk2")))
         .withColumn("rrf",
           (coalesce(round(lit(1.0) / (lit(60) + col("rnk1")), 6), lit(0.0))
             .cast("decimal(18,6)") +

@@ -3,8 +3,11 @@ package graft.transform
 /** Shared synthetic raw-JSON trio covering the reference's edge cases
   * (FIXTURES.md §3 footnote): postponed fixture (null event), a fixture
   * present in both history and future (duplicate-PK resolution), unplayed
-  * null scores, null kickoff. Used by FplTransformSpec (file landing) and
-  * ExtractSpec (served from a fake HTTP endpoint).
+  * null scores, null kickoff. Used by FplTransformSpec (file landing),
+  * ExtractSpec (served from a fake HTTP endpoint), and — the reason it
+  * lives in the main source set — [[graft.Bench]]'s EtlRun capstone
+  * timing, which serves this trio from an in-JVM endpoint so the full
+  * extract→transform→Derby-load chain gets a wall-clock record per round.
   */
 object FplRawFixtures {
 

@@ -488,6 +488,17 @@ class PlanSpec extends SparkSpec {
         s"$q: a join on the token-hash key shuffles instead of broadcasting:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q: unexpected cartesian:\n$p")
     }
+    // The round-11 fusion contract: BOTH scorers ride ONE postings⋈query
+    // join (BM25 term6 and cosine wd live on the same enriched row; the
+    // query-vector build is materialized by localCheckpoint so it roots
+    // as ExistingRDD, not a second h-join). Two h-joins in the executed
+    // plan mean the fusion regressed to the run-the-chain-twice form.
+    {
+      val p = plan("q_rrf_fusion")
+      val hJoins = "BroadcastHashJoin \\[h#".r.findAllIn(p).size
+      assert(hJoins == 1,
+        s"q_rrf_fusion: expected exactly ONE postings⋈query join on h, found $hJoins:\n$p")
+    }
   }
 
   test("SemDeDup: within-cluster pairing is an equi-join, never a nested loop") {

@@ -59,9 +59,14 @@ class BloomMightContainSpec extends SparkSpec {
   test("non-foldable bloom argument is rejected at analysis") {
     GraftExtensions.register(spark)
     val df = Seq((Array[Byte](1, 2), 1L)).toDF("b", "k")
-    assertThrows[Exception] {
+    // Pin ANALYSIS-time rejection specifically: a bare assertThrows[Exception]
+    // would still pass if the foldable check regressed into a per-row runtime
+    // error, which is exactly the failure mode the check exists to prevent.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       df.select(call_function("graft_bloom_contains", $"b", $"k")).collect()
     }
+    assert(e.getMessage.contains("FOLDABLE"),
+      s"expected the foldable-bloom type-check message, got: ${e.getMessage}")
   }
 
   test("round-trips the exact filter stat.bloomFilter built on a real table") {

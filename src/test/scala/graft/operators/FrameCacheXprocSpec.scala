@@ -1,0 +1,117 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import scala.sys.process._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CROSS-PROCESS ensure semantics (VERDICT r10 item 4): two JVMs sharing
+  * a warehouse root must build an asset key once and read it
+  * consistently. Each test forks real JVMs (the MemoryGuardSpec harness
+  * shape) against a FRESH root passed via SPARK_GRAFT_INDEX_DIR.
+  *
+  * No SparkSpec mixin: the in-spec JVM must NOT touch FrameCache for
+  * these keys (its in-JVM memo would mask the filesystem protocol under
+  * test) — all Spark work happens in the forked workers.
+  */
+class FrameCacheXprocSpec extends AnyFunSuite {
+
+  private def fork(root: String, key: String, sentinel: Long,
+      mode: String): (Int, String) = {
+    val java = s"${sys.props("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java, "-Xmx2g") ++ addOpens ++ Seq(
+      "-cp", sys.props("java.class.path"),
+      "graft.operators.FrameCacheXprocMain", key, sentinel.toString, mode)
+    val out = new StringBuilder
+    val code = Process(cmd, None, "SPARK_GRAFT_INDEX_DIR" -> root)
+      .!(ProcessLogger(l => out.append(l).append('\n'),
+        l => out.append(l).append('\n')))
+    (code, out.toString)
+  }
+
+  private def parse(out: String): (Long, Int) = {
+    val m = "VALUE=(\\d+) BUILT=(\\d)".r.findFirstMatchIn(out)
+      .getOrElse(fail(s"no VALUE line in worker output:\n$out"))
+    (m.group(1).toLong, m.group(2).toInt)
+  }
+
+  private def rootListing(root: String): Set[String] =
+    Option(new java.io.File(root).list()).map(_.toSet).getOrElse(Set.empty)
+
+  test("sequential JVMs: the second process reads the first's asset without building") {
+    val root = Files.createTempDirectory("fc-xproc-seq").toString
+    val key = s"xproc#seq#${System.nanoTime()}"
+    val (c1, o1) = fork(root, key, 111L, "build")
+    assert(c1 === 0, s"builder worker failed:\n$o1")
+    assert(parse(o1) === ((111L, 1)))
+    // a FRESH process must serve the published asset and never invoke
+    // its build thunk (which throws in read mode)
+    val (c2, o2) = fork(root, key, 999L, "read")
+    assert(c2 === 0, s"reader worker failed (did it try to rebuild?):\n$o2")
+    assert(parse(o2) === ((111L, 0)))
+    val assets = rootListing(root).filter(_.startsWith("asset-"))
+    assert(assets.size === 1, s"expected exactly one published asset: $assets")
+  }
+
+  test("racing JVMs: exactly one publish wins, both read the winner, no staging leaks") {
+    val root = Files.createTempDirectory("fc-xproc-race").toString
+    val key = s"xproc#race#${System.nanoTime()}"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(fork(root, key, 1L, "build"))
+    val f2 = Future(fork(root, key, 2L, "build"))
+    val (c1, o1) = Await.result(f1, 5.minutes)
+    val (c2, o2) = Await.result(f2, 5.minutes)
+    assert(c1 === 0, s"racer 1 failed:\n$o1")
+    assert(c2 === 0, s"racer 2 failed:\n$o2")
+    val (v1, _) = parse(o1)
+    val (v2, _) = parse(o2)
+    // the loser must have discarded its own build and switched to the
+    // winner's published asset — both workers read the SAME value
+    assert(v1 === v2, s"inconsistent reads across racing JVMs: $v1 vs $v2\n$o1\n$o2")
+    assert(Set(1L, 2L).contains(v1))
+    val listing = rootListing(root)
+    assert(listing.count(_.startsWith("asset-")) === 1,
+      s"expected exactly one published asset: $listing")
+    assert(!listing.exists(_.startsWith(".stg-")),
+      s"staging dir leaked after the race: $listing")
+  }
+
+  test("regenerated source data yields a new asset id (freshness across processes)") {
+    val root = Files.createTempDirectory("fc-xproc-fresh").toString
+    val src = Files.createTempDirectory("fc-xproc-src")
+    Files.write(src.resolve("data.parquet"), Array[Byte](1, 2, 3))
+    val key = s"$src#fresh"
+    val (c1, o1) = fork(root, key, 1L, "build")
+    assert(c1 === 0, o1)
+    assert(parse(o1) === ((1L, 1)))
+    // regenerate the source: same path, new content/mtime
+    Thread.sleep(5) // mtime resolution
+    Files.write(src.resolve("data.parquet"), Array[Byte](4, 5, 6, 7))
+    val (c2, o2) = fork(root, key, 2L, "build")
+    assert(c2 === 0, o2)
+    // the stale asset must NOT be served: the stamp changed, so a fresh
+    // build runs and returns the new sentinel
+    assert(parse(o2) === ((2L, 1)),
+      s"stale asset served after source regeneration:\n$o2")
+    assert(rootListing(root).count(_.startsWith("asset-")) === 2)
+    // and an UNCHANGED source keeps serving the existing asset
+    val (c3, o3) = fork(root, key, 3L, "read")
+    assert(c3 === 0, o3)
+    assert(parse(o3) === ((2L, 0)))
+  }
+
+  // Paths.get is referenced to keep the import honest under -Xfatal-warnings
+  private val _ = Paths.get(".")
+}

@@ -145,8 +145,12 @@ def bench(dest):
          "-Xmx48g", "graft.Bench"],
         env=env, capture_output=True, text=True)
     # Bench exits 2 on any DNF but still prints the JSON line; a DNF'd
-    # query is simply absent from "queries" and shows as n/a below
-    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    # query is simply absent from "queries" and shows as n/a below.
+    # Bench prints TWO json lines (full record, then a <2000-char summary
+    # for the driver's tail-capture) — take the last one carrying the
+    # full per-query map.
+    rec = next(json.loads(l) for l in reversed(out.stdout.strip().splitlines())
+               if '"queries"' in l)
     for e in rec.get("errors", []):
         print(f"  DNF at {dest}: {e}", file=sys.stderr)
     return rec["queries"]
