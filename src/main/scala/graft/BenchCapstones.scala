@@ -83,7 +83,7 @@ object BenchCapstones {
     }
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten
       .foreach(deleteRecursively)
     f.delete(): Unit

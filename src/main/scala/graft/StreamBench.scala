@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupIndex, IvfIndex, VectorIndex}
+import graft.streaming.{CurationPipeline, StreamingIngestDedup, VectorIngest}
+
+/** Micro-batch throughput/latency record for the streaming twins
+  * (VERDICT r10 item 7) — the correctness specs prove streamed ≡ batch,
+  * this main puts a NUMBER on the per-batch cost so regressions in the
+  * foreachBatch pipelines show up in bench/results like everything else.
+  *
+  * Drive shape mirrors the specs: a file-source stream fed N pre-written
+  * parquet batch files, maxFilesPerTrigger=1, Trigger.AvailableNow — so
+  * the run is exactly N micro-batches over a known row count. Per-batch
+  * latency comes from StreamingQueryProgress (triggerExecution), the
+  * engine's own clock for a batch.
+  *
+  * Prints ONE JSON line and writes it to bench/results/stream-*.json:
+  *   {"metric":"stream","curate":{rows,batches,wall_sec,rows_per_sec,
+  *    batch_ms_avg,batch_ms_max},"vector":{...},"sf":...}
+  */
+object StreamBench {
+
+  private final case class Rec(rows: Long, batches: Int, wallSec: Double,
+      batchMsAvg: Double, batchMsMax: Double) {
+    def json: String =
+      f"""{"rows":$rows,"batches":$batches,"wall_sec":$wallSec%.2f,""" +
+        f""""rows_per_sec":${rows / wallSec}%.0f,""" +
+        f""""batch_ms_avg":$batchMsAvg%.0f,"batch_ms_max":$batchMsMax%.0f}"""
+  }
+
+  /** Write `df` bucketed by `nBatches` into one parquet file per batch
+    * under a fresh dir; returns (dir, total rows). */
+  private def batchFiles(df: DataFrame, keyCol: String, nBatches: Int)
+      : (String, Long) = {
+    val dir = Files.createTempDirectory("graft-streambench").toString
+    var total = 0L
+    // bucket on the shared multiplicative hash, not the raw id — the
+    // seed/incoming split is id-modulo, so raw-id modulo bucketing would
+    // alias with it and leave some batches empty
+    for (b <- 0 until nBatches) {
+      val part = df.filter(
+        pmod(expr(QueryKit.idHash(keyCol)), lit(nBatches)) === b)
+      total += part.count()
+      part.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/stage-$b")
+      val f = new java.io.File(s"$dir/stage-$b").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/batch-$b.parquet"))
+      BenchCapstones.deleteRecursively(new java.io.File(s"$dir/stage-$b"))
+    }
+    (dir, total)
+  }
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+      rows: Long, wallSec: Double): Rec = {
+    val ps = q.recentProgress.filter(_.numInputRows > 0)
+    val ms = ps.map(_.durationMs.get("triggerExecution").toDouble)
+    Rec(rows, ps.length, wallSec,
+      if (ms.isEmpty) 0 else ms.sum / ms.length,
+      if (ms.isEmpty) 0 else ms.max)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "6").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- curation: 1/3 of documents seed the index, 2/3 stream in ----
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val seed = docs.filter(col("doc_id") % 3 === 0)
+    val incoming = docs.filter(col("doc_id") % 3 =!= 0)
+    val root = Files.createTempDirectory("graft-sb-curate").toString
+    DedupIndex.write(DedupIndex.buildFrames(spark, seed),
+      StreamingIngestDedup.versionDir(root, 0))
+    val (cDir, cRows) = batchFiles(incoming, "doc_id", nBatches)
+    val cStream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", "1").parquet(cDir)
+    val cOut = s"$root/decisions"
+    val t0 = System.nanoTime()
+    val cq = CurationPipeline.start(root, cOut, cStream)
+    cq.awaitTermination()
+    val curate = drain(cq, cRows, (System.nanoTime() - t0) / 1e9)
+
+    // ---- vector ingest: 1/3 of embeddings train the quantizer --------
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = vecs.filter(col("vec_id") % 3 === 0)
+    val inVecs = vecs.filter(col("vec_id") % 3 =!= 0)
+    val vRoot = Files.createTempDirectory("graft-sb-vector").toString
+    VectorIndex.writeIvf(IvfIndex.buildLloyd(base, k = 8, iters = 2),
+      s"$vRoot/v0")
+    val (vDir, vRows) = batchFiles(inVecs, "vec_id", nBatches)
+    val vStream = spark.readStream.schema(inVecs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(vDir)
+    val t1 = System.nanoTime()
+    val vq = VectorIngest.start(vRoot, s"$vRoot/sink", vStream)
+    vq.awaitTermination()
+    val vector = drain(vq, vRows, (System.nanoTime() - t1) / 1e9)
+
+    val line = s"""{"metric":"stream","curate":${curate.json},""" +
+      s""""vector":${vector.json},"sf":"$sfDir"}"""
+    println(line)
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench/results")
+    if (outDir != "off") try {
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd-HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/stream-$stamp.json"), line)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/stream-latest.json"), line)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[streambench] durable record skipped: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}

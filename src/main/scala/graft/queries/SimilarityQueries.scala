@@ -189,14 +189,20 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // Brute-force cosine top-k: the exact baseline every ANN variant is
-    // measured against. Probe set = vec_id % 20 == 0 (5% sample). Norms
-    // are precomputed per row (not per pair) — same doubles, 3× fewer
+    // measured against. FIXED probe universe (vec_id % 20 = 0 AND
+    // vec_id < 2000 — the full id space at the largest test SF, so no
+    // output changes at any SF): the probe workload is
+    // query-determined, not corpus-proportional — a probe set growing
+    // with the corpus made the decade rehearsal quadratic by
+    // construction (55x at 10x; the q_ann_pq / retrievalFrames
+    // precedent). Work is now probes(const) x corpus = linear. Norms
+    // are precomputed per row (not per pair) — same doubles, 3x fewer
     // folds in the pair loop.
     "q_cosine_topk" -> ((s, dir) => {
       GraftExtensions.register(s)
       val e = t(s, dir, "embeddings")
         .withColumn("n2", expr("graft_fdot(embedding, embedding)"))
-      val probes = e.filter(col("vec_id") % 20 === 0)
+      val probes = e.filter(col("vec_id") % 20 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"))
       val cands = e.select(col("vec_id").as("cand_id"),
@@ -721,7 +727,8 @@ object SimilarityQueries extends QueryPack {
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS n2 FROM embeddings
          |), p AS (
-         |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2 FROM e WHERE vec_id % 20 = 0
+         |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2 FROM e
+         |  WHERE vec_id % 20 = 0 AND vec_id < 2000
          |), scored AS (
          |  SELECT probe_id, vec_id AS cand_id,
          |    ROUND(${dotDuck("pe", "embedding")} / (sqrt(pn2) * sqrt(n2)), 6) AS sim

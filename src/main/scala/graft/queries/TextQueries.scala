@@ -896,7 +896,13 @@ object TextQueries extends QueryPack {
       GraftExtensions.register(s)
       val toks = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         expr(s"array_sort(array_distinct(${tokenHashesSpark("text")}))").as("tset"))
-      val probes = toks.filter(col("doc_id") % 20 === 0)
+      // FIXED probe universe (doc_id % 20 = 0 AND doc_id < 5000 — the
+      // full id space at the largest test SF, so no output changes at
+      // any SF): a probe set growing with the corpus made the decade
+      // rehearsal quadratic by construction (25x at 10x — the
+      // retrievalFrames / q_cosine_topk precedent); with constant
+      // probes the lang-blocked scoring is linear in the corpus.
+      val probes = toks.filter(col("doc_id") % 20 === 0 && col("doc_id") < 5000)
         .select(col("doc_id").as("probe_id"), col("lang"), col("tset").as("ta"))
       val cands = toks
         .select(col("doc_id").as("cand_id"), col("lang"), col("tset").as("tb"))
@@ -2323,7 +2329,7 @@ object TextQueries extends QueryPack {
          |  SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
          |    ROUND(${jaccardDuck("p.tset", "c.tset")}, 6) AS jac
          |  FROM toks p JOIN toks c ON p.lang = c.lang AND p.doc_id <> c.doc_id
-         |  WHERE p.doc_id % 20 = 0
+         |  WHERE p.doc_id % 20 = 0 AND p.doc_id < 5000
          |), ranked AS (
          |  SELECT *, CAST(row_number() OVER
          |    (PARTITION BY probe_id ORDER BY jac DESC, cand_id) AS INT) AS rnk

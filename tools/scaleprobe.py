@@ -62,6 +62,8 @@ QUERIES = os.environ.get("SPROBE_QUERIES",
            "q_simhash_pairs,q_dedup_embedding,q_ann_lsh,"
            "q_dedup_minhash_lsh,q_ngram_jaccard,q_cosine_topk,"
            "q_jaccard_topk_lsh,q_ppjoin,q_triangles,"
+           # retrieval family (round 11: scaled-long sums + fused RRF)
+           "q_bm25_topk,q_rrf_fusion,q_hard_negatives,"
            # k-means family (round 4: deterministic Lloyd + PQ/probe-stats)
            "q_ann_ivf,q_ann_pq,q_ivf_probe_stats,q_embed_dedup_canon,"
            "q_substring_dup,q_substring_winnow")
