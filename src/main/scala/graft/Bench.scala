@@ -127,8 +127,13 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 100) / 100.0) }
       .mkString("{", ",", "}")
+    // errors truncated to 10 here (n_errors carries the true count): a
+    // mass-DNF run would otherwise push this line past the ~2000-char
+    // tail budget exactly when the parsed error list matters most
+    val errsShort = errors.take(10).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n_queries":${results.size},"capstones":$caps,"errors":$errs,"n_errors":${errors.size},"slowest":$slowest,"full_record":"bench/results/latest.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n_queries":${results.size},"capstones":$caps,"errors":$errsShort,"n_errors":${errors.size},"slowest":$slowest,"full_record":"bench/results/latest.json","sf":"$sfDir"}""")
     // durable full per-query record (the driver's BENCH artifact keeps
     // only a tail — per-query history was being lost between rounds);
     // opt-out/redirect via SPARK_GRAFT_BENCH_OUT=/path or "off"

@@ -31,11 +31,11 @@ object BenchCapstones {
   /** Seconds for one CurateRun over `sfDir/documents`. */
   def curateSeconds(spark: SparkSession, sfDir: String): Double = {
     val out = java.nio.file.Files.createTempDirectory("bench-curate").toString
-    val t0 = System.nanoTime()
-    CurateRun.run(spark, sfDir, out, log = _ => ())
-    val dt = (System.nanoTime() - t0) / 1e9
-    deleteRecursively(new java.io.File(out))
-    dt
+    try {
+      val t0 = System.nanoTime()
+      CurateRun.run(spark, sfDir, out, log = _ => ())
+      (System.nanoTime() - t0) / 1e9
+    } finally deleteRecursively(new java.io.File(out))
   }
 
   /** Seconds for one full EtlRun (extract → transform → Derby load). */

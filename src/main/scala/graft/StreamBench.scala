@@ -27,10 +27,15 @@ object StreamBench {
 
   private final case class Rec(rows: Long, batches: Int, wallSec: Double,
       batchMsAvg: Double, batchMsMax: Double) {
-    def json: String =
-      f"""{"rows":$rows,"batches":$batches,"wall_sec":$wallSec%.2f,""" +
-        f""""rows_per_sec":${rows / wallSec}%.0f,""" +
-        f""""batch_ms_avg":$batchMsAvg%.0f,"batch_ms_max":$batchMsMax%.0f}"""
+    // arithmetic rounding + Double.toString, NOT the f-interpolator:
+    // %f is locale-sensitive (comma decimals under e.g. de_DE would
+    // emit invalid JSON)
+    def json: String = {
+      def r2(x: Double) = math.round(x * 100) / 100.0
+      s"""{"rows":$rows,"batches":$batches,"wall_sec":${r2(wallSec)},""" +
+        s""""rows_per_sec":${math.round(rows / wallSec)},""" +
+        s""""batch_ms_avg":${math.round(batchMsAvg)},"batch_ms_max":${math.round(batchMsMax)}}"""
+    }
   }
 
   /** Write `df` bucketed by `nBatches` into one parquet file per batch
@@ -128,6 +133,10 @@ object StreamBench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[streambench] durable record skipped: ${e.getMessage}")
     }
+    // batch files, seed indexes, sinks and checkpoints are all sized
+    // like the input data — leaking them per run fills tmp at 10x SFs
+    for (d <- Seq(cDir, root, vDir, vRoot))
+      BenchCapstones.deleteRecursively(new java.io.File(d))
     spark.stop()
   }
 }

@@ -148,14 +148,17 @@ object DedupIndex {
     load(spark, dir)
   }
 
-  // ---- build-once-per-JVM cache ---------------------------------------
+  // ---- build-once cache -------------------------------------------------
 
-  /** Build-once-per-JVM: the first caller for `key` builds + persists;
-    * everyone (including the builder) consumes the parquet read-back.
-    * Paths (not DataFrames) are cached so a later caller's own session
-    * does the read — DataFrames must not outlive the session that
-    * created them. Per-JVM only: a fresh JVM rebuilds, so regenerated
-    * testdata can never be served a stale index. Dir allocation and the
+  /** Build-once: the first caller for `key` — across all processes
+    * sharing the warehouse root — builds + persists; everyone
+    * (including the builder) consumes the parquet read-back. Paths
+    * (not DataFrames) are cached so a later caller's own session does
+    * the read — DataFrames must not outlive the session that created
+    * them. Freshness is carried by the asset identity itself
+    * ([[FrameCache]]'s source stamp + build token): regenerated
+    * testdata or rebuilt library code yields a new asset id, so a
+    * stale index can never be served. Dir allocation and the
     * SPARK_GRAFT_INDEX_DIR root live in the ONE shared implementation,
     * [[FrameCache.ensureDir]]. */
   def ensure(spark: SparkSession, key: String, docs: => DataFrame,

@@ -27,11 +27,13 @@ class DialectDifferentialSpec extends AnyFunSuite {
     JdbcSink.loadOrder(FplDdl.all) :+ FplDdl.playersStatuses :+ FplDdl.record
 
   /** The total Postgres→Derby translation: the three mapped type tokens
-    * (word-boundary, so e.g. a future VARCHAR(n) would NOT silently
-    * re-map) plus NOT NULL on primary-key columns (Derby 42831). */
+    * (bare-token match — the `(?!\()` lookahead keeps a future
+    * parametrized VARCHAR(n) from silently re-mapping, since `\b`
+    * alone matches before '(') plus NOT NULL on primary-key columns
+    * (Derby 42831). */
   private def translate(pgDdl: String, spec: JdbcSink.TableSpec): String = {
     val typeMapped = pgDdl
-      .replaceAll("\\bVARCHAR\\b", "VARCHAR(512)")
+      .replaceAll("\\bVARCHAR\\b(?!\\()", "VARCHAR(512)")
       .replaceAll("\\bBOOL\\b", "BOOLEAN")
       .replaceAll("\\bBYTEA\\b", "BLOB")
     typeMapped.linesIterator.map { line =>

@@ -112,6 +112,35 @@ class FrameCacheXprocSpec extends AnyFunSuite {
     assert(parse(o3) === ((2L, 0)))
   }
 
+  test("gcStaging sweeps only ABANDONED staging dirs, never fresh ones or assets") {
+    // the sweep runs against the live shared root — use marker-unique
+    // names and a tiny age bound so nothing else is in scope
+    val root = Paths.get(FrameCache.root)
+    val dead = Files.createDirectory(
+      root.resolve(s".stg-gcdead-${System.nanoTime()}"))
+    Files.write(dead.resolve("partial"), Array[Byte](1))
+    // age the WHOLE dead tree past the bound — the sweep deliberately
+    // ages by the newest mtime anywhere under the staging (a live
+    // builder writes into nested frame dirs), so every entry must read old
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60000)
+    Files.setLastModifiedTime(dead.resolve("partial"), old)
+    Files.setLastModifiedTime(dead, old)
+    val fresh = Files.createDirectory(
+      root.resolve(s".stg-gcfresh-${System.nanoTime()}"))
+    val asset = Files.createDirectory(
+      root.resolve(s"asset-gckeep${System.nanoTime() % 1000000}"))
+    try {
+      FrameCache.gcStaging(maxAgeMillis = 30000)
+      assert(!Files.exists(dead), "abandoned staging survived the sweep")
+      assert(Files.exists(fresh), "a FRESH staging was swept — a live builder would lose its work")
+      assert(Files.exists(asset), "a published asset was swept — readers would break")
+    } finally {
+      Files.deleteIfExists(fresh)
+      Files.deleteIfExists(asset)
+    }
+  }
+
   // Paths.get is referenced to keep the import honest under -Xfatal-warnings
   private val _ = Paths.get(".")
 }
