@@ -141,6 +141,19 @@ class FrameCacheXprocSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceStamp sees data files one level down (directory-per-table layout)") {
+    val src = Files.createTempDirectory("fc-stamp-src")
+    val table = Files.createDirectory(src.resolve("documents"))
+    Files.write(table.resolve("part-0.parquet"), Array[Byte](1, 2))
+    val s1 = FrameCache.sourceStamp(src.toString)
+    assert(s1.nonEmpty,
+      "dir-per-table layout stamped empty — regeneration would be invisible")
+    Thread.sleep(5)
+    Files.write(table.resolve("part-0.parquet"), Array[Byte](3, 4, 5))
+    assert(FrameCache.sourceStamp(src.toString) !== s1,
+      "regenerating a nested data file did not change the stamp")
+  }
+
   // Paths.get is referenced to keep the import honest under -Xfatal-warnings
   private val _ = Paths.get(".")
 }
