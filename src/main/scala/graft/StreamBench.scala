@@ -39,10 +39,11 @@ object StreamBench {
   }
 
   /** Write `df` bucketed by `nBatches` into one parquet file per batch
-    * under a fresh dir; returns (dir, total rows). */
-  private def batchFiles(df: DataFrame, keyCol: String, nBatches: Int)
-      : (String, Long) = {
-    val dir = Files.createTempDirectory("graft-streambench").toString
+    * under a fresh dir (made by `mkDir`, so the caller's cleanup owns
+    * it); returns (dir, total rows). */
+  private def batchFiles(df: DataFrame, keyCol: String, nBatches: Int,
+      mkDir: String => String): (String, Long) = {
+    val dir = mkDir("graft-streambench")
     var total = 0L
     // bucket on the shared multiplicative hash, not the raw id — the
     // seed/incoming split is id-modulo, so raw-id modulo bucketing would
@@ -84,15 +85,26 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // every temp dir registers here and is deleted in the finally —
+    // the failure paths (a batch throwing mid-stream) are exactly the
+    // runs that would otherwise leak data-sized debris on each retry
+    val tempDirs = scala.collection.mutable.ListBuffer[String]()
+    def tempDir(prefix: String): String = {
+      val d = Files.createTempDirectory(prefix).toString
+      tempDirs += d
+      d
+    }
+    try {
+
     // ---- curation: 1/3 of documents seed the index, 2/3 stream in ----
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val seed = docs.filter(col("doc_id") % 3 === 0)
     val incoming = docs.filter(col("doc_id") % 3 =!= 0)
-    val root = Files.createTempDirectory("graft-sb-curate").toString
+    val root = tempDir("graft-sb-curate")
     DedupIndex.write(DedupIndex.buildFrames(spark, seed),
       StreamingIngestDedup.versionDir(root, 0))
-    val (cDir, cRows) = batchFiles(incoming, "doc_id", nBatches)
+    val (cDir, cRows) = batchFiles(incoming, "doc_id", nBatches, tempDir)
     val cStream = spark.readStream.schema(incoming.schema)
       .option("maxFilesPerTrigger", "1").parquet(cDir)
     val cOut = s"$root/decisions"
@@ -106,10 +118,10 @@ object StreamBench {
       .select(col("vec_id"), col("embedding"))
     val base = vecs.filter(col("vec_id") % 3 === 0)
     val inVecs = vecs.filter(col("vec_id") % 3 =!= 0)
-    val vRoot = Files.createTempDirectory("graft-sb-vector").toString
+    val vRoot = tempDir("graft-sb-vector")
     VectorIndex.writeIvf(IvfIndex.buildLloyd(base, k = 8, iters = 2),
       s"$vRoot/v0")
-    val (vDir, vRows) = batchFiles(inVecs, "vec_id", nBatches)
+    val (vDir, vRows) = batchFiles(inVecs, "vec_id", nBatches, tempDir)
     val vStream = spark.readStream.schema(inVecs.schema)
       .option("maxFilesPerTrigger", "1").parquet(vDir)
     val t1 = System.nanoTime()
@@ -133,10 +145,14 @@ object StreamBench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[streambench] durable record skipped: ${e.getMessage}")
     }
-    // batch files, seed indexes, sinks and checkpoints are all sized
-    // like the input data — leaking them per run fills tmp at 10x SFs
-    for (d <- Seq(cDir, root, vDir, vRoot))
-      BenchCapstones.deleteRecursively(new java.io.File(d))
-    spark.stop()
+
+    } finally {
+      // batch files, seed indexes, sinks and checkpoints are all sized
+      // like the input data — leaking them per run (ESPECIALLY failed
+      // runs, which get retried) fills tmp at 10x SFs
+      tempDirs.foreach(d =>
+        BenchCapstones.deleteRecursively(new java.io.File(d)))
+      spark.stop()
+    }
   }
 }

@@ -94,19 +94,19 @@ object FrameCache {
   }
 
   /** Content fingerprint of a source data directory: relative path,
-    * length and mtime of every regular file, walked TWO levels so both
-    * the flat testdata layout (dir/table.parquet) and Spark's
-    * directory-per-table layout (dir/table/part-*.parquet) stamp their
-    * data files — a top-level-only listing would stamp the latter
-    * empty and make regeneration invisible. Any regeneration touches
-    * mtimes, so the stamp changes. Missing/non-directory paths stamp
-    * empty — the asset then dedups on the key alone. */
+    * length and mtime of every regular file under it, RECURSIVELY — a
+    * bounded-depth walk stamps the flat and dir-per-table layouts but
+    * misses Hive-partitioned data (dir/table/part=x/part-*.parquet),
+    * whose regeneration would then be invisible. One full listing per
+    * (key, JVM) — resolve results are memoized. Any regeneration
+    * touches mtimes, so the stamp changes. Missing/non-directory paths
+    * stamp empty — the asset then dedups on the key alone. */
   def sourceStamp(dir: String): String =
     try {
       val p = Paths.get(dir)
       if (!Files.isDirectory(p)) ""
       else {
-        val s = Files.walk(p, 2)
+        val s = Files.walk(p)
         try s.iterator().asScala
           .filter(Files.isRegularFile(_))
           .map(f => s"${p.relativize(f)}:${Files.size(f)}:" +
@@ -116,33 +116,32 @@ object FrameCache {
       }
     } catch { case scala.util.control.NonFatal(_) => "" }
 
-  /** Fingerprint of the CODE that builds assets: the jar's size+mtime,
-    * or for a classes directory (the sbt dev loop) the count + newest
-    * mtime of its .class files. Folded into every asset id so a
-    * rebuilt library can never be served an asset persisted by OLDER
-    * builder code — the cross-process equivalent of the old
-    * per-JVM-rebuild code-freshness guarantee (a logic edit, e.g. a
-    * BM25 constant, changes no source data and no key, but it does
-    * change the compiled classes). Memoized: one walk per JVM. */
-  private lazy val buildToken: String =
+  /** Fingerprint of the CODE that builds assets: a digest of the CLASS
+    * BYTES this class was loaded from (jar contents, or every .class
+    * under the classes dir). Folded into every asset id so a rebuilt
+    * library can never be served an asset persisted by OLDER builder
+    * code — the cross-process equivalent of the old per-JVM-rebuild
+    * code-freshness guarantee (a logic edit, e.g. a BM25 constant,
+    * changes no source data and no key, but it does change the
+    * compiled classes). CONTENT-hashed, not mtime-hashed, so
+    * byte-identical deployments on different hosts/at different times
+    * agree on the token and still share builds. Memoized: one digest
+    * pass per JVM. */
+  private[operators] lazy val buildToken: String =
     try {
+      val md = java.security.MessageDigest.getInstance("SHA-1")
       val loc = getClass.getProtectionDomain.getCodeSource.getLocation
       val p = Paths.get(loc.toURI)
-      if (Files.isRegularFile(p)) // a jar
-        s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
-      else { // a classes directory
+      if (Files.isRegularFile(p)) md.update(Files.readAllBytes(p)) // a jar
+      else { // a classes directory: digest every .class, stable order
         val s = Files.walk(p)
-        try {
-          var n = 0L
-          var newest = 0L
-          s.iterator().asScala.filter(_.toString.endsWith(".class"))
-            .foreach { f =>
-              n += 1
-              newest = math.max(newest, Files.getLastModifiedTime(f).toMillis)
-            }
-          s"$n:$newest"
-        } finally s.close()
+        try s.iterator().asScala
+          .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".class"))
+          .toSeq.sortBy(_.toString)
+          .foreach(f => md.update(Files.readAllBytes(f)))
+        finally s.close()
       }
+      md.digest().map("%02x".format(_)).mkString.take(16)
     } catch { case scala.util.control.NonFatal(_) => "" }
 
   /** Deterministic asset id: key + the source stamp of the key's
@@ -166,7 +165,7 @@ object FrameCache {
       val m = fin.resolve(marker)
       if (Files.exists(m))
         Some(Files.readAllLines(m, StandardCharsets.UTF_8)
-          .asScala.toSeq.filter(_.nonEmpty))
+          .asScala.toSeq.filter(l => l.nonEmpty && !l.startsWith("#")))
       else None
     }
     readMarker() match {
@@ -177,8 +176,12 @@ object FrameCache {
         val names = try {
           Files.createDirectories(stg)
           val ns = build(stg.toString)
+          // first marker line records the builder token (the `#` prefix
+          // keeps it out of the frame-name list) — the stale-asset
+          // sweep keys on it
           Files.write(stg.resolve(marker),
-            ns.mkString("\n").getBytes(StandardCharsets.UTF_8))
+            (s"#token:$buildToken" +: ns).mkString("\n")
+              .getBytes(StandardCharsets.UTF_8))
           ns
         } catch { case e: Throwable => cleanup(stg.toString); throw e }
         try {
@@ -207,21 +210,29 @@ object FrameCache {
     }
   }
 
-  /** Sweep abandoned staging dirs (a builder that crashed between
-    * createDirectories and its publish rename leaves its private
-    * `.stg-*` behind — nothing else ever removes it). Only stagings
-    * untouched for `maxAgeMillis` go: a LIVE builder keeps writing
-    * into its staging, so a generous age bound (default 6h — longer
-    * than any build) can never race one. Published `asset-*` dirs are
-    * deliberately NOT collected here: a concurrent process may be
-    * mid-read, and asset retention is a policy decision for the
-    * warehouse owner, not a cache-internal guess. Returns the number
-    * of stagings removed. Safe to call from any process at any time. */
-  def gcStaging(maxAgeMillis: Long = 6L * 3600 * 1000): Int = {
+  /** Garbage-collect the warehouse root:
+    *
+    *  - ABANDONED STAGINGS (`.stg-*`): a builder that crashed between
+    *    createDirectories and its publish rename leaves its private
+    *    staging behind — nothing else ever removes it. Only stagings
+    *    whose whole TREE is untouched for `maxAgeMillis` go (a live
+    *    builder streams into nested frame dirs, so aging by the newest
+    *    mtime anywhere under the tree keeps an in-flight build fresh).
+    *  - SUPERSEDED ASSETS (`asset-*` whose marker records a DIFFERENT
+    *    builder token than this JVM's): a recompile re-ids every
+    *    asset, and without this sweep the orphans of each code version
+    *    accumulate until the root fills the disk. The same tree-age
+    *    bound applies, so an old-code process that is STILL actively
+    *    reading (reads don't touch mtimes, but 6h-old deployments
+    *    still running old code are the documented trade) is the only
+    *    exposure; current-token assets are never touched.
+    *
+    * Returns the number of directories removed. Safe to call from any
+    * process at any time; `rootDir` is overridable so tests sweep an
+    * isolated root instead of the live shared one. */
+  def gcStaging(maxAgeMillis: Long = 6L * 3600 * 1000,
+      rootDir: String = root): Int = {
     val cutoff = System.currentTimeMillis() - maxAgeMillis
-    // a live builder streams into NESTED frame dirs, which never touch
-    // the top-level staging mtime — age by the newest mtime anywhere
-    // under the staging tree, so a long in-flight build reads as fresh
     def newestUnder(p: Path): Long =
       try {
         val w = Files.walk(p)
@@ -230,12 +241,26 @@ object FrameCache {
           .foldLeft(0L)(math.max)
         finally w.close()
       } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
-    val s = Files.list(Paths.get(root))
+    def markerToken(p: Path): Option[String] =
+      try {
+        val m = p.resolve(marker)
+        if (!Files.exists(m)) None
+        else Files.readAllLines(m, StandardCharsets.UTF_8).asScala
+          .find(_.startsWith("#token:")).map(_.stripPrefix("#token:"))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val s = Files.list(Paths.get(rootDir))
     try {
-      val stale = s.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(".stg-"))
-        .filter(newestUnder(_) < cutoff)
-        .toList
+      val stale = s.iterator().asScala.filter { p =>
+        val name = p.getFileName.toString
+        val dead =
+          if (name.startsWith(".stg-")) true
+          else if (name.startsWith("asset-"))
+            // unreadable/absent marker ⇒ not this protocol's asset:
+            // leave it alone. Foreign tokens are superseded code.
+            markerToken(p).exists(_ != buildToken)
+          else false
+        dead && newestUnder(p) < cutoff
+      }.toList
       stale.foreach(p => cleanup(p.toString))
       stale.size
     } finally s.close()

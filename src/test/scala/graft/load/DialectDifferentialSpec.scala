@@ -33,7 +33,7 @@ class DialectDifferentialSpec extends AnyFunSuite {
     * (Derby 42831). */
   private def translate(pgDdl: String, spec: JdbcSink.TableSpec): String = {
     val typeMapped = pgDdl
-      .replaceAll("\\bVARCHAR\\b(?!\\()", "VARCHAR(512)")
+      .replaceAll("\\bVARCHAR\\b(?!\\s*\\()", "VARCHAR(512)")
       .replaceAll("\\bBOOL\\b", "BOOLEAN")
       .replaceAll("\\bBYTEA\\b", "BLOB")
     typeMapped.linesIterator.map { line =>

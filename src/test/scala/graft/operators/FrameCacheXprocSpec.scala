@@ -112,33 +112,46 @@ class FrameCacheXprocSpec extends AnyFunSuite {
     assert(parse(o3) === ((2L, 0)))
   }
 
-  test("gcStaging sweeps only ABANDONED staging dirs, never fresh ones or assets") {
-    // the sweep runs against the live shared root — use marker-unique
-    // names and a tiny age bound so nothing else is in scope
-    val root = Paths.get(FrameCache.root)
-    val dead = Files.createDirectory(
-      root.resolve(s".stg-gcdead-${System.nanoTime()}"))
-    Files.write(dead.resolve("partial"), Array[Byte](1))
-    // age the WHOLE dead tree past the bound — the sweep deliberately
-    // ages by the newest mtime anywhere under the staging (a live
-    // builder writes into nested frame dirs), so every entry must read old
+  test("gcStaging sweeps abandoned stagings + superseded-token assets; keeps fresh/current/foreign") {
+    // an ISOLATED root (rootDir param): sweeping the live shared root
+    // from a test could reap another suite's in-flight staging
+    val root = Files.createTempDirectory("fc-gc-root")
     val old = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 60000)
-    Files.setLastModifiedTime(dead.resolve("partial"), old)
-    Files.setLastModifiedTime(dead, old)
-    val fresh = Files.createDirectory(
-      root.resolve(s".stg-gcfresh-${System.nanoTime()}"))
-    val asset = Files.createDirectory(
-      root.resolve(s"asset-gckeep${System.nanoTime() % 1000000}"))
-    try {
-      FrameCache.gcStaging(maxAgeMillis = 30000)
-      assert(!Files.exists(dead), "abandoned staging survived the sweep")
-      assert(Files.exists(fresh), "a FRESH staging was swept — a live builder would lose its work")
-      assert(Files.exists(asset), "a published asset was swept — readers would break")
-    } finally {
-      Files.deleteIfExists(fresh)
-      Files.deleteIfExists(asset)
+    def ageTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(p)
+      try w.iterator().asScala.foreach(Files.setLastModifiedTime(_, old))
+      finally w.close()
     }
+    // (1) abandoned staging, whole tree old → swept
+    val dead = Files.createDirectory(root.resolve(".stg-gcdead"))
+    Files.write(dead.resolve("partial"), Array[Byte](1))
+    ageTree(dead)
+    // (2) fresh staging → kept (a live builder would lose its work)
+    val fresh = Files.createDirectory(root.resolve(".stg-gcfresh"))
+    // (3) old asset with the CURRENT builder token → kept
+    val current = Files.createDirectory(root.resolve("asset-current"))
+    Files.write(current.resolve("_GRAFT_COMPLETE"),
+      s"#token:${FrameCache.buildToken}\nt".getBytes("UTF-8"))
+    ageTree(current)
+    // (4) old asset with a SUPERSEDED token (previous code version) → swept
+    val stale = Files.createDirectory(root.resolve("asset-stale"))
+    Files.write(stale.resolve("_GRAFT_COMPLETE"),
+      "#token:0123456789abcdef\nt".getBytes("UTF-8"))
+    ageTree(stale)
+    // (5) old markerless dir under the asset prefix (not this
+    // protocol's asset) → kept
+    val foreign = Files.createDirectory(root.resolve("asset-foreign"))
+    ageTree(foreign)
+    val removed = FrameCache.gcStaging(
+      maxAgeMillis = 30000, rootDir = root.toString)
+    assert(removed === 2, s"expected exactly {dead staging, stale asset} swept, got $removed")
+    assert(!Files.exists(dead), "abandoned staging survived the sweep")
+    assert(Files.exists(fresh), "a FRESH staging was swept")
+    assert(Files.exists(current), "a current-token asset was swept — readers would break")
+    assert(!Files.exists(stale), "a superseded-token asset survived — the root would grow without bound across recompiles")
+    assert(Files.exists(foreign), "a markerless foreign dir was swept")
   }
 
   test("sourceStamp sees data files one level down (directory-per-table layout)") {
