@@ -501,6 +501,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("brute-force baselines: the fixed probe-universe cap reaches the scan") {
+    // The id cap IS the scale contract for the two brute-force
+    // baselines (round 11: an uncapped `% 20` probe set grows with the
+    // corpus and makes the pair work quadratic — 55x/25x wall at 10x
+    // data). The decade rehearsal that caught it runs rarely; this pin
+    // runs every round. The cap is a plain range predicate, so it must
+    // survive to a scan's PushedFilters — a restructure that strands
+    // it above a join would silently re-quadratize the query.
+    for ((q, cap) <- Seq("q_cosine_topk" -> "LessThan(vec_id,2000)",
+        "q_ngram_jaccard" -> "LessThan(doc_id,5000)")) {
+      val p = plan(q)
+      assert(p.contains(cap),
+        s"$q: the fixed probe-universe cap is no longer pushed to the scan " +
+          s"(expected $cap in PushedFilters) — the probe set would grow " +
+          s"with the corpus again:\n$p")
+    }
+  }
+
   test("SemDeDup: within-cluster pairing is an equi-join, never a nested loop") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
