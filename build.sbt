@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails stdout of `sbt "runMain graft.Bench"` and json-parses
+// the LAST line. Two sbt behaviors broke that for 11 rounds: the default
+// LoggedOutput strategy prefixes every forked-process line with "[info] ",
+// and sbt appends its own "[success] Total time: ..." trailer. Route
+// forked output straight through and drop the trailer so graft.Bench's
+// compact summary is the literal final stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude
+// it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -30,6 +30,9 @@ object Bench {
     val timedPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // zero-codegen-fallback gate: an interpreted projection is a silent
+    // perf regression — surface it in the record and in the exit code
+    graft.quality.CodegenGuard.install()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -114,8 +117,9 @@ object Bench {
     val caps = capstones.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cgf = graft.quality.CodegenGuard.count
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spans,"capstones":$caps,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spans,"capstones":$caps,"errors":$errs,"n_errors":${errors.size},"codegen_fallbacks":$cgf,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json keeps only the LAST ~2000 chars of
     // stdout and json-parses what it kept — the full line above is ~12 KB
@@ -132,8 +136,8 @@ object Bench {
     // tail budget exactly when the parsed error list matters most
     val errsShort = errors.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n_queries":${results.size},"capstones":$caps,"errors":$errsShort,"n_errors":${errors.size},"slowest":$slowest,"full_record":"bench/results/latest.json","sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n_queries":${results.size},"capstones":$caps,"errors":$errsShort,"n_errors":${errors.size},"codegen_fallbacks":$cgf,"slowest":$slowest,"full_record":"bench/results/latest.json","sf":"$sfDir"}"""
     // durable full per-query record (the driver's BENCH artifact keeps
     // only a tail — per-query history was being lost between rounds);
     // opt-out/redirect via SPARK_GRAFT_BENCH_OUT=/path or "off"
@@ -146,13 +150,31 @@ object Bench {
         .format(java.time.Instant.now())
       java.nio.file.Files.writeString(dir.resolve(s"bench-$stamp.json"), line)
       java.nio.file.Files.writeString(dir.resolve("latest.json"), line)
+      // fixed-path twin of the final stdout line, for any consumer that
+      // prefers a file over tailing stdout
+      java.nio.file.Files.writeString(dir.resolve("summary-latest.json"), summary)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] durable record skipped: ${e.getMessage}")
     }
     spark.stop()
-    // a DNF'd query is a red run — automation keying on the exit code
-    // must not read it as green (the JSON line above is still printed)
-    if (errors.nonEmpty) sys.exit(2)
+    if (graft.quality.CodegenGuard.count > 0) {
+      System.err.println(
+        s"[bench] CODEGEN GUARD TRIPPED (${graft.quality.CodegenGuard.count} events):")
+      graft.quality.CodegenGuard.captured.take(10)
+        .foreach(l => System.err.println(s"[bench]   $l"))
+    }
+    // the compact summary is the ABSOLUTE FINAL stdout line: the driver
+    // keeps the last ~2000 chars of stdout and json-parses the final line
+    // — build.sbt routes forked run output straight to stdout and hides
+    // sbt's own [success] trailer, and the root logger is switched OFF
+    // here so a stray WARN from a JVM shutdown hook can't print after it
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    println(summary)
+    // a DNF'd query or a codegen fallback is a red run — automation
+    // keying on the exit code must not read it as green (the JSON lines
+    // above are still printed)
+    if (errors.nonEmpty || graft.quality.CodegenGuard.count > 0) sys.exit(2)
   }
 }

@@ -26,15 +26,28 @@ import graft.streaming.{CurationPipeline, StreamingIngestDedup, VectorIngest}
 object StreamBench {
 
   private final case class Rec(rows: Long, batches: Int, wallSec: Double,
-      batchMsAvg: Double, batchMsMax: Double) {
+      batchMsAvg: Double, batchMsMax: Double, ms: Seq[Double]) {
     // arithmetic rounding + Double.toString, NOT the f-interpolator:
     // %f is locale-sensitive (comma decimals under e.g. de_DE would
     // emit invalid JSON)
     def json: String = {
       def r2(x: Double) = math.round(x * 100) / 100.0
+      // state-growth slope for soak runs: mean of the last third over the
+      // first third of per-batch latencies. ~1 = flat (bounded state /
+      // amortized index growth); steadily >1 = per-batch cost grows with
+      // accumulated state. Thirds, not halves, so warmup (JIT, first
+      // index version) doesn't dilute the signal.
+      val slope =
+        if (ms.length < 6) 1.0
+        else {
+          val third = ms.length / 3
+          (ms.takeRight(third).sum / third) / (ms.take(third).sum / third)
+        }
+      val curve = ms.map(m => math.round(m).toString).mkString("[", ",", "]")
       s"""{"rows":$rows,"batches":$batches,"wall_sec":${r2(wallSec)},""" +
         s""""rows_per_sec":${math.round(rows / wallSec)},""" +
-        s""""batch_ms_avg":${math.round(batchMsAvg)},"batch_ms_max":${math.round(batchMsMax)}}"""
+        s""""batch_ms_avg":${math.round(batchMsAvg)},"batch_ms_max":${math.round(batchMsMax)},""" +
+        s""""tail_over_head":${r2(slope)},"batch_ms":$curve}"""
     }
   }
 
@@ -54,8 +67,13 @@ object StreamBench {
       total += part.count()
       part.coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/stage-$b")
-      val f = new java.io.File(s"$dir/stage-$b").listFiles()
-        .find(_.getName.endsWith(".parquet")).get
+      // listFiles() is null if the dir is missing and find is None if the
+      // write produced no part file — name the empty bucket instead of
+      // surfacing an opaque NPE/NoSuchElementException
+      val f = Option(new java.io.File(s"$dir/stage-$b").listFiles())
+        .toSeq.flatten.find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(
+          s"no parquet part written for batch $b under $dir/stage-$b"))
       Files.move(f.toPath,
         java.nio.file.Paths.get(s"$dir/batch-$b.parquet"))
       BenchCapstones.deleteRecursively(new java.io.File(s"$dir/stage-$b"))
@@ -66,10 +84,10 @@ object StreamBench {
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
       rows: Long, wallSec: Double): Rec = {
     val ps = q.recentProgress.filter(_.numInputRows > 0)
-    val ms = ps.map(_.durationMs.get("triggerExecution").toDouble)
+    val ms = ps.map(_.durationMs.get("triggerExecution").toDouble).toSeq
     Rec(rows, ps.length, wallSec,
       if (ms.isEmpty) 0 else ms.sum / ms.length,
-      if (ms.isEmpty) 0 else ms.max)
+      if (ms.isEmpty) 0 else ms.max, ms)
   }
 
   def main(args: Array[String]): Unit = {
@@ -82,6 +100,9 @@ object StreamBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // soak runs need every batch's progress for the latency curve —
+      // the default retention (100) would silently truncate a long soak
+      .config("spark.sql.streaming.numRecentProgressUpdates", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

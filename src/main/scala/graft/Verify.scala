@@ -7,6 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // zero-codegen-fallback gate: a Janino failure is only a log line to
+    // Spark; here it fails the run (exit 3, AFTER all artifacts are
+    // written) so an interpreted hot path can't ship silently again
+    graft.quality.CodegenGuard.install()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,6 +45,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/codegen_guard.json"),
+      graft.quality.CodegenGuard.reportJson)
     spark.stop()
+    if (graft.quality.CodegenGuard.count > 0) {
+      System.err.println(
+        s"[verify] CODEGEN GUARD TRIPPED (${graft.quality.CodegenGuard.count} events) — " +
+          "a generated-code compile failure fell back to interpreter mode:")
+      graft.quality.CodegenGuard.captured.take(10)
+        .foreach(l => System.err.println(s"[verify]   $l"))
+      sys.exit(3)
+    }
   }
 }

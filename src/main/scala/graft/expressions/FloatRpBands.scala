@@ -2,6 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
 
@@ -62,18 +63,35 @@ case class FloatRpBands(emb: Expression, bands: Expression, width: Expression)
     if (out == null) null else new GenericArrayData(out)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, nb, r) => {
-      val out = ctx.freshName("out")
-      s"""
-         |long[] $out = graft.expressions.FloatRpBands.compute($a, $nb, $r);
-         |if ($out == null) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         |}
-       """.stripMargin
-    })
+  // Full codegen, not nullSafeCodeGen: the null-element → NULL-row path
+  // assigns the expression's own null flag, which nullSafeCodeGen's
+  // contract forbids (it may render ev.isNull as an unassignable literal
+  // — the FloatDotProduct round-11 defect; this expression only compiled
+  // because nullable=true kept the flag a variable. Owning the flag makes
+  // that robustness explicit instead of incidental.)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val eg = emb.genCode(ctx)
+    val bg = bands.genCode(ctx)
+    val wg = width.genCode(ctx)
+    val out = ctx.freshName("out")
+    ev.copy(code =
+      code"""
+        ${eg.code}
+        ${bg.code}
+        ${wg.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${eg.isNull} && !${bg.isNull} && !${wg.isNull}) {
+          long[] $out = graft.expressions.FloatRpBands.compute(
+            ${eg.value}, ${bg.value}, ${wg.value});
+          if ($out != null) {
+            ${ev.isNull} = false;
+            ${ev.value} =
+              new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+          }
+        }
+      """)
+  }
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): FloatRpBands =

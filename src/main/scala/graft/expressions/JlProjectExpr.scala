@@ -2,6 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
@@ -47,64 +48,35 @@ case class JlProjectExpr(child: Expression, k: Int = 8) extends UnaryExpression 
     }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    var p = 0
-    while (p < n) {
-      if (a.isNullAt(p)) return null
-      p += 1
-    }
-    val out = new Array[Long](k)
-    var j = 0
-    while (j < k) {
-      var s = 0L
-      var i = 0
-      while (i < n) {
-        val micro = math.floor(a.getFloat(i).toDouble * 1000000 + 0.5).toLong
-        val h = (j * 256L + i) % 1000000007L * 2654435761L % 1000000007L
-        s += (if (h % 2 == 0) micro else -micro)
-        i += 1
-      }
-      out(j) = s
-      j += 1
-    }
-    new GenericArrayData(out)
+    val out = JlProjectExpr.compute(input.asInstanceOf[ArrayData], k)
+    if (out == null) null else new GenericArrayData(out)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n")
-      val out = ctx.freshName("out")
-      val j = ctx.freshName("j")
-      val i = ctx.freshName("i")
-      val s = ctx.freshName("s")
-      val micro = ctx.freshName("micro")
-      val h = ctx.freshName("h")
-      val hasNull = ctx.freshName("hasNull")
-      s"""
-         |int $n = $a.numElements();
-         |boolean $hasNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { $hasNull = true; break; }
-         |}
-         |if ($hasNull) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long[] $out = new long[$k];
-         |  for (int $j = 0; $j < $k; $j++) {
-         |    long $s = 0L;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      long $micro = (long) Math.floor(
-         |        ((double) $a.getFloat($i)) * 1000000 + 0.5);
-         |      long $h = ($j * 256L + $i) % 1000000007L * 2654435761L % 1000000007L;
-         |      $s += (($h % 2 == 0) ? $micro : -$micro);
-         |    }
-         |    $out[$j] = $s;
-         |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         |}
-       """.stripMargin
-    })
+  // Full codegen, not nullSafeCodeGen: the null-element → NULL-row path
+  // assigns the expression's own null flag, which nullSafeCodeGen's
+  // contract forbids (it may render ev.isNull as an unassignable literal
+  // — the FloatDotProduct round-11 defect; this expression only compiled
+  // because nullable=true kept the flag a variable). Generated code calls
+  // the same static kernel as eval, so interpreted ≡ codegen by
+  // construction.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg = child.genCode(ctx)
+    val out = ctx.freshName("out")
+    ev.copy(code =
+      code"""
+        ${cg.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${cg.isNull}) {
+          long[] $out = graft.expressions.JlProjectExpr.compute(${cg.value}, $k);
+          if ($out != null) {
+            ${ev.isNull} = false;
+            ${ev.value} =
+              new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+          }
+        }
+      """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): JlProjectExpr =
     copy(child = newChild)
@@ -125,5 +97,31 @@ object JlProjectExpr {
         throw new IllegalArgumentException(
           "graft_jlproj takes (array<float>) or (array<float>, <int literal k>)")
     }
+  }
+
+  /** Static kernel (shared by eval and generated code): the k micro-scaled
+    * component sums, or null (→ NULL row) if any element is null. */
+  def compute(a: ArrayData, k: Int): Array[Long] = {
+    val n = a.numElements()
+    var p = 0
+    while (p < n) {
+      if (a.isNullAt(p)) return null
+      p += 1
+    }
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val micro = math.floor(a.getFloat(i).toDouble * 1000000 + 0.5).toLong
+        val h = (j * 256L + i) % 1000000007L * 2654435761L % 1000000007L
+        s += (if (h % 2 == 0) micro else -micro)
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    out
   }
 }

@@ -130,7 +130,11 @@ object Pipelines {
     * max_features → maxDepth × featureSubsetStrategy, cell 20);
     * "gbt" → GBTClassifier (the XGBClassifier stand-in — MLlib's
     * gradient-boosted trees are the same model family; xgboost itself
-    * is not an MLlib estimator), grid over maxDepth.
+    * is not an MLlib estimator), grid over maxDepth;
+    * "xgb" → GBTClassifier with the notebook's ACTUAL params_xg grid
+    * translated knob-for-knob (modelling_1 cell 24; mapping table in
+    * COVERAGE.md — reg_alpha/reg_lambda have no MLlib counterpart and
+    * are documented as the stand-in's hyperparameter-surface gap).
     *
     * PCA k is chosen from explained variance on `train` exactly like
     * [[playsPipelineAuto]] (sklearn's fractional n_components has no
@@ -186,8 +190,30 @@ object Pipelines {
           new ParamGridBuilder()
             .addGrid(gbt.maxDepth, Array(2, 4))
             .build())
+      case "xgb" =>
+        // The documented XGBClassifier→GBTClassifier hyperparameter
+        // mapping (ref: modelling_1_player_plays.ipynb cell 24, params_xg;
+        // full table in COVERAGE.md "XGBoost stand-in"):
+        //   learning_rate [0.3]   → stepSize [0.3]   (same shrinkage knob)
+        //   max_depth    [2, 6]   → maxDepth [2, 6]  (identical meaning)
+        //   n_estimators (default 100) → maxIter (`gbtIters`; callers pass
+        //                           100 for the notebook budget)
+        //   reg_alpha / reg_lambda [0.1, 1, 10] → NO MLlib counterpart:
+        //     GBT has no L1/L2 penalty on leaf weights. The nearest
+        //     overfit controls are maxDepth (already in the grid) and
+        //     minInstancesPerNode/subsamplingRate — deliberately NOT
+        //     grid-searched here so the grid stays an honest translation,
+        //     not a pretend-equivalent. This is the stand-in's real
+        //     hyperparameter-surface divergence.
+        val gbt = new GBTClassifier()
+          .setMaxIter(gbtIters).setSeed(seed).setFeaturesCol("features")
+        (gbt: org.apache.spark.ml.PipelineStage,
+          new ParamGridBuilder()
+            .addGrid(gbt.stepSize, Array(0.3))
+            .addGrid(gbt.maxDepth, Array(2, 6))
+            .build())
       case other => throw new IllegalArgumentException(
-        s"classifier must be 'rf' or 'gbt', got '$other'")
+        s"classifier must be 'rf', 'gbt' or 'xgb', got '$other'")
     }
     val stages = prepStages ++ Array[org.apache.spark.ml.PipelineStage](
       pca, sel, clf)

@@ -94,10 +94,11 @@ object FrameCache {
   }
 
   /** Content fingerprint of a source data directory: relative path,
-    * length and mtime of every regular file under it, RECURSIVELY — a
-    * bounded-depth walk stamps the flat and dir-per-table layouts but
-    * misses Hive-partitioned data (dir/table/part=x/part-*.parquet),
-    * whose regeneration would then be invisible. One full listing per
+    * length and mtime of every regular file under it. The walk is FULLY
+    * RECURSIVE (`Files.walk` with no depth bound), so flat, dir-per-table
+    * AND Hive-partitioned layouts (dir/table/part=x/part-*.parquet) are
+    * all stamped — a bounded-depth walk would miss the partitioned case
+    * and make its regeneration invisible. One full listing per
     * (key, JVM) — resolve results are memoized. Any regeneration
     * touches mtimes, so the stamp changes. Missing/non-directory paths
     * stamp empty — the asset then dedups on the key alone. */
@@ -142,24 +143,42 @@ object FrameCache {
         finally s.close()
       }
       md.digest().map("%02x".format(_)).mkString.take(16)
-    } catch { case scala.util.control.NonFatal(_) => "" }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // e.g. getCodeSource == null under an exotic classloader. The
+        // empty token still builds/serves assets correctly, but the
+        // code-freshness guarantee is gone — say so LOUDLY, once, and
+        // gcStaging additionally skips the superseded-asset sweep (an
+        // empty token would classify every healthy asset as foreign).
+        System.err.println(
+          "[FrameCache] WARNING: builder code fingerprint unavailable " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); asset ids " +
+            "will not change on recompile and the superseded-asset sweep " +
+            "is disabled for this process")
+        ""
+    }
 
-  /** Deterministic asset id: key + the source stamp of the key's
+  /** Deterministic asset id: API kind (ensure vs dir — the two APIs
+    * publish structurally different assets, so the SAME key string
+    * through both must not resolve to one on-disk dir: ensure() would
+    * silently return an empty frame map from an ensureDir-published
+    * marker instead of building) + key + the source stamp of the key's
     * `<sourceDir>#` prefix (the ensure-key convention) + the builder
     * code fingerprint. */
-  private def assetId(key: String): String = {
+  private def assetId(kind: String, key: String): String = {
     val src = key.split('#').head
     val md = java.security.MessageDigest.getInstance("SHA-1")
-    val bytes = md.digest((key + " " + sourceStamp(src) + " " + buildToken)
-      .getBytes(StandardCharsets.UTF_8))
+    val bytes = md.digest(
+      (kind + "|" + key + " " + sourceStamp(src) + " " + buildToken)
+        .getBytes(StandardCharsets.UTF_8))
     bytes.map("%02x".format(_)).mkString.take(16)
   }
 
   /** The cross-process resolve-or-build protocol. Returns the final
     * asset dir and the marker's frame-name lines. */
-  private def resolve(key: String, build: String => Seq[String])
+  private def resolve(kind: String, key: String, build: String => Seq[String])
       : (String, Seq[String]) = {
-    val id = assetId(key)
+    val id = assetId(kind, key)
     val fin = Paths.get(s"$root/asset-$id")
     def readMarker(): Option[Seq[String]] = {
       val m = fin.resolve(marker)
@@ -169,7 +188,18 @@ object FrameCache {
       else None
     }
     readMarker() match {
-      case Some(names) => (fin.toString, names)
+      case Some(names) =>
+        // READ LEASE: reading doesn't bump mtimes, so a long-lived
+        // old-code process could have its asset swept from under it by a
+        // newer deployment's superseded-token GC once the tree aged past
+        // the bound. Touching the marker on each cross-process resolve
+        // (memoized — once per key per JVM) keeps any actively-read
+        // asset inside the age bound. Best-effort: a read-only root
+        // still resolves.
+        try Files.setLastModifiedTime(fin.resolve(marker),
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case scala.util.control.NonFatal(_) => () }
+        (fin.toString, names)
       case None =>
         gcOnce // janitor moment: about to add a staging — sweep dead ones
         val stg = Paths.get(s"$root/.stg-$id-${UUID.randomUUID().toString.take(8)}")
@@ -256,8 +286,12 @@ object FrameCache {
           if (name.startsWith(".stg-")) true
           else if (name.startsWith("asset-"))
             // unreadable/absent marker ⇒ not this protocol's asset:
-            // leave it alone. Foreign tokens are superseded code.
-            markerToken(p).exists(_ != buildToken)
+            // leave it alone. Foreign tokens are superseded code —
+            // UNLESS this process's own token degraded to empty
+            // (fingerprint unavailable), in which case every healthy
+            // asset would read as foreign: skip the sweep entirely and
+            // keep only the dead-staging sweep.
+            buildToken.nonEmpty && markerToken(p).exists(_ != buildToken)
           else false
         dead && newestUnder(p) < cutoff
       }.toList
@@ -276,7 +310,7 @@ object FrameCache {
       dirs.get(key) match {
         case Some(d) => d
         case None =>
-          val (d, _) = resolve(key, { stg => build(stg); Seq.empty })
+          val (d, _) = resolve("dir", key, { stg => build(stg); Seq.empty })
           dirs.put(key, d)
           d
       }
@@ -293,7 +327,7 @@ object FrameCache {
       cache.get(key) match {
         case Some(v) => v
         case None =>
-          val v = resolve(key, { stg =>
+          val v = resolve("ensure", key, { stg =>
             val frames = build
             frames.foreach { case (n, df) =>
               df.write.mode("overwrite").parquet(s"$stg/$n")

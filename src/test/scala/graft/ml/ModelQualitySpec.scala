@@ -77,6 +77,56 @@ class ModelQualitySpec extends SparkSpec {
     assert(acc > majority + 0.2)
   }
 
+  test("XGB stand-in (GBT, mapped notebook grid) learns the separable task inside the band") {
+    // VERDICT r11 item 8: the stand-in needs RECORDED quality evidence,
+    // not just a shape claim. Task: same separable long-vs-short label as
+    // the LR gate above, but through the POINTS pipeline (PercentageCalc-
+    // less numeric branch: assembler → scaler → PCA → SelectKBest → GBT)
+    // with classifier="xgb" — the knob-for-knob translation of
+    // modelling_1 cell 24's params_xg. Both grid points (maxDepth 2 and
+    // 6 at stepSize 0.3) must clear the band: a healthy boosted ensemble
+    // separates this task at ≈1.0 accuracy at EITHER depth, so a fit
+    // falling to the majority floor means the stand-in pipeline — not
+    // the tuning — regressed. The notebook's published numbers this
+    // band is calibrated against are recorded in COVERAGE.md ("XGBoost
+    // stand-in"): plays base-model accuracy 0.8474, LR nested-CV
+    // 0.8363 ± 0.015, XGB "similar" (cell 27/28).
+    val (train0, test) = labeled()
+    def feats(df: DataFrame): DataFrame = df
+      .withColumn("n_chars", length(col("text")).cast("double"))
+      .withColumn("n_punct",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("double"))
+      .withColumn("n_upper",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[A-Z]", ""))).cast("double"))
+    val train = feats(train0)
+    val testF = feats(test)
+    val (pipe, grid) = Pipelines.pointsPipeline(train,
+      inputCols = Array("n_chars", "n_punct", "n_upper"),
+      classifier = "xgb", selectK = 2, gbtIters = 10)
+    // the mapped grid IS the contract: stepSize fixed at the notebook's
+    // 0.3, maxDepth exactly {2, 6}
+    assert(grid.length === 2)
+    val depths = grid.map(pm => pm.toSeq.collectFirst {
+      case p if p.param.name == "maxDepth" => p.value.asInstanceOf[Int]
+    }.get).toSet
+    assert(depths === Set(2, 6))
+    assert(grid.forall(pm => pm.toSeq.exists(p =>
+      p.param.name == "stepSize" && p.value == 0.3)))
+    grid.foreach { pm =>
+      val preds = pipe.copy(pm).fit(train).transform(testF)
+      val acc = Pipelines.accuracy(preds)
+      val auc = Pipelines.auc(preds)
+      val d = pm.toSeq.collectFirst {
+        case p if p.param.name == "maxDepth" => p.value
+      }.getOrElse("?")
+      info(f"maxDepth=$d grid point: acc=$acc%.4f auc=$auc%.4f")
+      assert(acc >= 0.90, f"stand-in accuracy $acc%.4f out of band at $pm")
+      assert(auc >= 0.95, f"stand-in AUC $auc%.4f out of band at $pm")
+    }
+  }
+
   test("seeded refit reproduces plays-pipeline metrics exactly (determinism gate)") {
     val data = Pipelines.eventFeatures(Tables(spark, sf("sf0.001"), "events"))
     val (train, test) = GroupedFolds.groupSplit(data, "user_id", 0.8, seed = 11L)

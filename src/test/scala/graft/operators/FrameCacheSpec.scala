@@ -90,4 +90,29 @@ class FrameCacheSpec extends SparkSpec {
     assert(bStartedWhileAHeld,
       "key B's build never started while key A held its build lock")
   }
+
+  test("ensure() and ensureDir() with the SAME key resolve to DIFFERENT assets") {
+    // ADVICE r11: the two APIs publish structurally different assets (an
+    // ensureDir marker lists no frame names); before the API-kind fold in
+    // assetId, the same key string through both resolved to one on-disk
+    // dir and ensure() silently returned an EMPTY frame map from an
+    // ensureDir-published marker instead of building.
+    val key = s"spec#fckind#${System.nanoTime()}"
+    val dir = FrameCache.ensureDir(key) { stg =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$stg/payload.txt"), "dir-api")
+      ()
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/payload.txt")))
+    var built = false
+    val frames = FrameCache.ensure(spark, key) {
+      built = true
+      Seq("t" -> Seq(7).toDF("b"))
+    }
+    assert(built,
+      "ensure() served an ensureDir-published asset for the same key — " +
+        "the API namespaces collided")
+    assert(frames.keySet === Set("t") && frames("t").head.getInt(0) === 7)
+  }
 }

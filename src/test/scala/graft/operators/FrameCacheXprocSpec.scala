@@ -63,6 +63,30 @@ class FrameCacheXprocSpec extends AnyFunSuite {
     assert(assets.size === 1, s"expected exactly one published asset: $assets")
   }
 
+  test("cross-process read renews the marker lease — GC can't reap an actively-read asset") {
+    // ADVICE r11: reads don't bump mtimes, so a >6h-old asset still being
+    // read by an old process could be swept by a newer deployment's
+    // superseded-token GC. resolve() now touches the marker on each
+    // cross-process read, pulling the asset back inside the age bound.
+    val root = Files.createTempDirectory("fc-xproc-lease").toString
+    val key = s"xproc#lease#${System.nanoTime()}"
+    val (c1, o1) = fork(root, key, 5L, "build")
+    assert(c1 === 0, o1)
+    val assetDir = new java.io.File(root).listFiles()
+      .find(_.getName.startsWith("asset-")).getOrElse(fail("no asset published"))
+    val marker = assetDir.toPath.resolve("_GRAFT_COMPLETE")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7L * 3600 * 1000)
+    Files.setLastModifiedTime(marker, old)
+    val (c2, o2) = fork(root, key, 6L, "read")
+    assert(c2 === 0, o2)
+    assert(parse(o2) === ((5L, 0)))
+    val renewed = Files.getLastModifiedTime(marker).toMillis
+    assert(renewed > System.currentTimeMillis() - 3600 * 1000,
+      "marker lease was not renewed by the cross-process read — a 6h GC " +
+        "bound would reap this asset out from under its reader")
+  }
+
   test("racing JVMs: exactly one publish wins, both read the winner, no staging leaks") {
     val root = Files.createTempDirectory("fc-xproc-race").toString
     val key = s"xproc#race#${System.nanoTime()}"
