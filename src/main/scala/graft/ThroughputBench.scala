@@ -154,11 +154,13 @@ object ThroughputBench {
     val perStream = results.map { case (_, o) => streamWall(o) }
     val assetsConc = listRoot(rootB, "asset-")
     val stgLeaks = listRoot(rootB, ".stg-")
+    val leaseLeaks = listRoot(rootB, ".lease-")
 
     val errors = scala.collection.mutable.ListBuffer[String]()
     if (assetsConc != assetsSerial)
       errors += s"asset build-once violated: serial=$assetsSerial concurrent=$assetsConc"
     if (stgLeaks > 0) errors += s"staging leaked: $stgLeaks"
+    if (leaseLeaks > 0) errors += s"build lease leaked: $leaseLeaks"
 
     def r2(x: Double) = math.round(x * 100) / 100.0
     val per = perStream.map(w => r2(w).toString).mkString("[", ",", "]")

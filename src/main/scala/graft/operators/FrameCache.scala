@@ -174,12 +174,40 @@ object FrameCache {
     bytes.map("%02x".format(_)).mkString.take(16)
   }
 
+  // Build-lease tuning. The heartbeat keeps a LIVE builder's lease mtime
+  // fresh however long its build runs; a waiter treats a lease whose
+  // mtime is older than `leaseStaleMs` as a crashed builder (heartbeats
+  // are 4× more frequent, so only a dead JVM — or one in a >60s GC
+  // pause, where a duplicate build is the correct recovery — goes
+  // stale). `leaseWaitMs` bounds the total wait so a pathological
+  // root/filesystem fails loudly instead of hanging a query forever.
+  private val leaseBeatMs = 15000L
+  private val leaseStaleMs = 60000L
+  private val leaseWaitMs = 60L * 60 * 1000
+
   /** The cross-process resolve-or-build protocol. Returns the final
-    * asset dir and the marker's frame-name lines. */
+    * asset dir and the marker's frame-name lines.
+    *
+    * BUILD LEASE (round-12): the atomic-rename publish always made the
+    * *publish* exactly-once, but N cold-racing JVMs each ran the full
+    * build and N−1 threw their work away — at warehouse scale a
+    * duplicated postings/index build is the expensive part (the r12
+    * 4-stream throughput bench measured per-stream walls 2.6–3.4× solo
+    * from exactly this). Builders now take a lease file first
+    * (`Files.createFile` — atomic on POSIX; an object store would use a
+    * conditional put, same seam as the publish rename): the winner
+    * builds under a heartbeat that keeps the lease fresh, losers POLL
+    * for the winner's marker instead of building. Crash-safety: a dead
+    * builder stops heartbeating, its lease goes stale after
+    * [[leaseStaleMs]] and a waiter reclaims it; an un-leasable root
+    * (createFile failing for any reason but EEXIST) falls back to the
+    * old duplicate-build-then-race behavior, which is correct, just
+    * wasteful. */
   private def resolve(kind: String, key: String, build: String => Seq[String])
       : (String, Seq[String]) = {
     val id = assetId(kind, key)
     val fin = Paths.get(s"$root/asset-$id")
+    val lease = Paths.get(s"$root/.lease-$id")
     def readMarker(): Option[Seq[String]] = {
       val m = fin.resolve(marker)
       if (Files.exists(m))
@@ -187,57 +215,120 @@ object FrameCache {
           .asScala.toSeq.filter(l => l.nonEmpty && !l.startsWith("#")))
       else None
     }
-    readMarker() match {
-      case Some(names) =>
-        // READ LEASE: reading doesn't bump mtimes, so a long-lived
-        // old-code process could have its asset swept from under it by a
-        // newer deployment's superseded-token GC once the tree aged past
-        // the bound. Touching the marker on each cross-process resolve
-        // (memoized — once per key per JVM) keeps any actively-read
-        // asset inside the age bound. Best-effort: a read-only root
-        // still resolves.
-        try Files.setLastModifiedTime(fin.resolve(marker),
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        catch { case scala.util.control.NonFatal(_) => () }
-        (fin.toString, names)
-      case None =>
-        gcOnce // janitor moment: about to add a staging — sweep dead ones
-        val stg = Paths.get(s"$root/.stg-$id-${UUID.randomUUID().toString.take(8)}")
-        val names = try {
-          Files.createDirectories(stg)
-          val ns = build(stg.toString)
-          // first marker line records the builder token (the `#` prefix
-          // keeps it out of the frame-name list) — the stale-asset
-          // sweep keys on it
-          Files.write(stg.resolve(marker),
-            (s"#token:$buildToken" +: ns).mkString("\n")
-              .getBytes(StandardCharsets.UTF_8))
-          ns
-        } catch { case e: Throwable => cleanup(stg.toString); throw e }
-        try {
-          Files.move(stg, fin, StandardCopyOption.ATOMIC_MOVE)
-          (fin.toString, names)
-        } catch {
-          // A lost publish race surfaces as EEXIST/ENOTEMPTY from
-          // rename-onto-existing — but the JDK maps ENOTEMPTY to a
-          // PLAIN FileSystemException on Linux (measured in the xproc
-          // race spec), not DirectoryNotEmptyException, so the broad
-          // type must be caught. To avoid misclassifying a genuine
-          // I/O failure (permissions, full disk) as a race, the
-          // decision is made by EVIDENCE, not exception type: if the
-          // winner's marker exists (or appears within the bounded
-          // poll), it was a race — read the winner; otherwise RETHROW
-          // the original exception with its real cause.
-          case e: java.nio.file.FileSystemException =>
-            cleanup(stg.toString)
-            var m = readMarker()
-            var tries = 0
-            while (m.isEmpty && tries < 50) {
-              Thread.sleep(100); m = readMarker(); tries += 1
-            }
-            (fin.toString, m.getOrElse(throw e))
-        }
+    def serve(names: Seq[String]): (String, Seq[String]) = {
+      // READ LEASE: reading doesn't bump mtimes, so a long-lived
+      // old-code process could have its asset swept from under it by a
+      // newer deployment's superseded-token GC once the tree aged past
+      // the bound. Touching the marker on each cross-process resolve
+      // (memoized — once per key per JVM) keeps any actively-read
+      // asset inside the age bound. Best-effort: a read-only root
+      // still resolves.
+      try Files.setLastModifiedTime(fin.resolve(marker),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case scala.util.control.NonFatal(_) => () }
+      (fin.toString, names)
     }
+    def buildAndPublish(): (String, Seq[String]) = {
+      gcOnce // janitor moment: about to add a staging — sweep dead ones
+      val stg = Paths.get(s"$root/.stg-$id-${UUID.randomUUID().toString.take(8)}")
+      val names = try {
+        Files.createDirectories(stg)
+        val ns = build(stg.toString)
+        // first marker line records the builder token (the `#` prefix
+        // keeps it out of the frame-name list) — the stale-asset
+        // sweep keys on it
+        Files.write(stg.resolve(marker),
+          (s"#token:$buildToken" +: ns).mkString("\n")
+            .getBytes(StandardCharsets.UTF_8))
+        ns
+      } catch { case e: Throwable => cleanup(stg.toString); throw e }
+      try {
+        Files.move(stg, fin, StandardCopyOption.ATOMIC_MOVE)
+        (fin.toString, names)
+      } catch {
+        // A lost publish race surfaces as EEXIST/ENOTEMPTY from
+        // rename-onto-existing — but the JDK maps ENOTEMPTY to a
+        // PLAIN FileSystemException on Linux (measured in the xproc
+        // race spec), not DirectoryNotEmptyException, so the broad
+        // type must be caught. To avoid misclassifying a genuine
+        // I/O failure (permissions, full disk) as a race, the
+        // decision is made by EVIDENCE, not exception type: if the
+        // winner's marker exists (or appears within the bounded
+        // poll), it was a race — read the winner; otherwise RETHROW
+        // the original exception with its real cause.
+        case e: java.nio.file.FileSystemException =>
+          cleanup(stg.toString)
+          var m = readMarker()
+          var tries = 0
+          while (m.isEmpty && tries < 50) {
+            Thread.sleep(100); m = readMarker(); tries += 1
+          }
+          (fin.toString, m.getOrElse(throw e))
+      }
+    }
+    val deadline = System.currentTimeMillis() + leaseWaitMs
+    while (true) {
+      readMarker() match {
+        case Some(names) => return serve(names)
+        case None =>
+          val acquired =
+            try { Files.createFile(lease); true }
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+              // un-leasable root (read-only probe race, exotic fs):
+              // duplicate work beats a deadlock — build anyway and let
+              // the publish rename arbitrate
+              case scala.util.control.NonFatal(_) => true
+            }
+          if (acquired) {
+            // heartbeat daemon: keeps the lease fresh for the whole
+            // build so waiters never misread a long LIVE build as a
+            // crashed one
+            val hb = new Thread(() =>
+              try while (!Thread.interrupted()) {
+                Thread.sleep(leaseBeatMs)
+                Files.setLastModifiedTime(lease,
+                  java.nio.file.attribute.FileTime.fromMillis(
+                    System.currentTimeMillis()))
+              } catch { case _: InterruptedException => () })
+            hb.setDaemon(true)
+            hb.setName(s"graft-framecache-lease-$id")
+            hb.start()
+            try return buildAndPublish()
+            finally {
+              hb.interrupt()
+              try Files.deleteIfExists(lease)
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+          } else {
+            // a builder holds the lease: wait for its marker. A lease
+            // that stops heartbeating is a crashed builder — reclaim it
+            // (delete + retry; the createFile race re-arbitrates if
+            // several waiters reclaim at once).
+            Thread.sleep(200)
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"timed out after ${leaseWaitMs / 1000}s waiting for the " +
+                  s"builder of asset $id (key '$key'); lease: $lease")
+            val stale =
+              try System.currentTimeMillis() -
+                Files.getLastModifiedTime(lease).toMillis > leaseStaleMs
+              catch {
+                // lease vanished: builder finished (marker next loop) or
+                // failed (we contend for the lease next loop)
+                case scala.util.control.NonFatal(_) => false
+              }
+            if (stale) {
+              System.err.println(
+                s"[FrameCache] reclaiming stale build lease for asset $id " +
+                  "(builder stopped heartbeating)")
+              try Files.deleteIfExists(lease)
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+          }
+      }
+    }
+    sys.error("unreachable") // while(true) always returns/throws
   }
 
   /** Garbage-collect the warehouse root:
@@ -284,6 +375,10 @@ object FrameCache {
         val name = p.getFileName.toString
         val dead =
           if (name.startsWith(".stg-")) true
+          // a crashed builder's lease is reclaimed on contact by any
+          // waiter (staleness check in resolve); the sweep is for leases
+          // nobody ever contends for again
+          else if (name.startsWith(".lease-")) true
           else if (name.startsWith("asset-"))
             // unreadable/absent marker ⇒ not this protocol's asset:
             // leave it alone. Foreign tokens are superseded code —

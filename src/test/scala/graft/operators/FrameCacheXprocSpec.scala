@@ -99,17 +99,64 @@ class FrameCacheXprocSpec extends AnyFunSuite {
     val (c2, o2) = Await.result(f2, 5.minutes)
     assert(c1 === 0, s"racer 1 failed:\n$o1")
     assert(c2 === 0, s"racer 2 failed:\n$o2")
-    val (v1, _) = parse(o1)
-    val (v2, _) = parse(o2)
-    // the loser must have discarded its own build and switched to the
-    // winner's published asset — both workers read the SAME value
+    val (v1, b1) = parse(o1)
+    val (v2, b2) = parse(o2)
+    // the loser must wait on the winner's BUILD LEASE and read its
+    // published asset — both workers read the SAME value
     assert(v1 === v2, s"inconsistent reads across racing JVMs: $v1 vs $v2\n$o1\n$o2")
     assert(Set(1L, 2L).contains(v1))
+    // work-level exactly-once (round-12 lease): the 3s forced overlap
+    // guarantees the second JVM arrives while the first still holds the
+    // lease, so exactly ONE build thunk may run — duplicated build work
+    // is the thing the lease exists to eliminate
+    assert(b1 + b2 === 1,
+      s"expected exactly one build across racing JVMs, got BUILT=$b1+$b2\n$o1\n$o2")
     val listing = rootListing(root)
     assert(listing.count(_.startsWith("asset-")) === 1,
       s"expected exactly one published asset: $listing")
     assert(!listing.exists(_.startsWith(".stg-")),
       s"staging dir leaked after the race: $listing")
+    assert(!listing.exists(_.startsWith(".lease-")),
+      s"build lease leaked after the race: $listing")
+  }
+
+  test("a crashed builder's stale lease is reclaimed — a new builder proceeds instead of deadlocking") {
+    // simulate a builder that died mid-build: its lease file exists but
+    // stopped heartbeating long ago (mtime well past the 60s staleness
+    // bound). A fresh process must reclaim the lease and build, not wait
+    // out the full lease-wait deadline.
+    val root = Files.createTempDirectory("fc-xproc-stale").toString
+    val key = s"xproc#stale#${System.nanoTime()}"
+    // the lease name embeds the asset id, which we can't compute here
+    // (private); instead fork a build worker once to learn the id from
+    // the published asset, wipe the root, and replant a stale lease
+    val (c0, o0) = fork(root, key, 7L, "build")
+    assert(c0 === 0, o0)
+    val assetName = rootListing(root).find(_.startsWith("asset-"))
+      .getOrElse(fail("no asset published by the probe build"))
+    val id = assetName.stripPrefix("asset-")
+    // wipe: fresh root state with ONLY a stale lease for that id
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    Option(new java.io.File(root).listFiles()).toSeq.flatten.foreach(rm)
+    val lease = Paths.get(s"$root/.lease-$id")
+    Files.createFile(lease)
+    Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10 * 60 * 1000))
+    val t0 = System.nanoTime()
+    val (c1, o1) = fork(root, key, 8L, "build")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(c1 === 0, s"builder behind a stale lease failed:\n$o1")
+    assert(parse(o1) === ((8L, 1)),
+      s"expected a fresh build after reclaiming the stale lease:\n$o1")
+    // the reclaim must be prompt (one ~200ms poll), not a deadline wait;
+    // 60s is far under the 3600s lease-wait bound yet generous to CI noise
+    assert(secs < 60, s"stale-lease reclaim took ${secs}s — looks like a deadline wait")
+    assert(!Files.exists(lease) ||
+      Files.getLastModifiedTime(lease).toMillis > System.currentTimeMillis() - 60000,
+      "the stale lease was neither reclaimed nor renewed")
   }
 
   test("regenerated source data yields a new asset id (freshness across processes)") {
