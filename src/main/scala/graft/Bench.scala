@@ -41,6 +41,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // spill/peak-memory telemetry: proves constrained-memory runs really
+    // exercised the spill paths, and documents that ordinary runs didn't
+    val spill = new graft.quality.SpillMeter()
+    spark.sparkContext.addSparkListener(spill)
     // Session warmup: JVM/codegen/parquet-footer costs are not query costs.
     Tables.all.foreach(t => Tables(spark, sfDir, t).count())
     val errors = scala.collection.mutable.ListBuffer[String]()
@@ -118,8 +122,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val cgf = graft.quality.CodegenGuard.count
+    // listener bus is async: give straggler task-end events a beat to
+    // land before reading the run totals (whole-run rounding error only)
+    Thread.sleep(1000)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spans,"capstones":$caps,"errors":$errs,"n_errors":${errors.size},"codegen_fallbacks":$cgf,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spans,"capstones":$caps,"errors":$errs,"n_errors":${errors.size},"codegen_fallbacks":$cgf,${spill.reportJson},"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json keeps only the LAST ~2000 chars of
     // stdout and json-parses what it kept — the full line above is ~12 KB
@@ -137,7 +144,7 @@ object Bench {
     val errsShort = errors.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n_queries":${results.size},"capstones":$caps,"errors":$errsShort,"n_errors":${errors.size},"codegen_fallbacks":$cgf,"slowest":$slowest,"full_record":"bench/results/latest.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n_queries":${results.size},"capstones":$caps,"errors":$errsShort,"n_errors":${errors.size},"codegen_fallbacks":$cgf,${spill.reportJson},"slowest":$slowest,"full_record":"bench/results/latest.json","sf":"$sfDir"}"""
     // durable full per-query record (the driver's BENCH artifact keeps
     // only a tail — per-query history was being lost between rounds);
     // opt-out/redirect via SPARK_GRAFT_BENCH_OUT=/path or "off"
