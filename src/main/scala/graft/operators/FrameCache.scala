@@ -287,9 +287,15 @@ object FrameCache {
             val hb = new Thread(() =>
               try while (!Thread.interrupted()) {
                 Thread.sleep(leaseBeatMs)
-                Files.setLastModifiedTime(lease,
+                // swallow I/O failures (e.g. the lease was reclaimed or
+                // the root went read-only): a missed beat at worst lets
+                // a waiter start a duplicate build, which the publish
+                // rename arbitrates — an uncaught throw here would kill
+                // the thread with a stack trace on stderr instead
+                try Files.setLastModifiedTime(lease,
                   java.nio.file.attribute.FileTime.fromMillis(
                     System.currentTimeMillis()))
+                catch { case scala.util.control.NonFatal(_) => () }
               } catch { case _: InterruptedException => () })
             hb.setDaemon(true)
             hb.setName(s"graft-framecache-lease-$id")
