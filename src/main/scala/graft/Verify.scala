@@ -11,8 +11,14 @@ object Verify {
     // Spark; here it fails the run (exit 3, AFTER all artifacts are
     // written) so an interpreted hot path can't ship silently again
     graft.quality.CodegenGuard.install()
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — used by the
+    // distributed-execution parity gate (tools/distparity.sh) to run the
+    // identical surface under local-cluster[n,c,m], where executors are
+    // SEPARATE JVMs: real task/broadcast serialization, per-executor
+    // codegen, cross-process shuffle — everything local[n] can't see.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
