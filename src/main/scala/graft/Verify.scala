@@ -20,6 +20,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      // Materialize.cut checkpoint files are reclaimed as their RDDs GC
+      // (must be set before the context starts — ContextCleaner caches it)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.CutSyntax
+
 /** Distributed connected components by min-label propagation WITH
   * POINTER JUMPING — the transitive-closure step of near-duplicate
   * deduplication (LSH emits pairs; canonicalization needs one label per
@@ -20,8 +22,10 @@ import org.apache.spark.sql.functions._
   *
   * Labels only ever DECREASE, so convergence is "Σ lbl unchanged" — one
   * tiny aggregate per round, no comparison join. Every round ends in
-  * `localCheckpoint(true)`: it cuts the per-round lineage growth AND
-  * keeps rounds from recomputing whatever produced the inputs.
+  * [[Materialize.cut]] (reliable checkpoint): it cuts the per-round
+  * lineage growth, keeps rounds from recomputing whatever produced the
+  * inputs, AND survives executor loss (the localCheckpoint it replaced
+  * died with the executor holding its blocks — FaultToleranceSpec).
   *
   * Returns (labels, rounds): labels = (id, component) with component =
   * the minimum vertex id of the component.
@@ -35,10 +39,10 @@ object ConnectedComponents {
   def run(edges: DataFrame, src: String, dst: String): (DataFrame, Int) = {
     val e2 = edges.select(col(src).as("s"), col(dst).as("d"))
       .unionByName(edges.select(col(dst).as("s"), col(src).as("d")))
-      .localCheckpoint(true)
+      .cut(true)
     var labels = e2.select(col("s").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+      .cut(true)
     // empty-graph sum is NULL (no vertices — e.g. an incremental-update
     // round where the batch matched nothing): treat as 0 so the loop
     // converges immediately and returns the empty label frame
@@ -62,7 +66,7 @@ object ConnectedComponents {
           col("a.lbl") === col("b.jid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.lbl"), coalesce(col("b.jl"), col("a.lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .cut(true)
       val s = lblSum(jumped)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.CutSyntax
+
 import graft.QueryKit.r6
 import graft.expressions.GraftExtensions
 import graft.functions.TextAnalytics._
@@ -254,11 +256,11 @@ object DedupIndex {
 
     // checkpointed: each feeds the eager mini-CC AND a later consumer
     val bcVerified = batchCorpusVerified(ix, bBands, bTok, threshold)
-      .localCheckpoint(true)
+      .cut(true)
     // batch-batch candidates: batch-local band self-join
     val bbVerified = verifyPairs(candidatePairs(bBands), bTok)
       .filter(col("jac") >= threshold)
-      .localCheckpoint(true)
+      .cut(true)
 
     // mini component repair over {batch ids} ∪ {touched corpus cluster
     // labels} — a corpus member is represented by its (minimal) label,

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.CutSyntax
+
 /** Buffer-free EXACT per-group quantiles — the generalization of
   * q_median_scalable's two-pass bucketed selection from the global
   * median to arbitrary quantile sets, closing the last scale-killer
@@ -68,7 +70,7 @@ object GroupQuantiles {
 
     // each quantile's target ranks: pos = p(n-1) 0-based, 1-based ranks
     // k1/k2, interpolation fraction frac = pos - floor(pos).
-    // localCheckpoint(lazy): the targets frame is REFERENCED by several
+    // Materialize.cut(lazy): the targets frame is REFERENCED by several
     // downstream branches (straddle set, needed ranks, interpolation
     // weights) — without a lineage cut each reference re-expands the
     // whole counts-pass subtree into the plan (a chained call like
@@ -87,7 +89,7 @@ object GroupQuantiles {
         when(col("__pos") > floor(col("__pos")), col("__k1") + 1)
           .otherwise(col("__k1")))
       .withColumn("__frac", col("__pos") - floor(col("__pos")))
-    val targets = if (cut) targets0.localCheckpoint(false) else targets0
+    val targets = if (cut) targets0.cut(false) else targets0
 
     // straddling buckets only (distinct: one bucket may carry ranks of
     // several quantiles)
@@ -113,7 +115,7 @@ object GroupQuantiles {
     val kv0 = ranked
       .join(broadcast(needed), Seq(groupCol, "__rnk"))
       .select(col(groupCol), col("__rnk"), col("__v"))
-    val kv = if (cut) kv0.localCheckpoint(false) else kv0
+    val kv = if (cut) kv0.cut(false) else kv0
 
     // interpolate on the tiny frames: v = v1·(1−frac) + v2·frac (the
     // bit-exact quantile_cont expression shape — see object doc)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.CutSyntax
 import graft.Tables
 import graft.QueryKit._
 
@@ -185,7 +186,10 @@ object MixtureQueries extends QueryPack {
       val toks = t(s, dir, "documents")
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("source"), explode(col("th")).as("h"))
-        .localCheckpoint(true) // corpus counts + per-source counts
+        // corpus counts + per-source counts share ONE reused exchange
+        // on h ((source,h) reuses it: h ⊂ its keys); shuffle recompute
+        // is the recovery path — no lineage cut
+        .repartition(col("h"))
       val corpus = toks.groupBy(col("h")).agg(count(lit(1)).as("ct"))
       val cTot = corpus.agg(sum(col("ct")).as("tc"), count(lit(1)).as("vv"))
       val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("ts"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.CutSyntax
 import graft.Tables
 import graft.QueryKit._
 import graft.ml.{GroupedFolds, PercentageCalc}
@@ -64,7 +65,10 @@ object MlQueries extends QueryPack {
       val toks = t(s, dir, "documents")
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("doc_id"), col("lang"), explode(col("th")).as("h"))
-        .localCheckpoint(true) // consumed by train counts and test scoring
+        // train counts + test scoring share ONE reused exchange on h
+        // (the (lang,h) groupBy reuses h-partitioning: h ⊂ its keys);
+        // loss recovery is plain shuffle recompute — no lineage cut
+        .repartition(col("h"))
       val train = toks.filter(col("doc_id") % 5 =!= 0)
       val cwl = train.groupBy(col("lang").as("plang"), col("h"))
         .agg(count(lit(1)).as("cwl"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.CutSyntax
 import graft.Tables
 import graft.QueryKit._
 
@@ -306,7 +307,14 @@ object PipelineQueries extends QueryPack {
         .select(col("doc_id"), col("source"),
           explode(concat(col("th"), expr(gramHashesSpark("th", 2)))).as("g"))
         .select(col("doc_id"), col("source"), (col("g") % m).as("b"))
-        .localCheckpoint(true) // three consumers: raw fit, target fit, scoring
+        // three consumers (raw fit, target fit, scoring) share ONE
+        // exchange on b: AQE ReusedExchange materializes the explode
+        // once, the b-groupBys below reuse the partitioning, and loss
+        // recovery is plain shuffle recompute (the round-7 pagerank
+        // lesson: exchange reuse beats an explicit materialization —
+        // measured again here: 2.50 s solo vs 2.97 Materialize.cut and
+        // 2.71 the fault-intolerant localCheckpoint both replaced)
+        .repartition(col("b"))
       val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
       val tgt = feats.filter(col("source") === "src0")
         .groupBy(col("b")).agg(count(lit(1)).as("ct"))

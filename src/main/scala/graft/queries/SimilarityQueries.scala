@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.CutSyntax
 import graft.Tables
 import graft.QueryKit._
 import graft.expressions.GraftExtensions
@@ -388,7 +389,7 @@ object SimilarityQueries extends QueryPack {
           (sqrt(col("n2")) * sqrt(expr("graft_fdot(centroid, centroid)")))))
         .select(col("vec_id"), col("cluster"), col("embedding"), col("n2"),
           col("csim"))
-        .localCheckpoint(true) // pair self-join + member projection
+        .cut(true) // pair self-join + member projection
       // directed pairs (y earlier-priority than x): count per x
       val dups = asg.as("a").join(asg.as("b"),
           col("a.cluster") === col("b.cluster") &&

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.CutSyntax
 import graft.Tables
 import graft.QueryKit._
 import graft.expressions.GraftExtensions
@@ -66,12 +67,12 @@ object TextQueries extends QueryPack {
       val toks = t(s, dir, "documents")
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("doc_id"), explode(col("th")).as("h"))
-        .localCheckpoint(true) // postings, doc lengths, query terms
+        .cut(true) // postings, doc lengths, query terms
       val isQuery = col("doc_id") % 97 === 0 && col("doc_id") < 5000
       val corpus = toks.filter(!isQuery)
       val post = corpus.groupBy(col("doc_id").as("cand_id"), col("h"))
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true) // dl, df and the term math all read it
+        .cut(true) // dl, df and the term math all read it
       // doc length = Σ tf over the doc's postings — no second corpus scan
       val dl = post.groupBy(col("cand_id")).agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tdl"))
@@ -499,7 +500,7 @@ object TextQueries extends QueryPack {
       // the final anti-join) — materialize the quality+dedup stage once
       // instead of recomputing tokenstats+hash+window per consumer
       val exact = graft.quality.Checks.dedupKeepFirst(qual, Seq("fp"), Seq("doc_id"))
-        .localCheckpoint(true)
+        .repartition(col("doc_id")) // one reused exchange, three consumers
       val pairs = lshCandidatePairs(signatures(exact.select(col("doc_id"), col("text"))))
       val toksets = hashedTokset(exact.select(col("doc_id"), col("text")))
       val nearDups = verifyPairs(pairs, toksets)
@@ -795,7 +796,7 @@ object TextQueries extends QueryPack {
       val qvec = qpost.join(broadcast(widf), Seq("h"))
         .select(col("query_id"), col("h"),
           (col("qtf").cast("double") * col("idf")).as("wq"))
-        .localCheckpoint(true) // query norms + the scoring join
+        .cut(true) // query norms + the scoring join
       val qnorm = qvec.groupBy(col("query_id"))
         .agg(sum(scaled6(pow(col("wq"), 2))).as("n2"))
         .select(col("query_id"),
@@ -1298,10 +1299,12 @@ object TextQueries extends QueryPack {
             "ELSE CAST(array() AS ARRAY<STRUCT<h1: BIGINT, h2: BIGINT>>) END"))
           .as("p"))
         .select(col("doc_id"), col("p.h1").as("h1"), col("p.h2").as("h2"))
-        .localCheckpoint(true) // consumed by the count tables and scoring
+        // count tables + scoring share ONE reused exchange on (h1,h2);
+        // shuffle recompute is the recovery path — no lineage cut
+        .repartition(col("h1"), col("h2"))
       val big = pairs.groupBy(col("h1"), col("h2"))
         .agg(count(lit(1)).as("cxy"))
-        .localCheckpoint(true) // four aggregate consumers
+        .cut(true) // four aggregate consumers
       val ctx = big.groupBy(col("h1"))
         .agg(sum(col("cxy")).as("cx"), count(lit(1)).as("n1f"))
       val bwd = big.groupBy(col("h2")).agg(count(lit(1)).as("n1b"))
@@ -1347,7 +1350,9 @@ object TextQueries extends QueryPack {
             "ELSE CAST(array() AS ARRAY<STRUCT<h1: BIGINT, bg: BIGINT>>) END"))
           .as("p"))
         .select(col("doc_id"), col("p.h1").as("h1"), col("p.bg").as("bg"))
-        .localCheckpoint(true) // three consumers: doc rows + both count tables
+        // doc rows + both count tables share ONE reused exchange on
+        // (h1,bg); shuffle recompute is the recovery path
+        .repartition(col("h1"), col("bg"))
       val uni = pairs.groupBy(col("h1")).agg(count(lit(1)).as("cx"))
       val big = pairs.groupBy(col("h1"), col("bg")).agg(count(lit(1)).as("cxy"))
       pairs
@@ -1392,7 +1397,8 @@ object TextQueries extends QueryPack {
             "ELSE CAST(array() AS ARRAY<STRUCT<h1: BIGINT, bg: BIGINT>>) END"))
           .as("p"))
         .select(col("doc_id"), col("lang"), col("p.h1").as("h1"), col("p.bg").as("bg"))
-        .localCheckpoint(true)
+        // same reused-exchange form as q_lm_score (see there)
+        .repartition(col("h1"), col("bg"))
       val uni = pairs.groupBy(col("h1")).agg(count(lit(1)).as("cx"))
       val big = pairs.groupBy(col("h1"), col("bg")).agg(count(lit(1)).as("cxy"))
       val scored = pairs
@@ -1411,7 +1417,7 @@ object TextQueries extends QueryPack {
       // boundary array so both consumers see identical buckets
       val bucketed = graft.operators.RangeBuckets
         .withEquiDepthBucket(scored, "__neg", "__b", 64)
-        .localCheckpoint(true)
+        .cut(true)
       val counts = bucketed.groupBy(col("lang"), col("__b"))
         .agg(count(lit(1)).as("__c"))
       val wOff = Window.partitionBy(col("lang")).orderBy(col("__b"))

@@ -31,10 +31,16 @@ class FaultToleranceSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  // the serialization-risk families PLUS the lineage-cut queries: the
+  // original localCheckpoint forms of q_mad_outlier / q_rrf_fusion /
+  // q_dedup_components DIED here (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND —
+  // executor-local blocks have no recovery path); Materialize.cut's
+  // reliable checkpoint is what makes these rows pass
   private val subset = Seq(
     "q_auc_exact", "q_jl_projection", "q_ann_lsh", "q_token_set_scores",
     "q_simhash_pairs", "q_bloom_prefilter", "q_dedup_minhash_lsh",
-    "q_join_broadcast_agg")
+    "q_join_broadcast_agg", "q_mad_outlier", "q_rrf_fusion",
+    "q_dedup_components")
 
   /** PIDs of live executor backends (separate JVMs — only exist while a
     * local-cluster app runs; suites run sequentially in the forked test
