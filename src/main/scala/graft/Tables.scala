@@ -41,7 +41,7 @@ object Tables {
           // Legacy TIMESTAMP(NANOS) data: only readable as a raw long
           // under spark.sql.legacy.parquet.nanosAsLong. The conf is
           // consulted at scan EXECUTION, not at read() — so the frame is
-          // materialized (localCheckpoint) while the conf is scoped, and
+          // materialized (Materialize.cut) while the conf is scoped, and
           // the session conf is restored before returning: no later read
           // in the session can silently inherit nanos-as-long semantics
           // (that would mask exactly the drift TableSchemaSpec exists to
@@ -51,7 +51,7 @@ object Tables {
           val key = "spark.sql.legacy.parquet.nanosAsLong"
           val prev = spark.conf.getOption(key)
           spark.conf.set(key, "true")
-          try spark.read.parquet(path).localCheckpoint(true)
+          try graft.operators.Materialize.cut(spark.read.parquet(path), eager = true)
           finally prev match {
             case Some(v) => spark.conf.set(key, v)
             case None    => spark.conf.unset(key)
