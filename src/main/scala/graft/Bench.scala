@@ -33,8 +33,13 @@ object Bench {
     // zero-codegen-fallback gate: an interpreted projection is a silent
     // perf regression — surface it in the record and in the exit code
     graft.quality.CodegenGuard.install()
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — used by the
+    // multi-JVM bench (local-cluster topology of equal total cores) to
+    // price real task/broadcast serialization and cross-process shuffle
+    // fetch, the costs a 100 TB cluster pays that local[n] hides
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // Materialize.cut checkpoint files are reclaimed as their RDDs GC

@@ -165,6 +165,10 @@ object CurateRun {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Materialize.cut's reliable checkpoints (DedupIndex, CC rounds)
+      // must be GC'd as their RDDs die, or a long-running curation job
+      // accumulates them until JVM exit; must be set pre-context
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val params =

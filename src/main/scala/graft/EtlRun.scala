@@ -150,6 +150,9 @@ object EtlRun {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // any Materialize.cut downstream needs its checkpoint files GC'd
+      // as the RDDs die (pre-context conf, cannot be set by cut itself)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dialect =

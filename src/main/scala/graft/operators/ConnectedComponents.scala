@@ -37,8 +37,15 @@ object ConnectedComponents {
     * appear in the output (isolated vertices are their own components
     * trivially and are not materialized). */
   def run(edges: DataFrame, src: String, dst: String): (DataFrame, Int) = {
+    // repartition on the per-round join key BEFORE the cut: checkpoint's
+    // write job recomputes the plan, and without an exchange beneath it
+    // that recompute re-runs the source scan a second time (ADVICE r12);
+    // with it, the write job reuses the shuffle files (skipped stage) AND
+    // the checkpointed frame comes back hash-partitioned on `s`, the key
+    // every round's neighbor-min join needs
     val e2 = edges.select(col(src).as("s"), col(dst).as("d"))
       .unionByName(edges.select(col(dst).as("s"), col(src).as("d")))
+      .repartition(col("s"))
       .cut(true)
     var labels = e2.select(col("s").as("id")).distinct()
       .withColumn("lbl", col("id"))

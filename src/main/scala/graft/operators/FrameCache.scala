@@ -181,9 +181,15 @@ object FrameCache {
   // pause, where a duplicate build is the correct recovery — goes
   // stale). `leaseWaitMs` bounds the total wait so a pathological
   // root/filesystem fails loudly instead of hanging a query forever.
-  private val leaseBeatMs = 15000L
-  private val leaseStaleMs = 60000L
-  private val leaseWaitMs = 60L * 60 * 1000
+  // The system properties exist so the forked-JVM liveness tests
+  // (FrameCacheXprocSpec) can shrink the windows to seconds; production
+  // callers never set them.
+  private def propMs(name: String, dflt: Long): Long =
+    sys.props.get(name).flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(dflt)
+  private val leaseBeatMs = propMs("graft.lease.beatMs", 15000L)
+  private val leaseStaleMs = propMs("graft.lease.staleMs", 60000L)
+  private val leaseWaitMs = propMs("graft.lease.waitMs", 60L * 60 * 1000)
 
   /** The cross-process resolve-or-build protocol. Returns the final
     * asset dir and the marker's frame-name lines.

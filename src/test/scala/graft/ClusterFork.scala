@@ -14,10 +14,16 @@ object ClusterFork {
 
   /** (exitCode, combined stdout+stderr). `beforeWait` runs after the
     * process starts, with the live Process handle — used by the
-    * fault-tolerance spec to kill executors mid-run. */
+    * fault-tolerance spec to kill executors mid-run. `chaosTag`, when
+    * set, is planted in every EXECUTOR JVM's command line (an inert
+    * `-Dgraft.chaos.tag=...`) so a kill harness can `pgrep` for exactly
+    * this run's executors — a bare `pgrep -f CoarseGrainedExecutor
+    * Backend` on a shared host can land a SIGKILL on another Spark
+    * app's executor (ADVICE r12). */
   def verify(master: String, sfDir: String, outDir: String,
       indexDir: String, only: Seq[String],
-      beforeWait: Process => Unit = _ => ()): (Int, String) = {
+      beforeWait: Process => Unit = _ => (),
+      chaosTag: Option[String] = None): (Int, String) = {
     val java = s"${sys.props("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -31,7 +37,9 @@ object ClusterFork {
     val cmd = Seq(java, "-Xmx3g") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
-      s"-Dspark.executor.extraClassPath=${sys.props("java.class.path")}",
+      s"-Dspark.executor.extraClassPath=${sys.props("java.class.path")}") ++
+      chaosTag.toSeq.map(t =>
+        s"-Dspark.executor.extraJavaOptions=-Dgraft.chaos.tag=$t") ++ Seq(
       "-cp", sys.props("java.class.path"),
       "graft.Verify", sfDir, outDir)
     val out = new StringBuilder
@@ -43,6 +51,11 @@ object ClusterFork {
       "SPARK_GRAFT_CPUS" -> "4",
       "SPARK_GRAFT_ONLY" -> only.mkString(","),
       "SPARK_GRAFT_INDEX_DIR" -> indexDir,
+      // Materialize.cut fails fast on a non-local master with no
+      // checkpoint dir (r13); local-cluster executors share this
+      // machine, so a fresh tmp path IS cluster-visible here
+      "SPARK_GRAFT_CKPT_DIR" -> _root_.java.nio.file.Files
+        .createTempDirectory("graft-fork-ckpt").toString,
       "SPARK_HOME" -> "/opt/spark",
       // spark-submit's load-spark-env.sh exports this; without it the
       // worker's executor-command builder dies in getScalaVersion with

@@ -42,13 +42,22 @@ class FaultToleranceSpec extends AnyFunSuite {
     "q_join_broadcast_agg", "q_mad_outlier", "q_rrf_fusion",
     "q_dedup_components")
 
-  /** PIDs of live executor backends (separate JVMs — only exist while a
-    * local-cluster app runs; suites run sequentially in the forked test
-    * JVM so they can only belong to OUR app). */
-  private def executorPids(): Seq[Long] =
-    try Process(Seq("pgrep", "-f", "CoarseGrainedExecutorBackend")).!!
-      .split("\n").filter(_.nonEmpty).map(_.trim.toLong).toSeq
-    catch { case _: RuntimeException => Seq.empty } // pgrep exits 1: none
+  /** PIDs of live executor backends belonging to THIS test's forked run
+    * only: each run plants a unique `-Dgraft.chaos.tag=<uuid>` in its
+    * executors' command lines (ClusterFork `chaosTag`), and a candidate
+    * must match the tag AND the executor main class — a bare
+    * CoarseGrainedExecutorBackend pgrep on a shared CI host could
+    * SIGKILL another Spark app's executor (ADVICE r12), while the tag
+    * alone also matches the DRIVER JVM, whose command line carries the
+    * tag inside `-Dspark.executor.extraJavaOptions=...`. */
+  private def executorPids(tag: String): Seq[Long] = {
+    def pgrep(pat: String): Set[Long] =
+      try Process(Seq("pgrep", "-f", pat)).!!
+        .split("\n").filter(_.nonEmpty).map(_.trim.toLong).toSet
+      catch { case _: RuntimeException => Set.empty } // pgrep exits 1: none
+    (pgrep(s"graft.chaos.tag=$tag") &
+      pgrep("CoarseGrainedExecutorBackend")).toSeq.sorted
+  }
 
   test("a SIGKILLed executor mid-run does not change any query's rows") {
     val outRef = Files.createTempDirectory("ft-ref").toString
@@ -57,10 +66,12 @@ class FaultToleranceSpec extends AnyFunSuite {
     assert(cRef === 0, s"reference run failed:\n${oRef.takeRight(3000)}")
 
     val outKill = Files.createTempDirectory("ft-kill").toString
+    val tag = java.util.UUID.randomUUID().toString.take(12)
     @volatile var killed: Option[Long] = None
     @volatile var killErr: Option[String] = None
     val (cK, oK) = ClusterFork.verify("local-cluster[3,2,1024]", sfDir,
       outKill, Files.createTempDirectory("ft-idx-kill").toString, subset,
+      chaosTag = Some(tag),
       beforeWait = proc => {
         val killer = new Thread(() => {
           try {
@@ -72,7 +83,7 @@ class FaultToleranceSpec extends AnyFunSuite {
             while (done < 2 && proc.isAlive() &&
                 System.currentTimeMillis() < deadline)
               Thread.sleep(200)
-            val pids = executorPids()
+            val pids = executorPids(tag)
             if (pids.isEmpty) killErr = Some("no live executor to kill")
             else {
               Process(Seq("kill", "-9", pids.head.toString)).!

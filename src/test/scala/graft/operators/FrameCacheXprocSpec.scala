@@ -39,6 +39,46 @@ class FrameCacheXprocSpec extends AnyFunSuite {
     (code, out.toString)
   }
 
+  /** Non-blocking fork with a live output buffer: the lease-LIVENESS
+    * tests must observe the worker mid-build (to overlap a second JVM
+    * with it, or to SIGSTOP it) rather than wait for exit. `leaseProps`
+    * shrinks the heartbeat/staleness windows (graft.lease.*Ms) so a
+    * "slow build" is seconds, not the production 60 s. */
+  private def forkAsync(root: String, key: String, sentinel: Long,
+      mode: String, sleepMs: Long, leaseProps: Seq[String])
+      : (Process, StringBuilder) = {
+    val java = s"${sys.props("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java, "-Xmx2g") ++ addOpens ++ leaseProps ++ Seq(
+      "-cp", sys.props("java.class.path"),
+      "graft.operators.FrameCacheXprocMain", key, sentinel.toString, mode,
+      sleepMs.toString)
+    val out = new StringBuilder
+    val proc = Process(cmd, None, "SPARK_GRAFT_INDEX_DIR" -> root)
+      .run(ProcessLogger(
+        l => out.synchronized { out.append(l).append('\n'); () },
+        l => out.synchronized { out.append(l).append('\n'); () }))
+    (proc, out)
+  }
+
+  private def awaitLine(out: StringBuilder, needle: String,
+      timeoutMs: Long = 120000): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (out.synchronized(out.toString).contains(needle)) return true
+      Thread.sleep(100)
+    }
+    false
+  }
+
   private def parse(out: String): (Long, Int) = {
     val m = "VALUE=(\\d+) BUILT=(\\d)".r.findFirstMatchIn(out)
       .getOrElse(fail(s"no VALUE line in worker output:\n$out"))
@@ -236,6 +276,83 @@ class FrameCacheXprocSpec extends AnyFunSuite {
     Files.write(table.resolve("part-0.parquet"), Array[Byte](3, 4, 5))
     assert(FrameCache.sourceStamp(src.toString) !== s1,
       "regenerating a nested data file did not change the stamp")
+  }
+
+  // shrunken lease windows for the liveness tests: heartbeat 500ms,
+  // stale 2000ms — the production 15s/60s ratio, at test speed
+  private val fastLease = Seq(
+    "-Dgraft.lease.beatMs=500", "-Dgraft.lease.staleMs=2000")
+  private val reclaimMsg = "reclaiming stale build lease"
+
+  test("a slow LIVE builder's heartbeat keeps waiters waiting — no reclaim, no duplicate build") {
+    // VERDICT r12 item 5, liveness half: FrameCacheXprocSpec proved a
+    // CRASHED builder's lease is reclaimed; the unproven edge was a
+    // build legitimately running many staleness windows long — its
+    // heartbeat must keep the lease fresh so waiters neither reclaim
+    // nor double-build. 25s build >> the 2s staleness window here.
+    val root = Files.createTempDirectory("fc-xproc-slow").toString
+    val key = s"xproc#slow#${System.nanoTime()}"
+    val (pa, oa) = forkAsync(root, key, 111L, "build", 25000, fastLease)
+    try {
+      assert(awaitLine(oa, "BUILD_STARTED"),
+        s"builder never reached its build thunk:\n$oa")
+      val (pb, ob) = forkAsync(root, key, 222L, "build", 0, fastLease)
+      assert(awaitLine(ob, "RESOLVE_STARTED"), s"waiter never resolved:\n$ob")
+      // overlap non-vacuity: the builder is still alive (mid-build —
+      // its 25s sleep dwarfs the waiter's startup) when the waiter
+      // enters the resolve protocol
+      assert(pa.isAlive(),
+        "builder finished before the waiter arrived — the test never " +
+          "exercised waiting on a live long build")
+      assert(pa.exitValue() === 0, s"slow builder failed:\n$oa")
+      assert(pb.exitValue() === 0, s"waiter failed:\n$ob")
+      val sa = oa.synchronized(oa.toString)
+      val sb = ob.synchronized(ob.toString)
+      // exactly one build, waiter served the builder's value
+      assert(parse(sa) === ((111L, 1)))
+      assert(parse(sb) === ((111L, 0)),
+        s"waiter rebuilt (or read the wrong value) behind a LIVE lease:\n$sb")
+      assert(!sa.contains(reclaimMsg) && !sb.contains(reclaimMsg),
+        "a heartbeat-fresh lease was reclaimed — long builds would be " +
+          s"double-run at scale:\n$sb")
+      assert(rootListing(root).count(_.startsWith("asset-")) === 1)
+    } finally { pa.destroy(); () }
+  }
+
+  test("a SIGSTOPped builder stops heartbeating and IS reclaimed — waiters make progress") {
+    // the other half of the liveness property: heartbeat FAILURE (the
+    // JVM is alive but frozen — pathological GC, cgroup freeze) must
+    // not wedge every other process behind the lease forever. SIGSTOP
+    // freezes the heartbeat thread; a waiter must observe the stale
+    // lease, reclaim it, and build.
+    val root = Files.createTempDirectory("fc-xproc-stop").toString
+    val key = s"xproc#stop#${System.nanoTime()}"
+    val (pa, oa) = forkAsync(root, key, 111L, "build", 120000, fastLease)
+    var stoppedPid: Option[String] = None
+    try {
+      assert(awaitLine(oa, "BUILD_STARTED"),
+        s"builder never reached its build thunk:\n$oa")
+      val pid = "PID=(\\d+)".r.findFirstMatchIn(oa.synchronized(oa.toString))
+        .map(_.group(1)).getOrElse(fail(s"no PID line:\n$oa"))
+      assert(Process(Seq("kill", "-STOP", pid)).! === 0, "SIGSTOP failed")
+      stoppedPid = Some(pid)
+      val (pb, ob) = forkAsync(root, key, 222L, "build", 0, fastLease)
+      assert(pb.exitValue() === 0,
+        s"waiter failed behind a frozen builder's lease:\n$ob")
+      val sb = ob.synchronized(ob.toString)
+      assert(parse(sb) === ((222L, 1)),
+        s"waiter did not build after reclaiming the frozen lease:\n$sb")
+      assert(sb.contains(reclaimMsg),
+        s"no reclaim logged — did the waiter win some other way?\n$sb")
+      val assets = rootListing(root).filter(_.startsWith("asset-"))
+      assert(assets.size === 1, s"expected the reclaimer's asset alone: $assets")
+    } finally {
+      // a stopped process ignores SIGTERM until continued; SIGKILL acts
+      // immediately — then reap via destroy/exitValue
+      stoppedPid.foreach(p => Process(Seq("kill", "-9", p)).!)
+      pa.destroy()
+      ()
+    }
   }
 
   // Paths.get is referenced to keep the import honest under -Xfatal-warnings

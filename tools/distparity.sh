@@ -31,8 +31,11 @@ fi
 rm -rf "$OUT"
 # The app jar is shipped to executors via spark.jars automatically;
 # SPARK_GRAFT_MASTER overrides Verify's single-JVM default.
+# SPARK_GRAFT_CKPT_DIR: Materialize.cut fails fast on a non-local master
+# without one (r13); local-cluster shares this machine's filesystem.
 SPARK_GRAFT_MASTER="local-cluster[$N,$C,$M]" \
 SPARK_GRAFT_CPUS=$((N * C)) \
+SPARK_GRAFT_CKPT_DIR=$(mktemp -d /tmp/distparity-ckpt-XXXX) \
 /opt/spark/bin/spark-submit \
   --master "local-cluster[$N,$C,$M]" \
   --class graft.Verify \
