@@ -123,8 +123,20 @@ object Bench {
           }
         (minOf2(BenchCapstones.curateSeconds(spark, sfDir), "curate")
           .map("curate" -> _) ++
-         minOf2(BenchCapstones.etlSeconds(spark), "etl")
-          .map("etl" -> _)).toMap
+         // the etl capstone's fixture DB is EMBEDDED IN-MEMORY Derby —
+         // JVM-local by construction, so under a multi-JVM master each
+         // executor's JDBC write boots its own empty DB and the ordered
+         // overwrite fails on a missing table. That is the fixture, not
+         // the sink (production JDBC is a networked endpoint reachable
+         // from every executor), so skip rather than report a failure.
+         (if (spark.sparkContext.isLocal)
+            minOf2(BenchCapstones.etlSeconds(spark), "etl").map("etl" -> _)
+          else {
+            System.err.println("[bench] capstone etl skipped under a " +
+              "non-local master: its in-memory Derby fixture is JVM-local; " +
+              "bench it multi-JVM against a networked JDBC endpoint")
+            None
+          })).toMap
       }
     val caps = capstones.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
