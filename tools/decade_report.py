@@ -39,6 +39,13 @@ def main():
     ratios = sorted(r[3] for r in compared)
     med = ratios[len(ratios) // 2] if ratios else None
 
+    # A budget record that shares no query names with the runs (wrong
+    # file, renamed queries) must die with a diagnostic, not a
+    # TypeError on `med:.2f` / ValueError on max([]) (ADVICE r13).
+    if not compared:
+        sys.exit("no comparable queries: budget record shares no query "
+                 f"names with the runs (budget={budget_path})")
+
     print(f"{'query':28s} {'10x_min':>8s} {'1x':>8s} {'ratio':>7s}")
     for q, m, b, ratio in sorted(rows, key=lambda r: -(r[3] or 0)):
         print(f"{q:28s} {m:8.2f} {b if b else -1:8.2f} "

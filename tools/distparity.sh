@@ -33,9 +33,12 @@ rm -rf "$OUT"
 # SPARK_GRAFT_MASTER overrides Verify's single-JVM default.
 # SPARK_GRAFT_CKPT_DIR: Materialize.cut fails fast on a non-local master
 # without one (r13); local-cluster shares this machine's filesystem.
+# Swept on exit: env-provided roots are never cleaned by Materialize.
+CKPT=$(mktemp -d /tmp/distparity-ckpt-XXXX)
+trap 'rm -rf "$CKPT"' EXIT
 SPARK_GRAFT_MASTER="local-cluster[$N,$C,$M]" \
 SPARK_GRAFT_CPUS=$((N * C)) \
-SPARK_GRAFT_CKPT_DIR=$(mktemp -d /tmp/distparity-ckpt-XXXX) \
+SPARK_GRAFT_CKPT_DIR="$CKPT" \
 /opt/spark/bin/spark-submit \
   --master "local-cluster[$N,$C,$M]" \
   --class graft.Verify \

@@ -30,10 +30,15 @@ ADD_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
 
 # SPARK_GRAFT_CKPT_DIR: Materialize.cut fails fast on a non-local master
 # without one (r13); local-cluster executors share this machine, so a
-# tmp path is cluster-visible here
+# tmp path is cluster-visible here. Script-created scratch is swept on
+# exit (ADVICE r13: chaos rotations accumulated 40+ /tmp ckpt trees) —
+# Materialize itself never sweeps an env-provided dir, by contract.
+CKPT=$(mktemp -d /tmp/ftchaos-ckpt-XXXX)
+IDX=$(mktemp -d /tmp/ftchaos-idx-XXXX)
+trap 'rm -rf "$CKPT" "$IDX"' EXIT
 SPARK_GRAFT_MASTER='local-cluster[3,2,1024]' SPARK_GRAFT_CPUS=6 \
-SPARK_GRAFT_ONLY="$Q" SPARK_GRAFT_INDEX_DIR=$(mktemp -d) \
-SPARK_GRAFT_CKPT_DIR=$(mktemp -d /tmp/ftchaos-ckpt-XXXX) \
+SPARK_GRAFT_ONLY="$Q" SPARK_GRAFT_INDEX_DIR="$IDX" \
+SPARK_GRAFT_CKPT_DIR="$CKPT" \
 SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
 java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
