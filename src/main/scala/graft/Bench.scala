@@ -109,10 +109,18 @@ object Bench {
     // a per-query plan — shows in bench/results. min of 2 runs, same
     // noise rationale as the query passes. Off for targeted subsets
     // (SPARK_GRAFT_ONLY) and opt-out runs.
+    // Capstones not run are RECORDED, not just stderr'd: a targeted or
+    // opt-out record must be distinguishable from full coverage when a
+    // later round diffs the JSON (ADVICE r13). Since round 14 the etl
+    // fixture loads through ProxyJdbcServer (a loopback TCP endpoint over
+    // in-memory Derby), so it runs under multi-JVM masters too — the old
+    // non-local skip is gone.
+    val skippedCapstones = scala.collection.mutable.ArrayBuffer[String]()
     val capstones =
-      if (only.isDefined || sys.env.get("SPARK_GRAFT_CAPSTONES").contains("off"))
+      if (only.isDefined || sys.env.get("SPARK_GRAFT_CAPSTONES").contains("off")) {
+        skippedCapstones ++= Seq("curate", "etl")
         Map.empty[String, Double]
-      else {
+      } else {
         def minOf2(f: => Double, label: String): Option[Double] =
           try { val a = f; val b = f; Some(math.min(a, b)) }
           catch {
@@ -123,30 +131,19 @@ object Bench {
           }
         (minOf2(BenchCapstones.curateSeconds(spark, sfDir), "curate")
           .map("curate" -> _) ++
-         // the etl capstone's fixture DB is EMBEDDED IN-MEMORY Derby —
-         // JVM-local by construction, so under a multi-JVM master each
-         // executor's JDBC write boots its own empty DB and the ordered
-         // overwrite fails on a missing table. That is the fixture, not
-         // the sink (production JDBC is a networked endpoint reachable
-         // from every executor), so skip rather than report a failure.
-         (if (spark.sparkContext.isLocal)
-            minOf2(BenchCapstones.etlSeconds(spark), "etl").map("etl" -> _)
-          else {
-            System.err.println("[bench] capstone etl skipped under a " +
-              "non-local master: its in-memory Derby fixture is JVM-local; " +
-              "bench it multi-JVM against a networked JDBC endpoint")
-            None
-          })).toMap
+         minOf2(BenchCapstones.etlSeconds(spark), "etl").map("etl" -> _)).toMap
       }
     val caps = capstones.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val skippedCaps = skippedCapstones.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val cgf = graft.quality.CodegenGuard.count
     // listener bus is async: give straggler task-end events a beat to
     // land before reading the run totals (whole-run rounding error only)
     Thread.sleep(1000)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spans,"capstones":$caps,"errors":$errs,"n_errors":${errors.size},"codegen_fallbacks":$cgf,${spill.reportJson},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spans,"capstones":$caps,"skipped_capstones":$skippedCaps,"errors":$errs,"n_errors":${errors.size},"codegen_fallbacks":$cgf,${spill.reportJson},"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json keeps only the LAST ~2000 chars of
     // stdout and json-parses what it kept — the full line above is ~12 KB
@@ -164,7 +161,7 @@ object Bench {
     val errsShort = errors.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n_queries":${results.size},"capstones":$caps,"errors":$errsShort,"n_errors":${errors.size},"codegen_fallbacks":$cgf,${spill.reportJson},"slowest":$slowest,"full_record":"bench/results/latest.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.round(total * 10) / 10.0},"unit":"sec","n_queries":${results.size},"capstones":$caps,"skipped_capstones":$skippedCaps,"errors":$errsShort,"n_errors":${errors.size},"codegen_fallbacks":$cgf,${spill.reportJson},"slowest":$slowest,"full_record":"bench/results/latest.json","sf":"$sfDir"}"""
     // durable full per-query record (the driver's BENCH artifact keeps
     // only a tail — per-query history was being lost between rounds);
     // opt-out/redirect via SPARK_GRAFT_BENCH_OUT=/path or "off"

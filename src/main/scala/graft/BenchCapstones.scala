@@ -38,7 +38,17 @@ object BenchCapstones {
     } finally deleteRecursively(new java.io.File(out))
   }
 
-  /** Seconds for one full EtlRun (extract → transform → Derby load). */
+  /** Seconds for one full EtlRun (extract → transform → JDBC load).
+    *
+    * The load goes through [[graft.load.ProxyJdbcServer]] — a loopback TCP
+    * endpoint wrapping in-memory Derby — NOT the embedded driver directly,
+    * so executor-side `df.write.jdbc` partitions cross a real socket to one
+    * shared database. That makes the capstone valid under a multi-JVM
+    * master (the round-13 bench had to skip it there: embedded Derby is
+    * JVM-local, and the sandbox ships no derbynet/derbyclient), and it
+    * prices the networked-database shape production K4–K6 actually has.
+    * Local and multi-JVM records stay comparable because both pay the same
+    * proxy path; the one-time switch is noted in BASELINE.md (round 14). */
   def etlSeconds(spark: SparkSession): Double = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     def respond(ex: HttpExchange, body: String): Unit = {
@@ -63,20 +73,24 @@ object BenchCapstones {
     // unique DB name per call: in-memory Derby persists for the JVM's
     // lifetime, and a reused name would make run 2 measure a warm schema
     val db = s"benchetl${System.nanoTime()}"
-    val url = s"jdbc:derby:memory:$db;create=true"
-    val props = new Properties()
-    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val backendProps = new Properties()
+    backendProps.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val proxy = new graft.load.ProxyJdbcServer(
+      s"jdbc:derby:memory:$db;create=true", backendProps)
+    graft.load.ProxyJdbcDriver.ensureRegistered()
     try {
       val t0 = System.nanoTime()
       EtlRun.run(spark, new JdkHttpFetcher(),
         s"$base/api/bootstrap-static/", s"$base/api/fixtures/",
-        s"$base/api/element-summary/%d/", landing, url, props,
+        s"$base/api/element-summary/%d/", landing, proxy.url,
+        proxy.clientProps,
         JdbcSink.Derby, username = "bench", raiseErrors = true,
         loadDatetime = Timestamp.valueOf("2024-08-20 10:00:00"),
         log = _ => ())
       (System.nanoTime() - t0) / 1e9
     } finally {
       server.stop(0)
+      proxy.stop()
       deleteRecursively(new java.io.File(landing))
       try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
       catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
