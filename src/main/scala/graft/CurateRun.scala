@@ -169,6 +169,11 @@ object CurateRun {
       // must be GC'd as their RDDs die, or a long-running curation job
       // accumulates them until JVM exit; must be set pre-context
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // reliable-checkpoint blocks (Materialize.cut) compress with the
+      // session codec: Spark defaults this OFF, and an uncompressed cut
+      // of a corpus-sized frame was the visible recoverability premium
+      // at 10x (VERDICT r13 item 1)
+      .config("spark.checkpoint.compress", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val params =

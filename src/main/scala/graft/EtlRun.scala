@@ -153,6 +153,11 @@ object EtlRun {
       // any Materialize.cut downstream needs its checkpoint files GC'd
       // as the RDDs die (pre-context conf, cannot be set by cut itself)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // reliable-checkpoint blocks (Materialize.cut) compress with the
+      // session codec: Spark defaults this OFF, and an uncompressed cut
+      // of a corpus-sized frame was the visible recoverability premium
+      // at 10x (VERDICT r13 item 1)
+      .config("spark.checkpoint.compress", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dialect =

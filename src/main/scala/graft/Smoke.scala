@@ -13,6 +13,11 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       // same checkpoint-GC discipline as Bench/Verify (pre-context conf)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // reliable-checkpoint blocks (Materialize.cut) compress with the
+      // session codec: Spark defaults this OFF, and an uncompressed cut
+      // of a corpus-sized frame was the visible recoverability premium
+      // at 10x (VERDICT r13 item 1)
+      .config("spark.checkpoint.compress", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)

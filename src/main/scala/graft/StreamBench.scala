@@ -99,6 +99,11 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // reliable-checkpoint blocks (Materialize.cut) compress with the
+      // session codec: Spark defaults this OFF, and an uncompressed cut
+      // of a corpus-sized frame was the visible recoverability premium
+      // at 10x (VERDICT r13 item 1)
+      .config("spark.checkpoint.compress", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // soak runs need every batch's progress for the latency curve —

@@ -23,6 +23,11 @@ object Verify {
       // Materialize.cut checkpoint files are reclaimed as their RDDs GC
       // (must be set before the context starts — ContextCleaner caches it)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // reliable-checkpoint blocks (Materialize.cut) compress with the
+      // session codec: Spark defaults this OFF, and an uncompressed cut
+      // of a corpus-sized frame was the visible recoverability premium
+      // at 10x (VERDICT r13 item 1)
+      .config("spark.checkpoint.compress", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -495,7 +495,13 @@ object TextQueries extends QueryPack {
           col("ts.stop_hits").cast("double") / col("ts.n_tokens"))
         .filter(col("n_tokens") >= 30 && col("stop_ratio") <= 0.4)
         .withColumn("fp", expr(charHashSpark("text")))
-        .drop("ts")
+        // minimal-column contract for BOTH shuffles below (the dedup
+        // window's fp-hash exchange and the shared doc_id exchange):
+        // lang/source/n_chars are dead downstream, and at 10x the
+        // payload — not the partitioning — is the exchange cost
+        // (VERDICT r13 item 1)
+        .select(col("doc_id"), col("text"), col("n_tokens"),
+          col("stop_ratio"), col("fp"))
       // barrier: `exact` feeds three consumers (signatures, token sets,
       // the final anti-join) — materialize the quality+dedup stage once
       // instead of recomputing tokenstats+hash+window per consumer

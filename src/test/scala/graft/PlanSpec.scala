@@ -642,4 +642,51 @@ class PlanSpec extends SparkSpec {
     assert(!scanFilters.contains("element_at"),
       s"shingle pipeline pushed into the scan filter:\n$scanFilters")
   }
+
+  test("corpus-sized shared exchanges carry the minimal column set (r13 item 1)") {
+    // The multi-consumer repartition exchanges in the three conversions
+    // that paid a visible recoverability premium at 10x must shuffle only
+    // the columns some consumer reads — a schema column (lang/source/
+    // n_chars) or the un-encoded source STRING riding a corpus-sized
+    // exchange is payload, not partitioning, and it regresses silently.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffleOutputs(q: String): Seq[Set[String]] = {
+      val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val plan = exec match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case e: ShuffleExchangeExec =>
+        e.output.map(_.name.takeWhile(_ != '#')).toSet
+      }
+    }
+    // q_corpus_clean: the shared doc_id exchange (and the fp dedup-window
+    // exchange below it) must not carry lang/source/n_chars
+    shuffleOutputs("q_corpus_clean").foreach { cols =>
+      assert(!cols.contains("lang") && !cols.contains("source") &&
+        !cols.contains("n_chars"),
+        s"q_corpus_clean shuffles dead columns: $cols")
+    }
+    // q_corpus_kl: the token-level exchange is (sid, h) — never the
+    // source string per token row
+    val klToken = shuffleOutputs("q_corpus_kl").filter(_.contains("h"))
+    assert(klToken.nonEmpty, "q_corpus_kl: token exchange not found")
+    klToken.foreach { cols =>
+      assert(!cols.contains("source"),
+        s"q_corpus_kl token exchange carries the source string: $cols")
+    }
+  }
+
+  test("corpus clean: one shared exchange feeds the three dedup consumers") {
+    // signatures, token sets and the final anti-join all read `exact`
+    // through the SAME doc_id exchange; distinct per-consumer pruning
+    // would break reuse and triple the corpus shuffle. Reuse only
+    // materializes in the ADAPTIVE executed plan → execute-then-inspect.
+    val df = SparkEntry.queries("q_corpus_clean")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p).size >= 2,
+      s"q_corpus_clean recomputes the dedup stage per consumer:\n$p")
+  }
 }
