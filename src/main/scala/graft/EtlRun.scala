@@ -158,6 +158,13 @@ object EtlRun {
       // of a corpus-sized frame was the visible recoverability premium
       // at 10x (VERDICT r13 item 1)
       .config("spark.checkpoint.compress", "true")
+      // text/embedding parquet is tiny on disk but CPU-dense to process
+      // (compressed text explodes ~20x into tokenize/hash work): the
+      // default 4 MiB file-open cost floors split sizes so a 6 MiB
+      // documents table scans with 2 tasks on 32 cores. 128 KiB keeps
+      // bytes/defaultParallelism in charge for small inputs; at real
+      // scale splits are maxPartitionBytes-bound, so this is a no-op
+      .config("spark.sql.files.openCostInBytes", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dialect =

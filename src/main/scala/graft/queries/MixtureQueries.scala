@@ -198,15 +198,19 @@ object MixtureQueries extends QueryPack {
         .join(broadcast(dim), Seq("source"))
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("sid"), explode(col("th")).as("h"))
-        // corpus counts + per-source counts share ONE reused exchange
-        // on h ((sid,h) reuses it: h ⊂ its keys); shuffle recompute
-        // is the recovery path — no lineage cut
+        // ONE corpus-sized exchange, consumed once: cst (co-partitioned —
+        // hash(h) clusters (sid,h)) is the finest count table and every
+        // other distribution DERIVES from it. The r13 shape aggregated
+        // `toks` three ways and per-consumer pruning under the
+        // repartition silently split the "shared" exchange into three
+        // full scan+tokenize pipelines at 10x (r14 finding).
         .repartition(col("h"))
-      val corpus = toks.groupBy(col("h")).agg(count(lit(1)).as("ct"))
-      val cTot = corpus.agg(sum(col("ct")).as("tc"), count(lit(1)).as("vv"))
-      val srcTot = toks.groupBy(col("sid")).agg(count(lit(1)).as("ts"))
       val cst = toks.groupBy(col("sid"), col("h"))
         .agg(count(lit(1)).as("cst"))
+        .cut(true) // |sources|×|vocab|-bounded; four consumers below
+      val corpus = cst.groupBy(col("h")).agg(sum(col("cst")).as("ct"))
+      val cTot = corpus.agg(sum(col("ct")).as("tc"), count(lit(1)).as("vv"))
+      val srcTot = cst.groupBy(col("sid")).agg(sum(col("cst")).as("ts"))
       corpus.crossJoin(broadcast(srcTot))
         .join(cst, Seq("sid", "h"), "left")
         .crossJoin(broadcast(cTot))

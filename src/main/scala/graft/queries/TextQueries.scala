@@ -1288,8 +1288,10 @@ object TextQueries extends QueryPack {
     // D = 0.75. Training is FOUR shuffled aggregations off one bigram
     // count table (forward totals + distinct-successor counts,
     // distinct-predecessor counts, the scalar type total) — all
-    // vocab²-bounded, none broadcast except the one-row total; scoring
-    // re-joins docs' bigrams on (h1,h2). Every count is an exact
+    // vocab²-bounded, none broadcast except the one-row total; the
+    // smoothed log-prob assembles on that count table and scoring joins
+    // it back to the per-doc bigram counts on (h1,h2), so the corpus
+    // stream crosses exactly one exchange. Every count is an exact
     // integer; the smoothed probability is ONE double expression with
     // pinned association, rounded at 6 dp before the exact-DECIMAL
     // per-doc sum — so the DuckDB oracle replays the whole trained
@@ -1305,18 +1307,28 @@ object TextQueries extends QueryPack {
             "ELSE CAST(array() AS ARRAY<STRUCT<h1: BIGINT, h2: BIGINT>>) END"))
           .as("p"))
         .select(col("doc_id"), col("p.h1").as("h1"), col("p.h2").as("h2"))
-        // count tables + scoring share ONE reused exchange on (h1,h2);
-        // shuffle recompute is the recovery path — no lineage cut
+        // the bigram stream is consumed twice (model count + scoring
+        // join); recomputing the 32-way-split tokenize per consumer is
+        // cheaper than any materialization of the stream itself (r14
+        // measured: a per-doc count-table rewrite paid two 12M-group
+        // no-reduction hash aggs, +70% at 10x), and each consumer's own
+        // exchange is its recovery path
         .repartition(col("h1"), col("h2"))
+      // big's four consumers recompute the count agg over the reused
+      // pairs exchange — shuffle recompute is the recovery path. r14
+      // A/B at 10x: a reliable cut of big paid ~1.2s of checkpoint
+      // write/read over the recompute (8.6s vs 9.8s min-of-3)
       val big = pairs.groupBy(col("h1"), col("h2"))
         .agg(count(lit(1)).as("cxy"))
-        .cut(true) // four aggregate consumers
       val ctx = big.groupBy(col("h1"))
         .agg(sum(col("cxy")).as("cx"), count(lit(1)).as("n1f"))
       val bwd = big.groupBy(col("h2")).agg(count(lit(1)).as("n1b"))
       val tot = big.agg(count(lit(1)).as("tt"))
-      pairs
-        .join(big, Seq("h1", "h2"))
+      // the smoothed log-prob is assembled on the VOCAB²-bounded count
+      // table — the r13 shape joined ctx (h1) and bwd (h2) into the
+      // corpus-sized scoring stream, paying two more corpus exchanges
+      // at 10x (the r13 decade's 1.58x premium lived exactly there)
+      val lpTable = big
         .join(ctx, Seq("h1"))
         .join(bwd, Seq("h2"))
         .crossJoin(broadcast(tot))
@@ -1324,6 +1336,9 @@ object TextQueries extends QueryPack {
           (col("cxy").cast("double") - 0.75) / col("cx").cast("double") +
             (lit(0.75) * col("n1f").cast("double") / col("cx").cast("double")) *
               (col("n1b").cast("double") / col("tt").cast("double"))), 6))
+        .select(col("h1"), col("h2"), col("lp"))
+      pairs
+        .join(lpTable, Seq("h1", "h2"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("lp").cast("decimal(18,6)")).as("sdec"))
@@ -1356,18 +1371,23 @@ object TextQueries extends QueryPack {
             "ELSE CAST(array() AS ARRAY<STRUCT<h1: BIGINT, bg: BIGINT>>) END"))
           .as("p"))
         .select(col("doc_id"), col("p.h1").as("h1"), col("p.bg").as("bg"))
-        // doc rows + both count tables share ONE reused exchange on
-        // (h1,bg); shuffle recompute is the recovery path
+        // stream consumed twice (count table + scoring); recompute per
+        // consumer, same trade as q_lm_kneser. The conditional (cxy/cx)
+        // assembles on the VOCAB-bounded count table: the r13 shape
+        // joined uni(h1) into the already-scored corpus stream, paying a
+        // second corpus-sized exchange on h1
         .repartition(col("h1"), col("bg"))
-      val uni = pairs.groupBy(col("h1")).agg(count(lit(1)).as("cx"))
       val big = pairs.groupBy(col("h1"), col("bg")).agg(count(lit(1)).as("cxy"))
-      pairs
-        .join(big, Seq("h1", "bg"))
+      val uni = big.groupBy(col("h1")).agg(sum(col("cxy")).as("cx"))
+      val lp = big
         .join(uni, Seq("h1"))
+        .select(col("h1"), col("bg"),
+          round(log(col("cxy").cast("double") / col("cx")), 6).as("lp"))
+      pairs
+        .join(lp, Seq("h1", "bg"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          sum(round(log(col("cxy").cast("double") / col("cx")), 6)
-            .cast("decimal(18,6)")).as("s"))
+          sum(col("lp").cast("decimal(18,6)")).as("s"))
         .select(col("doc_id"), col("n_bigrams"),
           r6(col("s").cast("double") / col("n_bigrams")).as("lm_avg"))
         .orderBy(col("doc_id"))

@@ -678,6 +678,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("LM/KL family: the text column is scanned the declared number of times") {
+    // r14 finding: a multi-consumer corpus frame's "shared" repartition
+    // can silently SPLIT under per-consumer pruning/nullability drift —
+    // q_corpus_kl was re-running scan+tokenize once per count table at
+    // 10x. The contract pinned here is the number of text-bearing scans
+    // in the executed plan: q_corpus_kl materializes its count table
+    // once (cut) → 1 corpus pass; q_lm_kneser/q_lm_score deliberately
+    // consume the bigram stream twice (model count + scoring join) → 2.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // runtime truth, not the pre-execution sketch: exchange reuse that
+    // dedups sibling pipelines only materializes in the ADAPTIVE final
+    // plan, and a ReusedExchange subtree no longer re-executes its scan —
+    // count text scans NOT under a ReusedExchange after running the query
+    def textScans(q: String): Int = {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // ReusedExchangeExec is a LEAF (its origin is a reference, not a
+      // child), so this counts only scans that actually executed
+      plan.collect {
+        case s: FileSourceScanExec if s.output.exists(_.name == "text") => s
+      }.size
+    }
+    // kl's one corpus pass happens inside the eager cut at build time;
+    // the served plan reads the checkpointed count table and must never
+    // touch the text again
+    assert(textScans("q_corpus_kl") == 0,
+      "q_corpus_kl consumers must read the cut count table, not the corpus")
+    assert(textScans("q_lm_kneser") <= 2,
+      "q_lm_kneser tokenizes at most twice (model count + scoring)")
+    assert(textScans("q_lm_score") <= 2,
+      "q_lm_score tokenizes at most twice (model count + scoring)")
+  }
+
   test("corpus clean: one shared exchange feeds the three dedup consumers") {
     // signatures, token sets and the final anti-join all read `exact`
     // through the SAME doc_id exchange; distinct per-consumer pruning
