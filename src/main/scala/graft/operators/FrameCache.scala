@@ -32,9 +32,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * racing JVM either wins the rename or loses it cleanly (the final dir
   * it then reads was renamed WHOLE — never a torn asset). Exactly one
   * build per asset across any number of JVMs sharing the root; the loser
-  * deletes its own staging. On an object store (S3-style) rename is not
-  * atomic — there this seam would swap to the store's conditional-put /
-  * commit protocol; the staging+publish SHAPE is unchanged.
+  * deletes its own staging.
+  *
+  * OBJECT-STORE PUBLISH (round-14, the rename-less seam): when [[root]]
+  * carries a URI scheme (`s3a:`, or the specs' registered mock schemes),
+  * rename is not atomic — S3's is copy+delete — so publication switches
+  * to POINTER-COMMIT: each builder writes its frames into a PRIVATE
+  * `asset-<id>/attempt-<uuid>/` prefix, then CONDITIONALLY PUTS the
+  * completion marker at `asset-<id>/_GRAFT_COMPLETE` naming its attempt
+  * (`#dir:attempt-<uuid>`). The conditional put — `FileSystem.create(
+  * path, overwrite = false)`, the surface S3 backs with `If-None-Match`
+  * and HDFS with atomic create — is the single arbitration point:
+  * exactly one racing builder's marker lands; losers read the winner's
+  * pointer and delete their own attempt. Readers NEVER list — they
+  * follow the marker's pointer — so a half-written attempt (crashed
+  * builder, concurrent loser) is unreachable, not a torn read; orphaned
+  * attempt prefixes are invisible garbage for the store's lifecycle
+  * rules (the local-root janitor [[gcStaging]] does not run on object
+  * roots). The build lease rides the same conditional put, with
+  * heartbeat = re-PUT of the lease object (object stores don't expose
+  * mtime touch) and staleness read from the object's modification time.
   *
   * Freshness across processes: keys follow the `<sourceDir>#<asset>`
   * convention, and [[sourceStamp]] of the part before '#' (file names,
@@ -50,6 +67,122 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object FrameCache {
 
   private val marker = "_GRAFT_COMPLETE"
+
+  /** The five atomic points the resolve protocol needs from storage.
+    * [[NioStore]] is the POSIX root (exclusive create + mtime);
+    * [[HadoopStore]] is any scheme'd root (conditional PUT + object
+    * modification time). Everything else in the protocol is identical. */
+  private[operators] sealed trait CacheStore {
+    /** All-or-nothing create-if-absent with content; false = already
+      * exists (someone else won). The object-store PUT-with-If-None-Match
+      * surface. */
+    def putExclusive(p: String, content: String): Boolean
+    /** Refresh the liveness signal [[lastModMs]] reads. */
+    def heartbeat(p: String): Unit
+    def lastModMs(p: String): Long
+    def readLinesOpt(p: String): Option[Seq[String]]
+    def deleteQuiet(p: String): Unit
+    def mkdirs(p: String): Unit
+    /** Best-effort read-lease touch (no-op where touching means a
+      * rewrite that could race the conditional-put arbitration). */
+    def touchQuiet(p: String): Unit
+  }
+
+  private object NioStore extends CacheStore {
+    def putExclusive(p: String, content: String): Boolean =
+      try {
+        Files.createFile(Paths.get(p)) // atomic-exclusive on POSIX
+        Files.write(Paths.get(p), content.getBytes(StandardCharsets.UTF_8))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    def heartbeat(p: String): Unit =
+      try Files.setLastModifiedTime(Paths.get(p),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case scala.util.control.NonFatal(_) => () }
+    def lastModMs(p: String): Long =
+      Files.getLastModifiedTime(Paths.get(p)).toMillis
+    def readLinesOpt(p: String): Option[Seq[String]] =
+      if (Files.exists(Paths.get(p)))
+        Some(Files.readAllLines(Paths.get(p), StandardCharsets.UTF_8).asScala.toSeq)
+      else None
+    def deleteQuiet(p: String): Unit =
+      try { Files.deleteIfExists(Paths.get(p)); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    def mkdirs(p: String): Unit = { Files.createDirectories(Paths.get(p)); () }
+    def touchQuiet(p: String): Unit = heartbeat(p)
+  }
+
+  /** Scheme'd roots resolve through the Hadoop FileSystem registry —
+    * the `fs.<scheme>.impl` mechanism every object-store connector
+    * uses. Conditional put maps to `create(path, overwrite = false)`
+    * (S3 `If-None-Match`, HDFS atomic create; the specs' mock scheme
+    * emulates the PUT-at-close semantics); heartbeat re-PUTs the lease
+    * object so its modification time advances. */
+  private final class HadoopStore extends CacheStore {
+    private def conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    private def fsPath(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      (hp.getFileSystem(conf), hp)
+    }
+    def putExclusive(p: String, content: String): Boolean =
+      try {
+        val (fs, hp) = fsPath(p)
+        val out = fs.create(hp, false)
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close() // stores with PUT-at-close arbitrate HERE
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("exists") => false
+      }
+    def heartbeat(p: String): Unit =
+      try {
+        val (fs, hp) = fsPath(p)
+        val out = fs.create(hp, true)
+        try out.write(System.currentTimeMillis().toString
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    def lastModMs(p: String): Long = {
+      val (fs, hp) = fsPath(p)
+      fs.getFileStatus(hp).getModificationTime
+    }
+    def readLinesOpt(p: String): Option[Seq[String]] = {
+      val (fs, hp) = fsPath(p)
+      if (!fs.exists(hp)) None
+      else {
+        val len = fs.getFileStatus(hp).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(hp)
+        try in.readFully(0, buf) finally in.close()
+        Some(new String(buf, StandardCharsets.UTF_8).linesIterator.toSeq)
+      }
+    }
+    def deleteQuiet(p: String): Unit =
+      try { val (fs, hp) = fsPath(p); fs.delete(hp, true); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    def mkdirs(p: String): Unit = { val (fs, hp) = fsPath(p); fs.mkdirs(hp); () }
+    def touchQuiet(p: String): Unit = () // a rewrite is a PUT — never race it
+  }
+
+  /** A root like `s3a://bucket/prefix` or the specs' `mock:/...` is an
+    * object-store root; a bare path (or `file:`) is POSIX. */
+  private[operators] def isObjectRoot(r: String): Boolean = {
+    val m = "^([a-zA-Z][a-zA-Z0-9+.-]*):/.*$".r
+    r match {
+      case m(scheme) => scheme != "file"
+      case _ => false
+    }
+  }
+
+  private def storeFor(r: String): CacheStore =
+    if (isObjectRoot(r)) new HadoopStore else NioStore
 
   // in-JVM memo of resolved asset dirs (ensureDir) and frame lists
   // (ensure) — skips the filesystem probe on repeat calls
@@ -89,7 +222,8 @@ object FrameCache {
   def root: String = {
     val r = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
       s"${sys.props("java.io.tmpdir")}/graft-dedup-index")
-    Files.createDirectories(Paths.get(r))
+    // object-store prefixes need no pre-creation (keys imply prefixes)
+    if (!isObjectRoot(r)) Files.createDirectories(Paths.get(r))
     r
   }
 
@@ -212,31 +346,38 @@ object FrameCache {
   private def resolve(kind: String, key: String, build: String => Seq[String])
       : (String, Seq[String]) = {
     val id = assetId(kind, key)
-    val fin = Paths.get(s"$root/asset-$id")
-    val lease = Paths.get(s"$root/.lease-$id")
-    def readMarker(): Option[Seq[String]] = {
-      val m = fin.resolve(marker)
-      if (Files.exists(m))
-        Some(Files.readAllLines(m, StandardCharsets.UTF_8)
-          .asScala.toSeq.filter(l => l.nonEmpty && !l.startsWith("#")))
-      else None
-    }
-    def serve(names: Seq[String]): (String, Seq[String]) = {
+    val rootDir = root
+    val store = storeFor(rootDir)
+    val objectRoot = isObjectRoot(rootDir)
+    val finS = s"$rootDir/asset-$id"
+    val fin = if (objectRoot) null else Paths.get(finS)
+    val markerPath = s"$finS/$marker"
+    val leasePath = s"$rootDir/.lease-$id"
+    // raw marker lines; `#`-prefixed lines are protocol metadata
+    def readMarker(): Option[Seq[String]] = store.readLinesOpt(markerPath)
+    def frameNames(lines: Seq[String]): Seq[String] =
+      lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+    // pointer-commit assets record the winning attempt dir; rename
+    // assets have no pointer and serve the asset dir itself
+    def frameDir(lines: Seq[String]): String =
+      lines.find(_.startsWith("#dir:"))
+        .map(d => s"$finS/${d.stripPrefix("#dir:")}")
+        .getOrElse(finS)
+    def serve(lines: Seq[String]): (String, Seq[String]) = {
       // READ LEASE: reading doesn't bump mtimes, so a long-lived
       // old-code process could have its asset swept from under it by a
       // newer deployment's superseded-token GC once the tree aged past
       // the bound. Touching the marker on each cross-process resolve
       // (memoized — once per key per JVM) keeps any actively-read
       // asset inside the age bound. Best-effort: a read-only root
-      // still resolves.
-      try Files.setLastModifiedTime(fin.resolve(marker),
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      catch { case scala.util.control.NonFatal(_) => () }
-      (fin.toString, names)
+      // still resolves. (No-op on object roots — the janitor doesn't
+      // run there and a touch would be a rewriting PUT.)
+      store.touchQuiet(markerPath)
+      (frameDir(lines), frameNames(lines))
     }
-    def buildAndPublish(): (String, Seq[String]) = {
+    def renamePublish(): (String, Seq[String]) = {
       gcOnce // janitor moment: about to add a staging — sweep dead ones
-      val stg = Paths.get(s"$root/.stg-$id-${UUID.randomUUID().toString.take(8)}")
+      val stg = Paths.get(s"$rootDir/.stg-$id-${UUID.randomUUID().toString.take(8)}")
       val names = try {
         Files.createDirectories(stg)
         val ns = build(stg.toString)
@@ -269,21 +410,45 @@ object FrameCache {
           while (m.isEmpty && tries < 50) {
             Thread.sleep(100); m = readMarker(); tries += 1
           }
-          (fin.toString, m.getOrElse(throw e))
+          m.map(ls => (frameDir(ls), frameNames(ls))).getOrElse(throw e)
       }
     }
+    def pointerCommitPublish(): (String, Seq[String]) = {
+      // rename-less stores: build under a PRIVATE attempt prefix of the
+      // final asset path, then conditionally PUT the marker naming it.
+      // The put is the only arbitration; the loser's attempt is
+      // unreachable garbage it deletes itself.
+      val attempt = s"attempt-${UUID.randomUUID().toString.take(8)}"
+      val stg = s"$finS/$attempt"
+      val names = try {
+        store.mkdirs(stg)
+        build(stg)
+      } catch { case e: Throwable => cleanup(stg); throw e }
+      val content = (s"#token:$buildToken" +: s"#dir:$attempt" +: names)
+        .mkString("\n")
+      if (store.putExclusive(markerPath, content)) (stg, names)
+      else {
+        cleanup(stg)
+        readMarker().map(ls => (frameDir(ls), frameNames(ls)))
+          .getOrElse(throw new IllegalStateException(
+            s"lost the marker put for asset $id but the winner's marker " +
+              s"is unreadable: $markerPath"))
+      }
+    }
+    def buildAndPublish(): (String, Seq[String]) =
+      if (objectRoot) pointerCommitPublish() else renamePublish()
     val deadline = System.currentTimeMillis() + leaseWaitMs
     while (true) {
       readMarker() match {
-        case Some(names) => return serve(names)
+        case Some(lines) => return serve(lines)
         case None =>
           val acquired =
-            try { Files.createFile(lease); true }
+            try store.putExclusive(leasePath,
+              System.currentTimeMillis().toString)
             catch {
-              case _: java.nio.file.FileAlreadyExistsException => false
               // un-leasable root (read-only probe race, exotic fs):
               // duplicate work beats a deadlock — build anyway and let
-              // the publish rename arbitrate
+              // the publish arbitration decide
               case scala.util.control.NonFatal(_) => true
             }
           if (acquired) {
@@ -293,15 +458,11 @@ object FrameCache {
             val hb = new Thread(() =>
               try while (!Thread.interrupted()) {
                 Thread.sleep(leaseBeatMs)
-                // swallow I/O failures (e.g. the lease was reclaimed or
-                // the root went read-only): a missed beat at worst lets
-                // a waiter start a duplicate build, which the publish
-                // rename arbitrates — an uncaught throw here would kill
-                // the thread with a stack trace on stderr instead
-                try Files.setLastModifiedTime(lease,
-                  java.nio.file.attribute.FileTime.fromMillis(
-                    System.currentTimeMillis()))
-                catch { case scala.util.control.NonFatal(_) => () }
+                // heartbeat swallows I/O failures internally (e.g. the
+                // lease was reclaimed or the root went read-only): a
+                // missed beat at worst lets a waiter start a duplicate
+                // build, which the publish arbitration resolves
+                store.heartbeat(leasePath)
               } catch { case _: InterruptedException => () })
             hb.setDaemon(true)
             hb.setName(s"graft-framecache-lease-$id")
@@ -309,8 +470,7 @@ object FrameCache {
             try return buildAndPublish()
             finally {
               hb.interrupt()
-              try Files.deleteIfExists(lease)
-              catch { case scala.util.control.NonFatal(_) => () }
+              store.deleteQuiet(leasePath)
             }
           } else {
             // a builder holds the lease: wait for its marker. A lease
@@ -321,10 +481,10 @@ object FrameCache {
             if (System.currentTimeMillis() > deadline)
               throw new IllegalStateException(
                 s"timed out after ${leaseWaitMs / 1000}s waiting for the " +
-                  s"builder of asset $id (key '$key'); lease: $lease")
+                  s"builder of asset $id (key '$key'); lease: $leasePath")
             val stale =
               try System.currentTimeMillis() -
-                Files.getLastModifiedTime(lease).toMillis > leaseStaleMs
+                store.lastModMs(leasePath) > leaseStaleMs
               catch {
                 // lease vanished: builder finished (marker next loop) or
                 // failed (we contend for the lease next loop)
@@ -334,8 +494,7 @@ object FrameCache {
               System.err.println(
                 s"[FrameCache] reclaiming stale build lease for asset $id " +
                   "(builder stopped heartbeating)")
-              try Files.deleteIfExists(lease)
-              catch { case scala.util.control.NonFatal(_) => () }
+              store.deleteQuiet(leasePath)
             }
           }
       }
@@ -365,6 +524,10 @@ object FrameCache {
     * isolated root instead of the live shared one. */
   def gcStaging(maxAgeMillis: Long = 6L * 3600 * 1000,
       rootDir: String = root): Int = {
+    // object roots: orphaned attempt prefixes are unreachable (readers
+    // follow marker pointers, never list) — cleanup belongs to the
+    // store's lifecycle rules, not a walking janitor doing LIST storms
+    if (isObjectRoot(rootDir)) return 0
     val cutoff = System.currentTimeMillis() - maxAgeMillis
     def newestUnder(p: Path): Long =
       try {

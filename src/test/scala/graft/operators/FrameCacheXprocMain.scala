@@ -30,6 +30,10 @@ object FrameCacheXprocMain {
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      // the rename-less object-store mock, registered exactly like a
+      // real connector; inert for the posix-root tests
+      .config("spark.hadoop.fs.rlmock.impl",
+        classOf[RenamelessMockFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

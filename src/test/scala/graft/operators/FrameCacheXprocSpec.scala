@@ -355,6 +355,75 @@ class FrameCacheXprocSpec extends AnyFunSuite {
     }
   }
 
+  // ---- object-store (rename-less) publish contract — VERDICT r13 #3 ----
+  // The `rlmock:` scheme renames by copy+delete (S3A's real semantics)
+  // and arbitrates creates at close (If-None-Match PUT). The pointer-
+  // commit protocol must publish exactly once with NO rename anywhere
+  // in the arbitration path, and readers must never see a torn asset.
+
+  test("object root: sequential JVMs publish via pointer commit and read it back") {
+    val local = Files.createTempDirectory("fc-rlmock-seq").toString
+    val root = s"rlmock:$local"
+    val key = s"xproc#rlseq#${System.nanoTime()}"
+    val (c1, o1) = fork(root, key, 21L, "build")
+    assert(c1 === 0, s"object-root builder failed:\n$o1")
+    assert(parse(o1) === ((21L, 1)))
+    // a FRESH process serves the committed attempt without building
+    val (c2, o2) = fork(root, key, 999L, "read")
+    assert(c2 === 0, s"object-root reader failed:\n$o2")
+    assert(parse(o2) === ((21L, 0)))
+    // on-bucket shape: one asset prefix, marker POINTS at the attempt,
+    // frames live under it, and the rename path never engaged (no .stg-)
+    val listing = rootListing(local)
+    assert(listing.count(_.startsWith("asset-")) === 1, listing.toString)
+    assert(!listing.exists(_.startsWith(".stg-")),
+      s"rename-protocol staging appeared on an object root: $listing")
+    val assetDir = new java.io.File(local).listFiles()
+      .find(_.getName.startsWith("asset-")).get
+    val markerLines = Files.readAllLines(
+      assetDir.toPath.resolve("_GRAFT_COMPLETE")).toArray.map(_.toString)
+    val dirLine = markerLines.find(_.startsWith("#dir:"))
+      .getOrElse(fail(s"marker carries no attempt pointer: ${markerLines.toSeq}"))
+    val attempt = dirLine.stripPrefix("#dir:")
+    assert(attempt.startsWith("attempt-"))
+    assert(Files.isDirectory(assetDir.toPath.resolve(attempt).resolve("t")),
+      "the committed attempt does not contain the published frame")
+  }
+
+  test("object root: racing builders — the conditional put arbitrates, the loser's attempt vanishes") {
+    // force BOTH JVMs to build (staleMs=1 makes every lease look dead,
+    // so the lease never serializes them): the publish race then lands
+    // squarely on the conditional-put marker — the exact seam rename
+    // used to arbitrate on posix
+    val local = Files.createTempDirectory("fc-rlmock-race").toString
+    val root = s"rlmock:$local"
+    val key = s"xproc#rlrace#${System.nanoTime()}"
+    val props = Seq("-Dgraft.lease.staleMs=1", "-Dgraft.lease.beatMs=3600000")
+    val (p1, b1) = forkAsync(root, key, 31L, "build", 4000, props)
+    val (p2, b2) = forkAsync(root, key, 32L, "build", 4000, props)
+    assert(awaitLine(b1, "BUILD_STARTED") && awaitLine(b2, "BUILD_STARTED"),
+      s"both racers must genuinely build:\n${b1}\n${b2}")
+    assert(p1.exitValue() === 0, s"racer 1 failed:\n$b1")
+    assert(p2.exitValue() === 0, s"racer 2 failed:\n$b2")
+    val (v1, built1) = parse(b1.synchronized(b1.toString))
+    val (v2, built2) = parse(b2.synchronized(b2.toString))
+    assert(built1 + built2 === 2, "the lease bypass did not force a dual build")
+    // exactly one commit wins; BOTH processes read the winner's value —
+    // never their own uncommitted attempt, never a torn mix
+    assert(v1 === v2, s"racing readers disagree: $v1 vs $v2")
+    assert(Set(31L, 32L).contains(v1))
+    val assetDir = new java.io.File(local).listFiles()
+      .find(_.getName.startsWith("asset-")).getOrElse(fail("no asset"))
+    val attempts = assetDir.listFiles().map(_.getName)
+      .filter(_.startsWith("attempt-"))
+    assert(attempts.length === 1,
+      s"loser's attempt survived (or winner's vanished): ${attempts.toSeq}")
+    val markerLines = Files.readAllLines(
+      assetDir.toPath.resolve("_GRAFT_COMPLETE")).toArray.map(_.toString)
+    assert(markerLines.exists(_ == s"#dir:${attempts.head}"),
+      s"marker does not point at the surviving attempt: ${markerLines.toSeq}")
+  }
+
   // Paths.get is referenced to keep the import honest under -Xfatal-warnings
   private val _ = Paths.get(".")
 }
