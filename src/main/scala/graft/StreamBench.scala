@@ -90,7 +90,122 @@ object StreamBench {
       if (ms.isEmpty) 0 else ms.max, ms)
   }
 
+  /** Forked child for the crash-resume budget: one curation run over
+    * `streamDir` with a real streaming checkpoint. Prints `PID=` (the
+    * parent SIGKILLs via it), `BATCH_COMMITTED=<n>` per completed
+    * trigger, and `FIRST_COMMIT_MS=<ms>` — time from `start()` to the
+    * first committed batch, the number the budget records. A fresh JVM
+    * per phase is the point: restart latency must include WAL offset
+    * recovery in a process that has never seen the stream. */
+  private def childCurate(streamDir: String, root: String, outPath: String,
+      ckptDir: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"PID=${ProcessHandle.current().pid()}")
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    @volatile var first = -1L
+    val t0 = System.nanoTime()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.numInputRows > 0) {
+            if (first < 0) {
+              first = (System.nanoTime() - t0) / 1000000
+              println(s"FIRST_COMMIT_MS=$first")
+            }
+            println(s"BATCH_COMMITTED=${e.progress.batchId}")
+          }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    val q = CurationPipeline.start(root, outPath, stream,
+      checkpointLocation = Some(ckptDir))
+    q.awaitTermination()
+    println("DONE")
+    spark.stop()
+  }
+
+  /** SIGKILL + restart budget (VERDICT r13 item 7): fork a curation run
+    * over `streamDir`, SIGKILL it after its second committed batch, fork
+    * a fresh JVM on the SAME checkpoint, and read both forks'
+    * time-to-first-committed-batch. Cold = fork A's (fresh checkpoint);
+    * resume = fork B's (offset recovery from the WAL, then the possibly
+    * uncommitted batch re-runs). Returns (coldMs, resumeMs, doneB). */
+  private def crashResumeBudget(streamDir: String, root: String,
+      out: String, ckpt: String): (Long, Long, Boolean) = {
+    import scala.sys.process._
+    val addOpens = Seq(
+      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    def fork(): (Process, StringBuilder) = {
+      val cmd = Seq(s"${sys.props("java.home")}/bin/java", "-Xmx4g") ++
+        addOpens ++ Seq("-cp", sys.props("java.class.path"),
+        "graft.StreamBench", "child-curate", streamDir, root, out, ckpt)
+      val buf = new StringBuilder
+      val p = Process(cmd).run(ProcessLogger(
+        l => buf.synchronized { buf.append(l).append('\n'); () },
+        _ => ()))
+      (p, buf)
+    }
+    def await(buf: StringBuilder, pred: String => Boolean,
+        timeoutMs: Long = 300000): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (System.currentTimeMillis() < deadline) {
+        if (buf.synchronized(buf.toString).linesIterator.exists(pred))
+          return true
+        Thread.sleep(50)
+      }
+      false
+    }
+    def firstCommitMs(buf: StringBuilder): Long =
+      buf.synchronized(buf.toString).linesIterator
+        .find(_.startsWith("FIRST_COMMIT_MS="))
+        .map(_.stripPrefix("FIRST_COMMIT_MS=").toLong).getOrElse(-1L)
+
+    val (pa, ba) = fork()
+    // kill AFTER the second commit: the WAL then holds real committed
+    // offsets plus, very likely, an in-flight batch — the recovery shape
+    // a preempted executor host actually leaves behind
+    val sawTwo = await(ba,
+      l => l == "BATCH_COMMITTED=1" || l == "BATCH_COMMITTED=2")
+    val pid = ba.synchronized(ba.toString).linesIterator
+      .find(_.startsWith("PID=")).map(_.stripPrefix("PID=").toLong)
+    if (sawTwo) pid.flatMap(p =>
+      scala.jdk.OptionConverters.RichOptional(ProcessHandle.of(p)).toScala)
+      .foreach(_.destroyForcibly())
+    pa.exitValue() // reap (killed, or completed if the kill lost the race)
+    val cold = firstCommitMs(ba)
+
+    val (pb, bb) = fork()
+    val doneB = await(bb, _ == "DONE")
+    pb.exitValue()
+    (cold, firstCommitMs(bb), doneB)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("child-curate")) {
+      try childCurate(args(1), args(2), args(3), args(4))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"streambench child failed: $e")
+          sys.exit(1)
+      }
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "6").toInt
@@ -147,6 +262,25 @@ object StreamBench {
     cq.awaitTermination()
     val curate = drain(cq, cRows, (System.nanoTime() - t0) / 1e9)
 
+    // ---- crash-resume latency budget (VERDICT r13 item 7) ------------
+    // CurationCrashResumeSpec proves restart CORRECTNESS; this prices
+    // it: a forked run over the same batch files is SIGKILLed after its
+    // second committed batch, a fresh JVM restarts from the checkpoint,
+    // and both report time-to-first-committed-batch. Off for targeted
+    // runs via SPARK_GRAFT_STREAM_CRASH=off.
+    val crashJson =
+      if (sys.env.get("SPARK_GRAFT_STREAM_CRASH").contains("off")) ""
+      else {
+        val crashRoot = tempDir("graft-sb-crash-root")
+        DedupIndex.write(DedupIndex.buildFrames(spark, seed),
+          StreamingIngestDedup.versionDir(crashRoot, 0))
+        val (cold, resume, ok) = crashResumeBudget(
+          cDir, crashRoot, s"$crashRoot/decisions",
+          tempDir("graft-sb-crash-ckpt"))
+        s""","crash_resume":{"cold_first_batch_ms":$cold,""" +
+          s""""resume_first_batch_ms":$resume,"resumed_to_done":$ok}"""
+      }
+
     // ---- vector ingest: 1/3 of embeddings train the quantizer --------
     val vecs = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -164,7 +298,7 @@ object StreamBench {
     val vector = drain(vq, vRows, (System.nanoTime() - t1) / 1e9)
 
     val line = s"""{"metric":"stream","curate":${curate.json},""" +
-      s""""vector":${vector.json},"sf":"$sfDir"}"""
+      s""""vector":${vector.json}$crashJson,"sf":"$sfDir"}"""
     println(line)
     val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench/results")
     if (outDir != "off") try {
