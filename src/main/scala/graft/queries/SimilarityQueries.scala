@@ -46,6 +46,11 @@ object SimilarityQueries extends QueryPack {
   /** Target expected rows per band bucket. */
   private val targetBucket = 16L
 
+  /** Rows per hot-bucket CHUNK in the pair self-join (q_dedup_embedding):
+    * one task verifies ≤ chunkTarget² candidate pairs. See the r14
+    * hot-bucket note on that query. */
+  private val chunkTarget = 256L
+
   /** Adaptive band width: smallest r with 2^r ≥ n/targetBucket, clamped
     * to [4, 62] (each band key is its own long, so 62 is the signed-long
     * bit budget PER BAND, not across the whole signature). Integer-exact:
@@ -260,19 +265,56 @@ object SimilarityQueries extends QueryPack {
     // Embedding-cosine near-duplicate pairs above a threshold, candidates
     // from the same adaptive-r banded LSH (both directions of the dedup
     // story: textual MinHash in TextQueries, embedding-cosine here).
+    //
+    // HOT-BUCKET CHUNKING (r14, from the 32x probe): projection skew —
+    // an anisotropic embedding distribution making some hyperplane signs
+    // one-sided — can concentrate thousands of vectors in one (band,key)
+    // bucket even while AVERAGE occupancy stays at target. A plain
+    // band-key self-join then lands that bucket's whole m² candidate
+    // verification on ONE task (measured: 94s single-thread at 32x,
+    // 62.9x wall for 32x data). The pair work is intrinsic (every
+    // candidate must be verified; the dense region's true pairs are the
+    // output), so the fix is DISTRIBUTION, not pruning: rows hash into
+    // ceil(m/256) chunks per bucket (the count table join is
+    // co-partitioned with the bucket exchange), each row replicates once
+    // per partner chunk, and the self-join keys on (band, bkey, chunk,
+    // partner-chunk) — the hot bucket becomes nch² independent tasks of
+    // ≤256² comparisons, identical pair set. Small buckets have nch=1
+    // and pay one constant extra key column.
     "q_dedup_embedding" -> ((s, dir) => {
       GraftExtensions.register(s)
       val base = t(s, dir, "embeddings")
       val sigs = base.crossJoin(broadcast(bandParams(base)))
         .select(col("vec_id"), expr(s"graft_rpbands(embedding, $nBandsRp, r)").as("sig"))
+      // the full signature (4 longs) rides each band row so the join can
+      // emit every pair exactly ONCE — from its EARLIEST co-bucketing
+      // band — as an in-stage filter, instead of materializing the
+      // multi-band duplicates through a corpus-of-pairs DISTINCT
+      // exchange (at 32x that exchange was ~4x the unique pair volume)
       val bands = sigs
-        .select(col("vec_id"), posexplode(col("sig")).as(Seq("band", "bkey")))
-      val pairs = bands.as("x")
-        .join(bands.as("y"),
+        .select(col("vec_id"), col("sig"),
+          posexplode(col("sig")).as(Seq("band", "bkey")))
+      val bcount = bands.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("nch",
+          greatest(lit(1L), ceil(col("m") / lit(chunkTarget))).cast("int"))
+        .select(col("band"), col("bkey"), col("nch"))
+      val ch = bands
+        .join(bcount, Seq("band", "bkey"))
+        .withColumn("c", pmod(xxhash64(col("vec_id")), col("nch")).cast("int"))
+        .withColumn("oc", explode(expr("sequence(0, nch - 1)")))
+      val pairs = ch.as("x")
+        .join(ch.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.oc") === col("y.c") && col("x.c") === col("y.oc") &&
             col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-        .distinct()
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+          col("x.band").as("band"), col("x.sig").as("sa"), col("y.sig").as("sb"))
+        // keep the pair only at its first co-bucketing band (band 0 has
+        // no earlier bands; sequence(0, -1) would DESCEND — guard it)
+        .filter(expr("CASE WHEN band = 0 THEN true ELSE NOT exists(" +
+          "sequence(0, band - 1), b -> element_at(sa, b + 1) = element_at(sb, b + 1)) END"))
+        .select(col("id_a"), col("id_b"))
       val ev = base.withColumn("n2", expr("graft_fdot(embedding, embedding)"))
       pairs
         .join(ev.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
