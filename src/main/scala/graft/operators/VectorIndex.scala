@@ -128,4 +128,38 @@ object VectorIndex {
   /** Encode a batch against the frozen codebooks (PQ `add`). */
   def addPq(cb: PqIndex.Codebooks, batch: DataFrame): DataFrame =
     PqIndex.encode(batch, cb)
+
+  // ---- SQ8 ------------------------------------------------------------
+
+  def writeSq(spark: SparkSession, b: SqIndex.Bounds, codes: DataFrame,
+      dir: String): Unit = {
+    import spark.implicits._
+    b.lo.indices.map(i => (i, b.lo(i), b.hi(i))).toDF("i", "lo", "hi")
+      .write.mode("overwrite").parquet(s"$dir/bounds")
+    codes.select(col("vec_id"), col("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Read back: bounds collect to the driver (dim rows — 2·dim floats,
+    * the quantizer IS the bound table), codes stay a lazy scan. */
+  def loadSq(spark: SparkSession, dir: String): (SqIndex.Bounds, DataFrame) = {
+    val rows = spark.read.parquet(s"$dir/bounds").collect()
+      .map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2))).sortBy(_._1)
+    require(rows.nonEmpty, s"empty SQ bounds under $dir — partial or corrupt index")
+    val b = SqIndex.Bounds(rows.map(_._2).toIndexedSeq, rows.map(_._3).toIndexedSeq)
+    (b, spark.read.parquet(s"$dir/codes"))
+  }
+
+  def ensureSq(spark: SparkSession, key: String,
+      build: => (SqIndex.Bounds, DataFrame)): (SqIndex.Bounds, DataFrame) = {
+    val dir = ensureDir(key) { d =>
+      val (b, codes) = build
+      writeSq(spark, b, codes, d)
+    }
+    loadSq(spark, dir)
+  }
+
+  /** Encode a batch against the frozen bounds (SQ `add`). */
+  def addSq(b: SqIndex.Bounds, batch: DataFrame): DataFrame =
+    SqIndex.add(b, batch)
 }

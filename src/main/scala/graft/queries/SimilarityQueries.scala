@@ -275,55 +275,90 @@ object SimilarityQueries extends QueryPack {
     // 62.9x wall for 32x data). The pair work is intrinsic (every
     // candidate must be verified; the dense region's true pairs are the
     // output), so the fix is DISTRIBUTION, not pruning: rows hash into
-    // ceil(m/256) chunks per bucket (the count table join is
-    // co-partitioned with the bucket exchange), each row replicates once
-    // per partner chunk, and the self-join keys on (band, bkey, chunk,
+    // ceil(m/256) chunks per bucket, each row replicates once per
+    // partner chunk, and the self-join keys on (band, bkey, chunk,
     // partner-chunk) — the hot bucket becomes nch² independent tasks of
     // ≤256² comparisons, identical pair set. Small buckets have nch=1
     // and pay one constant extra key column.
+    //
+    // The bucket size comes from a WINDOW count over (band, bkey), not a
+    // separate count-table join: the window's one hash exchange IS the
+    // co-partitioning both self-join sides need (join keys (band, bkey,
+    // chunk, partner-chunk) ⊇ the exchange keys, so EnsureRequirements
+    // adds only sorts), and because the two sides are the identical
+    // subtree that exchange is REUSED — the scan + signature pipeline
+    // runs once. The first chunked form joined a groupBy count table
+    // back into the band rows; the asymmetric c/oc join keys made the
+    // sides canonically different and the whole subtree (scan, rpbands,
+    // count agg, join) silently recomputed per side — 10 parquet scans,
+    // 8 rpbands evaluations, 0 reused exchanges at 1x.
+    //
+    // IN-STAGE VERIFICATION (r14, from the 32x spill profile): the
+    // embedding (64 floats) and its precomputed norm RIDE the band rows,
+    // so cosine verification happens inside the self-join's stage and
+    // only SURVIVING pairs (sim ≥ threshold, ~1% of candidates in the
+    // dense region) ever reach another operator. The previous shape
+    // emitted bare (id_a, id_b) candidates and joined the embeddings
+    // back on per-pair keys — candidate-count × 2 embeddings of
+    // intermediate state (≈6 GB and ~28 GB of sort spill at 32x,
+    // pair-QUADRATIC in the dense region at scale). Payload-on-band-rows
+    // is 4·n·dim bytes through one exchange — LINEAR in the corpus, the
+    // shape that survives 100 TB.
     "q_dedup_embedding" -> ((s, dir) => {
       GraftExtensions.register(s)
       val base = t(s, dir, "embeddings")
       val sigs = base.crossJoin(broadcast(bandParams(base)))
-        .select(col("vec_id"), expr(s"graft_rpbands(embedding, $nBandsRp, r)").as("sig"))
+        .select(col("vec_id"),
+          expr(s"graft_rpbands(embedding, $nBandsRp, r)").as("sig"),
+          col("embedding").as("emb"),
+          expr("graft_fdot(embedding, embedding)").as("n2"))
       // the full signature (4 longs) rides each band row so the join can
       // emit every pair exactly ONCE — from its EARLIEST co-bucketing
       // band — as an in-stage filter, instead of materializing the
       // multi-band duplicates through a corpus-of-pairs DISTINCT
       // exchange (at 32x that exchange was ~4x the unique pair volume)
       val bands = sigs
-        .select(col("vec_id"), col("sig"),
+        .select(col("vec_id"), col("sig"), col("emb"), col("n2"),
           posexplode(col("sig")).as(Seq("band", "bkey")))
-      val bcount = bands.groupBy(col("band"), col("bkey"))
-        .agg(count(lit(1)).as("m"))
-        .withColumn("nch",
-          greatest(lit(1L), ceil(col("m") / lit(chunkTarget))).cast("int"))
-        .select(col("band"), col("bkey"), col("nch"))
+      val wBucket = Window.partitionBy(col("band"), col("bkey"))
       val ch = bands
-        .join(bcount, Seq("band", "bkey"))
+        .withColumn("nch",
+          greatest(lit(1L),
+            ceil(count(lit(1)).over(wBucket) / lit(chunkTarget))).cast("int"))
         .withColumn("c", pmod(xxhash64(col("vec_id")), col("nch")).cast("int"))
         .withColumn("oc", explode(expr("sequence(0, nch - 1)")))
-      val pairs = ch.as("x")
-        .join(ch.as("y"),
+      // each side repartitions on its FULL chunk-key tuple, in an order
+      // that is position-compatible with the join condition below
+      // ((band, bkey, oc, c) on x lines up with (band, bkey, c, oc) on
+      // y), so the join adds NO further exchange and a hot bucket's
+      // nch² chunk pairs land on nch² different reducers — partitioning
+      // the join on (band, bkey) alone would put the whole hot bucket
+      // back on one task, the exact collapse the chunking exists to
+      // prevent. The two repartition exchanges differ, but everything
+      // BELOW the window's (band, bkey) exchange is one shared subtree,
+      // so the scan + rpbands pipeline is computed once and reused.
+      val chX = ch.repartition(col("band"), col("bkey"), col("oc"), col("c"))
+      val chY = ch.repartition(col("band"), col("bkey"), col("c"), col("oc"))
+      val pairs = chX.as("x")
+        .join(chY.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.oc") === col("y.c") && col("x.c") === col("y.oc") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-          col("x.band").as("band"), col("x.sig").as("sa"), col("y.sig").as("sb"))
+          col("x.band").as("band"), col("x.sig").as("sa"), col("y.sig").as("sb"),
+          col("x.emb").as("ea"), col("x.n2").as("na2"),
+          col("y.emb").as("eb"), col("y.n2").as("nb2"))
         // keep the pair only at its first co-bucketing band (band 0 has
-        // no earlier bands; sequence(0, -1) would DESCEND — guard it)
+        // no earlier bands; sequence(0, -1) would DESCEND — guard it).
+        // This filter comes BEFORE the cosine so CombineFilters keeps it
+        // as the first conjunct: multi-band duplicates die on a few long
+        // compares without paying the 64-float dot product.
         .filter(expr("CASE WHEN band = 0 THEN true ELSE NOT exists(" +
           "sequence(0, band - 1), b -> element_at(sa, b + 1) = element_at(sb, b + 1)) END"))
-        .select(col("id_a"), col("id_b"))
-      val ev = base.withColumn("n2", expr("graft_fdot(embedding, embedding)"))
-      pairs
-        .join(ev.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-          col("n2").as("na2")), "id_a")
-        .join(ev.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-          col("n2").as("nb2")), "id_b")
         .withColumn("sim",
           r6(expr("graft_fdot(ea, eb)") / (sqrt(col("na2")) * sqrt(col("nb2")))))
         .filter(col("sim") >= 0.35)
+      pairs
         .select(col("id_a"), col("id_b"), col("sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -516,6 +551,40 @@ object SimilarityQueries extends QueryPack {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       graft.operators.PqIndex.codeStats(cb, enc, probes)
         .orderBy(col("s"), col("code"))
+    }),
+
+    // SQ8 ANN — the scalar-quantization member of the index family
+    // (operators.SqIndex): per-dim 8-bit codes against trained [lo, hi]
+    // bounds (FAISS IndexScalarQuantizer QT_8bit), searched by exact
+    // squared-L2 against the RECONSTRUCTION. Sits between brute force
+    // (no compression) and PQ (subspace codebooks): 4× memory cut, no
+    // codebook training, and — like PQ — the float corpus stays cold at
+    // query time. FULLY oracle-checked: train (per-dim min/max), encode
+    // (double-exact half-up quantize), decode and the integer-micro
+    // distance rank all replay bit-for-bit in DuckDB (no Lloyd chain
+    // needed — the quantizer here is just the bound table). Same fixed
+    // probe universe and two-stage top-(k+1) → drop-self → top-k ranking
+    // as q_ann_pq. Persisted via VectorIndex.ensureSq: bounds + codes
+    // land as parquet, consumers price at read-back cost.
+    "q_ann_sq8" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val e = t(s, dir, "embeddings")
+      val (b, codes) = graft.operators.VectorIndex.ensureSq(s, s"$dir#sq8", {
+        val bounds = graft.operators.SqIndex.train(e)
+        (bounds, graft.operators.SqIndex.encode(e, bounds))
+      })
+      // FIXED probe universe — see q_ann_ivf
+      val probes = e.filter(col("vec_id") % 20 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adist"), col("cand_id"))
+      graft.operators.SqIndex.search(b, codes, probes, topK = 4)
+        .filter(col("probe_id") =!= col("cand_id"))
+        .withColumn("rnk2", row_number().over(w))
+        .filter(col("rnk2") <= 3)
+        .select(col("probe_id"), col("cand_id"), r6(col("adist")).as("adist"),
+          col("rnk2").as("rnk"))
+        .orderBy(col("probe_id"), col("rnk"))
     }),
 
     // The k-means family's HASH ANCHOR: per-probe probed cells (rank
@@ -978,6 +1047,54 @@ object SimilarityQueries extends QueryPack {
          |FROM r2 WHERE rnk <= 3
          |ORDER BY probe_id, rnk""".stripMargin
     },
+
+    // Full SQ8 replay: per-dim min/max bounds, the identical double-
+    // exact half-up quantize + decode (operand order mirrored from
+    // SqIndex.encodeSql/decodeSql so every IEEE op matches), the same
+    // pn2 − 2·dot + rn2 squared-L2 against the reconstruction quantized
+    // to integer micros per pair, and the Spark side's exact two-stage
+    // ranking (top-4 → drop self → top-3 by (dist_micro, cand_id)).
+    "q_ann_sq8" ->
+      s"""WITH bounds AS (
+         |  SELECT i, min(embedding[i]) AS lo, max(embedding[i]) AS hi
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+         |  GROUP BY i
+         |), blist AS (
+         |  SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM bounds
+         |), rec AS (
+         |  SELECT vec_id AS cand_id,
+         |    list_transform(generate_series(1, len(embedding)), i ->
+         |      CAST(CAST(lo[i] AS DOUBLE) + CAST((CASE
+         |        WHEN hi[i] <= lo[i] THEN 0
+         |        ELSE CAST(least(255.0, greatest(0.0, floor(
+         |          (CAST(embedding[i] AS DOUBLE) - CAST(lo[i] AS DOUBLE)) /
+         |          (CAST(hi[i] AS DOUBLE) - CAST(lo[i] AS DOUBLE)) * 255.0 + 0.5))) AS INT)
+         |        END) AS DOUBLE) / 255.0 *
+         |        (CAST(hi[i] AS DOUBLE) - CAST(lo[i] AS DOUBLE)) AS FLOAT)) AS rvec
+         |  FROM embeddings CROSS JOIN blist
+         |), probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe
+         |  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 5000
+         |), ad AS (
+         |  SELECT p.probe_id, r.cand_id,
+         |    CAST(floor((${dotDuck("p.pe", "p.pe")}
+         |      - 2.0 * ${dotDuck("p.pe", "r.rvec")}
+         |      + ${dotDuck("r.rvec", "r.rvec")}) * 1000000 + 0.5) AS BIGINT)
+         |      AS dist_micro
+         |  FROM rec r CROSS JOIN probes p
+         |), r1 AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY dist_micro, cand_id) AS rnk1
+         |  FROM ad
+         |), r2 AS (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY dist_micro, cand_id) AS INT) AS rnk
+         |  FROM r1 WHERE rnk1 <= 4 AND probe_id <> cand_id
+         |)
+         |SELECT probe_id, cand_id,
+         |  ROUND(CAST(dist_micro AS DOUBLE) / 1000000.0, 6) AS adist, rnk
+         |FROM r2 WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin,
 
     "q_ivf_probe_stats" ->
       s"""WITH ${lloydDuck("8", 3)},
