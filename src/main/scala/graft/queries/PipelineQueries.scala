@@ -313,7 +313,12 @@ object PipelineQueries extends QueryPack {
         // recovery is plain shuffle recompute (the round-7 pagerank
         // lesson: exchange reuse beats an explicit materialization —
         // measured again here: 2.50 s solo vs 2.97 Materialize.cut and
-        // 2.71 the fault-intolerant localCheckpoint both replaced)
+        // 2.71 the fault-intolerant localCheckpoint both replaced).
+        // Round-14 note: an A/B that merged the raw and target fits into
+        // one conditional-sum aggregation (2 pipelines instead of 3) was
+        // REJECTED — interleaved min-of-10 read it 5% slower, because the
+        // target branch's source='src0' predicate pushes into its parquet
+        // scan and makes the "extra" pipeline the cheap one.
         .repartition(col("b"))
       val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
       val tgt = feats.filter(col("source") === "src0")
@@ -482,6 +487,16 @@ object PipelineQueries extends QueryPack {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+        // CONSTRAINT SATURATION (round 14): each consumer joins this
+        // subtree on a different column, and InferFiltersFromConstraints
+        // stamps that consumer's isnotnull onto ITS copy — canonically
+        // different copies can't share one exchange, so the distinct
+        // pipeline re-materialized per consumer context. Declaring the
+        // union of every consumer's derived predicate up front makes
+        // inference a no-op and every copy byte-identical (vacuously
+        // true here: c and p are arithmetic on join keys). Interleaved
+        // min-of-10 ×2: 3.21→2.89 / 2.89→2.42 s.
+        .filter(col("c").isNotNull && col("p").isNotNull)
         .distinct()
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
         .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))

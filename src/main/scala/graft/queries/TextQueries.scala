@@ -799,10 +799,17 @@ object TextQueries extends QueryPack {
       // query terms outside the corpus vocabulary can never match a
       // posting row, so the inner widf join loses no BM25 candidate
       // either — one query side serves both scorers
+      // Both consumers (query norms, the scoring join) BROADCAST this
+      // workload-sized frame, and its inputs are FrameCache parquet
+      // read-backs — recomputing it is one tiny scan + one broadcast
+      // join. The eager Materialize.cut that used to sit here cost two
+      // extra jobs and a reliable-checkpoint write+read PER INVOCATION
+      // (round-14 profile: the cut, not the scoring, owned the query's
+      // GC-sensitivity in full-suite runs) for a frame that is cheaper
+      // to rebuild than to restore.
       val qvec = qpost.join(broadcast(widf), Seq("h"))
         .select(col("query_id"), col("h"),
           (col("qtf").cast("double") * col("idf")).as("wq"))
-        .cut(true) // query norms + the scoring join
       val qnorm = qvec.groupBy(col("query_id"))
         .agg(sum(scaled6(pow(col("wq"), 2))).as("n2"))
         .select(col("query_id"),
