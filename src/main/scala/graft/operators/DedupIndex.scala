@@ -72,10 +72,13 @@ object DedupIndex {
     * the shingle array and the 8 minhash projections is a deliberate
     * pipeline barrier: without it CollapseProject inlines the shingle
     * expression into every minhash (8× recompute per row). At scale
-    * doc_id is the natural partition key anyway. */
+    * doc_id is the natural partition key anyway. The [[Spread]] ahead
+    * of the tokenize+shingle front parallelizes the kernel work when
+    * the input's parquet layout cannot (round-15 F1 fix; identity at
+    * production row-group counts). */
   def signatures(docs: DataFrame): DataFrame = {
     val mh = (0 until nMinhash).map(i => expr(minhashSpark("sh", i)).as(s"mh$i"))
-    docs
+    Spread.byKey(docs, col("doc_id"))
       .withColumn("th", expr(tokenHashesSpark("text")))
       .withColumn("sh", expr(shingleHashesSpark("th")))
       .select(col("doc_id"), col("text"), col("sh"))
@@ -94,9 +97,10 @@ object DedupIndex {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
   }
 
-  /** Sorted distinct token-hash set per doc (exact-Jaccard input). */
+  /** Sorted distinct token-hash set per doc (exact-Jaccard input).
+    * Spread for the same reason as [[signatures]]. */
   def hashedTokset(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    Spread.byKey(docs, col("doc_id")).select(col("doc_id"),
       expr(s"array_sort(array_distinct(${tokenHashesSpark("text")}))").as("tset"))
 
   /** Band self-join → distinct candidate (doc_a < doc_b) pairs. */

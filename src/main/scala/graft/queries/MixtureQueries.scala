@@ -194,7 +194,10 @@ object MixtureQueries extends QueryPack {
       val dim = t(s, dir, "documents").select(col("source")).distinct()
         .withColumn("sid", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("source"))))
-      val toks = t(s, dir, "documents")
+      // Spread ahead of the tokenize front (r15 F1 fix; the broadcast
+      // dim join is map-side, so the spread partitioning carries through)
+      val toks = graft.operators.Spread
+        .byKey(t(s, dir, "documents"), col("doc_id"))
         .join(broadcast(dim), Seq("source"))
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("sid"), explode(col("th")).as("h"))

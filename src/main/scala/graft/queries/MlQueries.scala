@@ -62,7 +62,10 @@ object MlQueries extends QueryPack {
     "q_nb_lang" -> ((s, dir) => {
       import graft.functions.TextAnalytics.tokenHashesSpark
       import org.apache.spark.sql.expressions.Window
-      val toks = t(s, dir, "documents")
+      // Spread ahead of the tokenize front (r15 F1 fix; identity at
+      // production row-group counts)
+      val toks = graft.operators.Spread
+        .byKey(t(s, dir, "documents"), col("doc_id"))
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("doc_id"), col("lang"), explode(col("th")).as("h"))
         // train counts + test scoring share ONE reused exchange on h

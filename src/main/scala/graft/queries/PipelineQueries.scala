@@ -302,7 +302,12 @@ object PipelineQueries extends QueryPack {
     "q_dsir_select" -> ((s, dir) => {
       import graft.functions.TextAnalytics.{tokenHashesSpark, gramHashesSpark}
       val m = 10007
-      val feats = t(s, dir, "documents")
+      // Spread ahead of the tokenize+gram front: parallelizes the three
+      // explode pipelines when the parquet layout is scan-serial (r15 F1
+      // fix; interleaved min-of-10 A/B 3.27→2.91 s); identity at
+      // production row-group counts
+      val feats = graft.operators.Spread
+        .byKey(t(s, dir, "documents"), col("doc_id"))
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("doc_id"), col("source"),
           explode(concat(col("th"), expr(gramHashesSpark("th", 2)))).as("g"))
@@ -374,30 +379,44 @@ object PipelineQueries extends QueryPack {
     // gate that survives heavy tails where z-scores don't. Prices move
     // through integer cents so the interpolation (only ever integer
     // midpoints) and the 3×MAD threshold comparison are bit-identical
-    // across engines. Both medians run through GroupQuantiles' two-pass
-    // bucketed selection — NO whole-group percentile buffer anywhere in
-    // the plan (peak task state ~n/64 whatever the group size; PlanSpec
-    // guards the Percentile expression out), and the group-sized quantile
-    // frames broadcast back so the fact table is never shuffled on the
-    // group key.
+    // across engines.
+    //
+    // Round 15 (VERDICT r14 item 5): both medians now run on the VALUE
+    // HISTOGRAM (HistogramQuantiles — cents is domain-bounded, so the
+    // per-(flag, cents) count table is what shuffles, never the fact
+    // rows) instead of GroupQuantiles' two-pass bucketed selection.
+    // The med→mad chain collapses from 4 fact scans / 55 jobs to ONE
+    // fact scan / 13 jobs; measured wash at sf0.1 (3.67 vs 3.71
+    // interleaved min-of-10) and 2.0× faster at the 16× probe
+    // (11.29→5.64 s) where the scan front parallelizes. Interpolation
+    // uses the same expression shape as GroupQuantiles.exact
+    // (HistogramQuantilesSpec pins bit-equivalence on randomized
+    // weighted inputs); still NO whole-group percentile buffer — peak
+    // task state is one group's distinct VALUES, domain-bounded.
     "q_mad_outlier" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
-      val med = graft.operators.GroupQuantiles
-        .exact(li, "l_returnflag", "cents", Seq(("med", 0.5)))
+      val vc = li.filter(col("cents").isNotNull)
+        .groupBy(col("l_returnflag"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = graft.operators.HistogramQuantiles
+        .quantiles(vc, "l_returnflag", "cents", "cnt", Seq(("med", 0.5)))
         .select(col("l_returnflag"), col("med"))
-      val dev = li.join(broadcast(med), Seq("l_returnflag"))
-        .withColumn("dev", abs(col("cents") - col("med")))
-      val mad = graft.operators.GroupQuantiles
-        .exact(dev, "l_returnflag", "dev", Seq(("mad", 0.5)))
+      val dvc = vc.join(broadcast(med), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("med"),
+          abs(col("cents") - col("med")).as("dev"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val mad = graft.operators.HistogramQuantiles
+        .quantiles(dvc, "l_returnflag", "dev", "cnt", Seq(("mad", 0.5)))
         .select(col("l_returnflag"), col("mad"))
-      dev.join(broadcast(mad), Seq("l_returnflag"))
+      dvc.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(r6(first(col("med")) / 100).as("median_price"),
           r6(first(col("mad")) / 100).as("mad_price"),
-          sum((col("dev") > col("mad") * 3).cast("long")).as("n_outliers"),
-          count(lit(1)).as("n"))
+          sum(when(col("dev") > col("mad") * 3, col("cnt"))
+            .otherwise(lit(0L))).as("n_outliers"),
+          sum(col("cnt")).as("n"))
         .orderBy(col("l_returnflag"))
     }),
 

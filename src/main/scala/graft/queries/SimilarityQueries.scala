@@ -466,7 +466,12 @@ object SimilarityQueries extends QueryPack {
           (sqrt(col("n2")) * sqrt(expr("graft_fdot(centroid, centroid)")))))
         .select(col("vec_id"), col("cluster"), col("embedding"), col("n2"),
           col("csim"))
-        .cut(true) // pair self-join + member projection
+        // r15: the eager cut that sat here was REMOVED (VERDICT r14 item
+        // 7, the q_rrf_fusion F2 pattern): the self-join's two sides are
+        // canonically identical and share one reused exchange, and the
+        // third consumer's recompute is a cheap asset-parquet scan —
+        // the checkpoint write+read of the embedding-carrying frame cost
+        // more than it saved (interleaved min-of-10: 0.73→0.60 s).
       // directed pairs (y earlier-priority than x): count per x
       val dups = asg.as("a").join(asg.as("b"),
           col("a.cluster") === col("b.cluster") &&

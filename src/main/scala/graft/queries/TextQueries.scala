@@ -488,6 +488,10 @@ object TextQueries extends QueryPack {
     // pretraining pipeline runs, expressed as one lazy DAG.
     "q_corpus_clean" -> ((s, dir) => {
       GraftExtensions.register(s)
+      // r15 spread A/B: REJECTED here — interleaved min-of-10 read the
+      // spread front 1.25x WORSE (1.27→1.58 s); the downstream dedup
+      // window + LSH chain dominates and the extra text exchange never
+      // pays back
       val qual = t(s, dir, "documents")
         .withColumn("ts", expr("graft_tokenstats(text)"))
         .withColumn("n_tokens", col("ts.n_tokens"))
@@ -1177,6 +1181,13 @@ object TextQueries extends QueryPack {
       // real id would make first() pick one of two texts
       // nondeterministically while the oracle's UNION ALL keeps both —
       // the offset must clear every conceivable corpus/replica id space
+      // r15 F3 sweep note: the formatted plan shows 10-vs-2 isnotnull
+      // stamp drift across the 12 documents scan copies, but saturating
+      // doc_id isNotNull on d0 left the executed plan count-identical
+      // (3 ReusedExchange / 20 Exchange / 16 scans both ways) — the
+      // copies differ by consumer-specific pruning, not constraints, so
+      // the probe was reverted (the q_triangles lesson: no filter
+      // without executed-plan evidence).
       val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val docs = d0.unionByName(
         d0.filter(col("doc_id") % 40 === 0)
@@ -1243,6 +1254,8 @@ object TextQueries extends QueryPack {
     // the flag compares ROUNDED fractions so the boundary can't flip
     // between engines.
     "q_repetition_filter" -> ((s, dir) => {
+      // r15 spread A/B: wash (1.01x interleaved) — left unspread to keep
+      // the plan minimal
       val th = t(s, dir, "documents")
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("doc_id"), col("th"))
@@ -1306,6 +1319,9 @@ object TextQueries extends QueryPack {
     // trains on the same corpus), so the max(·,0) clamp is vacuous here
     // and the log argument is always positive.
     "q_lm_kneser" -> ((s, dir) => {
+      // r15 spread A/B: REJECTED — 1.37x worse interleaved (1.55→2.12 s);
+      // both consumers already share the reused (h1,h2) exchange, so the
+      // tokenize runs once and a pre-exchange of raw text is pure cost
       val pairs = t(s, dir, "documents")
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("doc_id"), explode(expr(
@@ -1369,6 +1385,8 @@ object TextQueries extends QueryPack {
     // shuffles on bigram hash); the per-doc sum is exact DECIMAL over
     // per-term rounded logs so partition order can't move the hash.
     "q_lm_score" -> ((s, dir) => {
+      // r15 spread A/B: REJECTED — 1.31x worse interleaved (see
+      // q_lm_kneser; same shared-exchange shape)
       val pairs = t(s, dir, "documents")
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("doc_id"), explode(expr(
@@ -1421,6 +1439,8 @@ object TextQueries extends QueryPack {
     // (rounded score desc, doc_id) is total.
     "q_ppl_buckets" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // r15 spread A/B: REJECTED — 1.44x worse interleaved (see
+      // q_lm_kneser; same shared-exchange shape)
       val pairs = t(s, dir, "documents")
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("doc_id"), col("lang"), explode(expr(
@@ -1489,7 +1509,9 @@ object TextQueries extends QueryPack {
     // the training side streams through one scan — a semi-join on gram
     // hashes, never any pairwise doc comparison.
     "q_decontaminate" -> ((s, dir) => {
-      val grams = t(s, dir, "documents")
+      // Spread ahead of the tokenize front (r15 F1 fix)
+      val grams = graft.operators.Spread
+        .byKey(t(s, dir, "documents"), col("doc_id"))
         .withColumn("th", expr(tokenHashesSpark("text")))
         .select(col("doc_id"), col("th"))
         .repartition(col("doc_id"))

@@ -549,22 +549,15 @@ class PlanSpec extends SparkSpec {
         "q_pq_index_update", "q_bm25_topk", "q_rrf_fusion",
         "q_hard_negatives")) {
       val p = plan(q)
-      // q_semdedup localCheckpoints the member frame it builds FROM the
-      // read-back, so its final plan roots at the materialized RDD — the
-      // checkpoint node is the accepted evidence there (build-once
-      // provenance is pinned separately by VectorIndexSpec). The root is
-      // resolved exactly as the caches resolve it, so the guard also
-      // holds under a SPARK_GRAFT_INDEX_DIR override.
+      // The root is resolved exactly as the caches resolve it, so the
+      // guard also holds under a SPARK_GRAFT_INDEX_DIR override.
       val root = graft.operators.FrameCache.root
-      // the ExistingRDD escape hatch is q_semdedup's alone — accepting
-      // it for the other nine would let a localCheckpoint-rooted plan
-      // pass even if it silently rebuilt the asset inline
-      if (q == "q_semdedup")
-        assert(p.contains(root) || p.contains("ExistingRDD"),
-          s"$q does not scan the persisted artifact under $root:\n$p")
-      else
-        assert(p.contains(root),
-          s"$q does not scan the persisted artifact under $root:\n$p")
+      // r15: q_semdedup's ExistingRDD escape hatch is GONE — its eager
+      // cut was removed (the self-join shares one reused exchange over
+      // the asset read-back), so every consumer here must root at the
+      // persisted parquet, strengthening the pin
+      assert(p.contains(root),
+        s"$q does not scan the persisted artifact under $root:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q: unexpected cartesian:\n$p")
     }
   }

