@@ -57,6 +57,15 @@ object Bench {
       // bytes/defaultParallelism in charge for small inputs; at real
       // scale splits are maxPartitionBytes-bound, so this is a no-op
       .config("spark.sql.files.openCostInBytes", "131072")
+      // size the whole-stage-codegen class cache to the query working
+      // set: the default 100 entries evict EVERYTHING between suite
+      // passes (196 queries × ~10 codegen units), so every pass re-paid
+      // Janino compilation for every query — measured 20% of the whole
+      // suite (152.8 → 124.5 s back-to-back, 0.80 per-query geomean,
+      // confirmed in-JVM by a first-vs-last-position experiment, round
+      // 15). Any long-running driver serving many distinct plans wants
+      // this ≥ its working set; memory cost is a few MB per 1000 entries
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -18,6 +18,7 @@ object PlanDump {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.checkpoint.compress", "true")
       .config("spark.sql.files.openCostInBytes", "131072")
+      .config("spark.sql.codegen.cache.maxEntries", "10000") // r15: see Bench.scala
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

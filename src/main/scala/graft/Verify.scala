@@ -35,6 +35,7 @@ object Verify {
       // bytes/defaultParallelism in charge for small inputs; at real
       // scale splits are maxPartitionBytes-bound, so this is a no-op
       .config("spark.sql.files.openCostInBytes", "131072")
+      .config("spark.sql.codegen.cache.maxEntries", "10000") // r15: see Bench.scala
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -63,6 +63,7 @@ object ProfMain {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.checkpoint.compress", "true")
       .config("spark.sql.files.openCostInBytes", "131072")
+      .config("spark.sql.codegen.cache.maxEntries", "10000") // r15: see Bench.scala
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
